@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-act feature extraction — the CineGraph core dataflow
+  * (reference: clustering/graph_creator.py:72-115).
+  *
+  * Given a table of (groupKey, orderCol, metric...) rows — in the
+  * reference, per-movie emotion windows — this:
+  *   1. drops groups with fewer rows than `numActs`
+  *      (O-10, graph_creator.py:88-89),
+  *   2. splits each group's ordered rows into `numActs` near-equal
+  *      contiguous acts with `ntile` (O-33; matches np.array_split's
+  *      "first len % n acts get one extra row" exactly,
+  *      graph_creator.py:96),
+  *   3. computes the per-(group, act) mean of every metric (O-34,
+  *      graph_creator.py:99-101) and the per-group sample stddev
+  *      (O-35, ddof=1, graph_creator.py:102-105),
+  *   4. pivots into one wide feature row per group
+  *      (`{metric}_act{i}` + `{metric}_std` — D4 in SURVEY.md §1).
+  *
+  * Scale notes: the act assignment is a single window function over a
+  * hash-partitioned shuffle on the group key; the feature aggregation is
+  * a hash aggregate over the same key, so AQE can reuse the exchange. No
+  * driver-side collection anywhere; groups are independent, so this
+  * scales linearly with group count. Conditional aggregation (avg over
+  * CASE) is used instead of `.pivot` so output column names are static
+  * (needed by the oracle) and no extra pivot pass over the data runs.
+  */
+object ActFeatures {
+
+  /** Wide per-group feature frame. Output columns:
+    * groupKey, {metric}_act{1..numActs}, {metric}_std. Doubles rounded
+    * to `roundTo` places so Spark and the DuckDB oracle hash identically
+    * despite FP summation-order differences.
+    */
+  def actFeatures(
+      df: DataFrame,
+      groupKey: String,
+      orderCols: Seq[String],
+      metrics: Seq[String],
+      numActs: Int = 3,
+      roundTo: Int = 4): DataFrame = {
+    val byGroup = Window.partitionBy(col(groupKey))
+    // orderCols must be a unique key within the group: ntile with ties is
+    // nondeterministic across engines and partition layouts.
+    val ordered = byGroup.orderBy(orderCols.map(col): _*)
+    val withAct = df
+      .withColumn("_cnt", count(lit(1)).over(byGroup))
+      .filter(col("_cnt") >= lit(numActs))
+      .withColumn("_act", ntile(numActs).over(ordered))
+
+    val actCols: Seq[Column] = for {
+      m <- metrics
+      a <- 1 to numActs
+    } yield round(avg(when(col("_act") === a, col(m))), roundTo)
+      .as(s"${m}_act$a")
+    val stdCols: Seq[Column] = metrics.map { m =>
+      // groups have >= numActs >= 2 rows, so stddev_samp is never NaN
+      round(stddev_samp(col(m)), roundTo).as(s"${m}_std")
+    }
+    val aggs = actCols ++ stdCols
+    withAct.groupBy(col(groupKey)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** DuckDB twin of [[actFeatures]] (same column names, same rounding). */
+  def actFeaturesSql(
+      table: String,
+      groupKey: String,
+      orderCols: Seq[String],
+      metrics: Seq[String],
+      numActs: Int = 3,
+      roundTo: Int = 4): String = {
+    val actCols = for {
+      m <- metrics
+      a <- 1 to numActs
+    } yield s"round(avg(CASE WHEN _act = $a THEN $m END), $roundTo) AS ${m}_act$a"
+    val stdCols = metrics.map(m => s"round(stddev_samp($m), $roundTo) AS ${m}_std")
+    val sel = (actCols ++ stdCols).mkString(", ")
+    s"""WITH _acts AS (
+       |  SELECT $groupKey, ${(orderCols ++ metrics).distinct.mkString(", ")},
+       |         count(*) OVER (PARTITION BY $groupKey) AS _cnt,
+       |         ntile($numActs) OVER (PARTITION BY $groupKey ORDER BY ${orderCols.mkString(", ")}) AS _act
+       |  FROM $table)
+       |SELECT $groupKey, $sel FROM _acts WHERE _cnt >= $numActs GROUP BY $groupKey""".stripMargin
+  }
+}
