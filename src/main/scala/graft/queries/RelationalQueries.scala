@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.ActFeatures
+import graft.operators.{ActFeatures, Ordinals}
 
 /** Relational operator pack — SURVEY.md §2.2/§2.4–§2.7 (O-9..O-14, O-28,
   * O-33..O-50, O-54) declared as named queries over the TESTDATA tables,
@@ -51,15 +51,12 @@ object RelationalQueries {
       .select("c_custkey", "c_name", "c_acctbal")
 
   /** O-13 positional offset (preprocessing_agent.py:388-397 resume
-    * semantics): global ordinal then `>= offset`. The empty-partition
-    * window is a deliberate single-partition shuffle — the operator's
-    * semantics need a total order; at scale this becomes
-    * `zipWithIndex`-style two-pass (per-partition counts + offsets) and is
-    * only ever applied to ingest manifests, not fact tables.
+    * semantics): global ordinal then `>= offset`, via the two-pass
+    * zipWithIndex pattern ([[graft.operators.Ordinals]]) — range-partition
+    * + per-partition counts + offsets, never a single-partition window.
     */
   private val o13: Q = (s, d) =>
-    Tables.events(s, d)
-      .withColumn("row_id", row_number().over(Window.orderBy("event_id")).cast("long"))
+    Ordinals.withGlobalOrdinal(Tables.events(s, d), "row_id", col("event_id"))
       .filter(col("row_id") > 900)
       .select("row_id", "event_id", "event_type")
 
@@ -112,11 +109,16 @@ object RelationalQueries {
     Tables.orders(s, d).groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
 
   /** O-39 group members as list (graph_creator.py:187-189) — emitted as a
-    * canonically-ordered string so the hash is engine-stable.
+    * canonically-ordered string so the hash is engine-stable. The list is
+    * capped at 1000 members (`slice(sort_array(...))`, same cap in the
+    * oracle) so the per-group output row is bounded at any scale; the
+    * reference's real tree groups are bounded at ≤50 leaves
+    * (settings.py:104-135), so the cap is never hit in anger.
     */
   private val o39: Q = (s, d) =>
     Tables.customer(s, d).groupBy("c_nationkey").agg(
-      array_join(sort_array(collect_list(col("c_custkey").cast("string"))), ",").as("members"),
+      array_join(slice(sort_array(collect_list(col("c_custkey").cast("string"))), 1, 1000), ",")
+        .as("members"),
       count(lit(1)).as("n"))
 
   /** O-40 row-wise argmax over the vector form (clustering.ipynb cell 2). */
@@ -147,14 +149,14 @@ object RelationalQueries {
         round(avg("c_acctbal"), 4).as("avg_bal"))
 
   /** O-45 positional (zip-with-index) join (graph_creator.py:187-189).
-    * Global ordinals on two small sides, then equi-join on the ordinal.
+    * Global ordinals on both sides via the scale-safe two-pass pattern
+    * ([[graft.operators.Ordinals]] — no single-partition window), then an
+    * equi-join on the ordinal.
     */
   private val o45: Q = (s, d) => {
-    val c = Tables.supplier(s, d)
-      .withColumn("rn", row_number().over(Window.orderBy("s_suppkey")).cast("long"))
+    val c = Ordinals.withGlobalOrdinal(Tables.supplier(s, d), "rn", col("s_suppkey"))
       .select("rn", "s_name")
-    val n = Tables.nation(s, d)
-      .withColumn("rn", row_number().over(Window.orderBy("n_nationkey")).cast("long"))
+    val n = Ordinals.withGlobalOrdinal(Tables.nation(s, d), "rn", col("n_nationkey"))
       .select("rn", "n_name")
     c.join(n, Seq("rn"))
   }
@@ -164,11 +166,16 @@ object RelationalQueries {
     * array back out, equi-join to the dimension for names.
     */
   private val o46: Q = (s, d) => {
+    // Collect struct(key, name) so the explode recovers every column in
+    // ONE scan + ONE shuffle — no second scan/join of customer just to
+    // get c_name back (that was a 2× cost at any scale). Precondition as
+    // in the reference: groups are bounded (tree leaves ≤50,
+    // settings.py:104-135); nationkey here has ≤25 keys × bounded members.
     val grouped = Tables.customer(s, d).groupBy("c_nationkey")
-      .agg(collect_list("c_custkey").as("ids"))
-    val exploded = grouped.select(col("c_nationkey"), explode(col("ids")).as("c_custkey"))
-    exploded.join(Tables.customer(s, d).select("c_custkey", "c_name"), Seq("c_custkey"))
-      .select("c_nationkey", "c_custkey", "c_name")
+      .agg(collect_list(struct(col("c_custkey"), col("c_name"))).as("members"))
+    grouped.select(col("c_nationkey"), explode(col("members")).as("m"))
+      .select(col("c_nationkey"), col("m.c_custkey").as("c_custkey"),
+        col("m.c_name").as("c_name"))
   }
 
   /** O-47 top-k per group (graph_creator.py:349-353): row_number window
@@ -189,14 +196,29 @@ object RelationalQueries {
     */
   private val o48: Q = (s, d) => {
     val e = Tables.events(s, d)
-    val per = e.groupBy("event_type").agg(avg("value").as("tavg"))
-    val glob = e.agg(avg("value").as("gavg"))
-    per.crossJoin(broadcast(glob))
-      // round BEFORE ranking (engines disagree in the last ulp near zero)
-      // and add 0.0 to normalize -0.0 away
+    // Means as exact-decimal sums cast to double, THEN one IEEE division
+    // (o34 convention): double partial-aggregation order differs across
+    // engines and a last-ulp difference on a rounding boundary would flip
+    // delta AND cascade into rk_desc. The decimal sum is order-exact; the
+    // single double division is bit-deterministic in both engines.
+    val decAvg = sum(col("value").cast("decimal(18,4)")).cast("double") / count(lit(1))
+    val per = e.groupBy("event_type").agg(decAvg.as("tavg"))
+    val glob = e.agg(decAvg.as("gavg"))
+    val deltas = per.crossJoin(broadcast(glob))
+      // round BEFORE ranking and add 0.0 to normalize -0.0 away
       .withColumn("delta", round(col("tavg") - col("gavg"), 4) + lit(0.0))
-      .withColumn("rk_desc", row_number().over(
-        Window.orderBy(col("delta").desc, col("event_type"))).cast("long"))
+      .select("event_type", "delta")
+    // Rank without a global window (WindowExec would collapse to a single
+    // partition): rk = 1 + |rows sorting strictly before me| via a
+    // broadcast self-join — the frame is one row per event_type, so this
+    // is O(types²) on a broadcast, never a repartition of anything big.
+    val other = deltas.select(col("event_type").as("e2"), col("delta").as("d2"))
+    deltas.join(broadcast(other),
+        col("d2") > col("delta") ||
+          (col("d2") === col("delta") && col("e2") < col("event_type")),
+        "left")
+      .groupBy("event_type", "delta")
+      .agg((count(col("e2")) + 1L).as("rk_desc"))
       .select("event_type", "delta", "rk_desc")
   }
 
@@ -259,12 +281,16 @@ object RelationalQueries {
       .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
 
   /** Tumbling-hour aggregation over events (batch twin of the streaming
-    * windowed agg; timestamps leave as epoch seconds). Integer DIV on the
-    * ns-epoch long — double division would lose precision at 1.7e18.
+    * windowed agg; timestamps leave as epoch seconds). Integer arithmetic
+    * on the ns-epoch long — double division would lose precision at
+    * 1.7e18 — with FLOOR-division semantics via pmod, because Spark's
+    * `DIV` truncates toward zero while DuckDB's `//` floors, which would
+    * diverge on pre-1970 (negative-epoch) timestamps.
     */
   private val hourly: Q = (s, d) =>
     Tables.events(s, d)
-      .groupBy((expr("ts DIV 3600000000000") * 3600L).as("hour_epoch"),
+      .groupBy((((col("ts") - pmod(col("ts"), lit(3600000000000L))) / 3600000000000L)
+          .cast("long") * 3600L).as("hour_epoch"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
@@ -345,7 +371,8 @@ object RelationalQueries {
     "o38_count_per_group" ->
       "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus",
     "o39_group_members" ->
-      """SELECT c_nationkey, string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY CAST(c_custkey AS VARCHAR)) AS members,
+      """SELECT c_nationkey,
+        |       array_to_string(list_sort(list(CAST(c_custkey AS VARCHAR)))[1:1000], ',') AS members,
         |       count(*) AS n
         |FROM customer GROUP BY c_nationkey""".stripMargin,
     "o40_argmax" ->
@@ -380,7 +407,9 @@ object RelationalQueries {
       """SELECT event_type, delta,
         |       row_number() OVER (ORDER BY delta DESC, event_type) AS rk_desc
         |FROM (
-        |  SELECT event_type, round(avg(value) - (SELECT avg(value) FROM events), 4) + 0.0 AS delta
+        |  SELECT event_type,
+        |         round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+        |               - (SELECT CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) FROM events), 4) + 0.0 AS delta
         |  FROM events GROUP BY event_type)""".stripMargin,
     "o49_head_n" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
