@@ -1,0 +1,188 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The subtitle text-cleaning tool set (SURVEY.md §2.3, O-15..O-27).
+  *
+  * Each reference "tool" (preprocessing_agent.py:19-152) is a pure
+  * string→string scalar function; here each is a codegen-friendly
+  * `Column => Column` built only from `regexp_replace`/`lower`/HOF
+  * built-ins — no UDFs, so every cleaner stays inside whole-stage codegen
+  * and is pushed/pruned like any other expression at 100 TB.
+  *
+  * Every operator also carries a DuckDB SQL twin (`...Sql`) built from
+  * the SAME pattern constants, so the oracle executes literally the same
+  * regexes. Patterns stick to the RE2 ∩ java.util.regex common subset:
+  * no backreferences, no lookarounds; inline `(?m)`/`(?i)` flags only.
+  *
+  * Python semantics pinned deliberately:
+  *  - `str.strip()` trims ALL whitespace → [[pyStrip]], not SQL `trim`
+  *    (spaces only);
+  *  - `re.sub(r' +', ' ')` collapses SPACES only, not tabs;
+  *  - `str.split()` (no arg) splits on whitespace runs and drops empty
+  *    edges → strip first, then split on `\s+`.
+  */
+object TextClean {
+
+  private def rrSql(e: String, pat: String, repl: String = ""): String =
+    s"regexp_replace($e, '${pat.replace("'", "''")}', '$repl', 'g')"
+  private def rr(c: Column, pat: String, repl: String = ""): Column =
+    regexp_replace(c, pat, repl)
+
+  /** Python `str.strip()`: trim leading/trailing whitespace (incl. \n\t). */
+  def pyStrip(c: Column): Column = rr(c, "^\\s+|\\s+$")
+  def pyStripSql(e: String): String = rrSql(e, "^\\s+|\\s+$")
+
+  // ---- O-15 remove_timestamps (preprocessing_agent.py:71-89) ----
+  private val srtTs =
+    "\\d{2}:\\d{2}:\\d{2}[.,]\\d{3}\\s*-->\\s*\\d{2}:\\d{2}:\\d{2}[.,]\\d{3}"
+  private val bareCueNum = "(?m)^\\s*\\d+\\s*$"
+  private val webvtt = "WEBVTT.*\\n?"
+
+  def removeTimestamps(c: Column): Column =
+    pyStrip(rr(rr(rr(c, srtTs), bareCueNum), webvtt))
+  def removeTimestampsSql(e: String): String =
+    pyStripSql(rrSql(rrSql(rrSql(e, srtTs), bareCueNum), webvtt))
+
+  // ---- O-16 remove_brackets_content (preprocessing_agent.py:19-30) ----
+  def removeBracketsContent(c: Column): Column =
+    pyStrip(rr(rr(rr(c, "\\[.*?\\]"), "\\(.*?\\)"), "\\{.*?\\}"))
+  def removeBracketsContentSql(e: String): String =
+    pyStripSql(rrSql(rrSql(rrSql(e, "\\[.*?\\]"), "\\(.*?\\)"), "\\{.*?\\}"))
+
+  // ---- O-17 remove_html_tags (preprocessing_agent.py:108-116) ----
+  def removeHtmlTags(c: Column): Column = pyStrip(rr(c, "<[^>]+>"))
+  def removeHtmlTagsSql(e: String): String = pyStripSql(rrSql(e, "<[^>]+>"))
+
+  // ---- O-18 remove_speaker_labels (preprocessing_agent.py:92-105) ----
+  // NOTE [A-Z\s] / [\w\s] include \n — a label match can span lines; the
+  // reference behaves the same way (re.MULTILINE only moves the anchors).
+  private val upperLabel = "(?m)^[A-Z][A-Z\\s]{1,20}:\\s*"
+  private val mixedLabel = "(?m)^\\w[\\w\\s]{1,20}:\\s*"
+  private val vttVoice = "<v\\s+[^>]+>"
+
+  def removeSpeakerLabels(c: Column): Column =
+    pyStrip(rr(rr(rr(c, upperLabel), mixedLabel), vttVoice))
+  def removeSpeakerLabelsSql(e: String): String =
+    pyStripSql(rrSql(rrSql(rrSql(e, upperLabel), mixedLabel), vttVoice))
+
+  // ---- O-19 remove_dialog_punctuation (preprocessing_agent.py:56-68) ----
+  private val leadDash = "(?m)^\\s*-+\\s*"
+  private val ellipsis = "\\.{2,}"
+  private val dblDash = "-{2,}"
+  // straight + curly double/single quotes, as in the reference source
+  private val quotes = "[\"“”'‘’]+"
+  private val dialogPunct = "[!?,;:]+"
+
+  def removeDialogPunctuation(c: Column): Column =
+    pyStrip(rr(rr(rr(rr(rr(c, leadDash), ellipsis), dblDash), quotes), dialogPunct))
+  def removeDialogPunctuationSql(e: String): String =
+    pyStripSql(rrSql(rrSql(rrSql(rrSql(rrSql(e, leadDash), ellipsis), dblDash), quotes), dialogPunct))
+
+  // ---- O-20 remove_newlines (preprocessing_agent.py:44-53) ----
+  def removeNewlines(c: Column): Column =
+    pyStrip(rr(rr(rr(c, "\\n", " "), "\\r", " "), " +", " "))
+  def removeNewlinesSql(e: String): String =
+    pyStripSql(rrSql(rrSql(rrSql(e, "\\n", " "), "\\r", " "), " +", " "))
+
+  // ---- O-21 remove_non_alphabetic (preprocessing_agent.py:33-41) ----
+  def removeNonAlphabetic(c: Column): Column = pyStrip(rr(c, "[^a-zA-Z\\s]"))
+  def removeNonAlphabeticSql(e: String): String = pyStripSql(rrSql(e, "[^a-zA-Z\\s]"))
+
+  // ---- O-22 remove_filler_words (preprocessing_agent.py:143-152) ----
+  private val fillers =
+    "(?i)\\b(um+|uh+|hmm+|hm+|ah+|oh+|er+|erm+|gonna|wanna|gotta|kinda|sorta|like|okay|ok|yeah|yep|nope)\\b"
+
+  def removeFillerWords(c: Column): Column =
+    pyStrip(rr(rr(c, fillers), " +", " "))
+  def removeFillerWordsSql(e: String): String =
+    pyStripSql(rrSql(rrSql(e, fillers), " +", " "))
+
+  // ---- O-23 lowercase_text (preprocessing_agent.py:133-140) ----
+  def lowercaseText(c: Column): Column = lower(c)
+  def lowercaseTextSql(e: String): String = s"lower($e)"
+
+  // ---- O-24 normalize_whitespace (preprocessing_agent.py:119-130) ----
+  // Per-line: collapse spaces + strip; drop empty lines; join with ' '.
+  def normalizeWhitespace(c: Column): Column =
+    array_join(
+      filter(
+        transform(split(c, "\\n"), x => pyStrip(rr(x, " +", " "))),
+        x => x =!= lit("")),
+      " ")
+  def normalizeWhitespaceSql(e: String): String = {
+    val line = pyStripSql(rrSql("x", " +", " "))
+    s"array_to_string(list_filter(list_transform(string_split($e, chr(10)), x -> $line), x -> x <> ''), ' ')"
+  }
+
+  /** The composed 10-tool pipeline in the agent's recommended order
+    * (preprocessing_agent.py:182-196): timestamps → brackets → html →
+    * speakers → dialog punctuation → newlines → non-alphabetic →
+    * fillers → lowercase → whitespace.
+    */
+  def cleanSubtitles(c: Column): Column = {
+    val steps: Seq[Column => Column] = Seq(
+      removeTimestamps, removeBracketsContent, removeHtmlTags,
+      removeSpeakerLabels, removeDialogPunctuation, removeNewlines,
+      removeNonAlphabetic, removeFillerWords, lowercaseText,
+      normalizeWhitespace)
+    steps.foldLeft(c)((acc, f) => f(acc))
+  }
+  def cleanSubtitlesSql(e: String): String = {
+    val steps: Seq[String => String] = Seq(
+      removeTimestampsSql, removeBracketsContentSql, removeHtmlTagsSql,
+      removeSpeakerLabelsSql, removeDialogPunctuationSql, removeNewlinesSql,
+      removeNonAlphabeticSql, removeFillerWordsSql, lowercaseTextSql,
+      normalizeWhitespaceSql)
+    steps.foldLeft(e)((acc, f) => f(acc))
+  }
+
+  // ---- O-25 ASCII-only cleaning (clustering/utils.py:60-73) ----
+  // title.encode('ascii', errors='ignore') == drop every non-ASCII char.
+  def asciiOnly(c: Column): Column = rr(c, "[^\\x00-\\x7F]")
+  def asciiOnlySql(e: String): String = rrSql(e, "[^\\x00-\\x7F]")
+
+  // ---- O-26 title/year split (scraping/scraper.py:75-88) ----
+  // "Title (2004)" → (title, year); missing year → 1800.
+  private val titleYear = "(.*)\\s\\((\\d{4})\\)$"
+
+  def titleOf(c: Column): Column =
+    when(regexp_extract(c, titleYear, 2) =!= "",
+      pyStrip(regexp_extract(c, titleYear, 1))).otherwise(pyStrip(c))
+  def yearOf(c: Column): Column =
+    when(regexp_extract(c, titleYear, 2) =!= "",
+      regexp_extract(c, titleYear, 2)).otherwise(lit("1800"))
+  def titleOfSql(e: String): String =
+    s"CASE WHEN regexp_extract($e, '$titleYear', 2) <> '' " +
+      s"THEN ${pyStripSql(s"regexp_extract($e, '$titleYear', 1)")} ELSE ${pyStripSql(e)} END"
+  def yearOfSql(e: String): String =
+    s"CASE WHEN regexp_extract($e, '$titleYear', 2) <> '' " +
+      s"THEN regexp_extract($e, '$titleYear', 2) ELSE '1800' END"
+
+  // ---- O-27 name slug swap (graph_creator.py:92-93,294) ----
+  def slug(c: Column): Column = translate(c, " ", "_")
+  def unslug(c: Column): Column = translate(c, "_", " ")
+  def slugSql(e: String): String = s"replace($e, ' ', '_')"
+  def unslugSql(e: String): String = s"replace($e, '_', ' ')"
+
+  // ---- O-29 deterministic name generator (graph_creator.py:19-29) ----
+  // The reference draws 10 random alphanumeric chars; the engine variant
+  // is deterministic (seeded hash) so results are reproducible and
+  // oracle-checkable — SURVEY §2.3 prefers this for testing.
+  def genName(seed: String, c: Column): Column =
+    substring(sha2(concat(lit(seed + ":"), c.cast("string")), 256), 1, 10)
+  def genNameSql(seed: String, e: String): String =
+    s"substr(sha256('$seed:' || CAST($e AS VARCHAR)), 1, 10)"
+
+  // ---- O-30 name validation (clustering/utils.py:36-57) ----
+  // len(name.split()) — python splits on whitespace runs after stripping.
+  def wordCount(c: Column): Column =
+    when(pyStrip(c) === "", lit(0L))
+      .otherwise(size(split(pyStrip(c), "\\s+")).cast("long"))
+  def wordCountSql(e: String): String =
+    s"CASE WHEN ${pyStripSql(e)} = '' THEN 0 " +
+      s"ELSE CAST(len(regexp_split_to_array(${pyStripSql(e)}, '\\s+')) AS BIGINT) END"
+  def validName(c: Column): Column = wordCount(c).between(1, 4)
+  def validNameSql(e: String): String = s"${wordCountSql(e)} BETWEEN 1 AND 4"
+}
