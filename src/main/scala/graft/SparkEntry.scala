@@ -16,7 +16,8 @@ object SparkEntry {
   private val packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (RelationalQueries.queries, RelationalQueries.oracle),
-      (TextQueries.queries, TextQueries.oracle))
+      (TextQueries.queries, TextQueries.oracle),
+      (TextAnalyticsQueries.queries, TextAnalyticsQueries.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Chunker
+
+/** Chunking (O-31/O-32) + the text-analysis operators a training-data
+  * pipeline needs (builder brief): token counting, language-ID scoring,
+  * quality scoring, and document fingerprinting — all declared queries
+  * over `documents` with DuckDB twins.
+  *
+  * Scale: chunkers are Catalyst GenerateExec (per-row explode, no
+  * shuffle); the analytics are stateless per-row expressions. The only
+  * cost at 100 TB is output volume, which is the operator's job.
+  */
+object TextAnalyticsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // Test-scale knobs (reference: 4096-char chunks, 512/256 token windows;
+  // testdata docs are ~50-550 chars so scaled-down sizes exercise the
+  // multi-chunk/multi-window paths).
+  private val ChunkSize = 64
+  private val WinSize = 48
+  private val WinStride = 24
+
+  private val o31: Q = (s, d) =>
+    Chunker.chunkChars(Tables.documents(s, d), "text", ChunkSize, Seq("doc_id"))
+
+  private val o32: Q = (s, d) =>
+    Chunker.slidingTokenWindows(Tables.documents(s, d), "text", WinSize, WinStride, Seq("doc_id"))
+
+  // ---- token counting (whitespace + BPE-ish regex estimate) ----
+  private val tokenPat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  private val tokCount: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_m"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      size(regexp_extract_all(col("text"), lit(tokenPat), lit(0))).cast("long").as("n_bpeish"))
+
+  // ---- language-ID by stopword-marker scoring (n-gram heuristic) ----
+  private val langs = Seq(
+    ("en", "\\b(the|a|and|of)\\b"),
+    ("de", "\\b(der|die|das|und)\\b"),
+    ("fr", "\\b(le|la|les|et)\\b"),
+    ("es", "\\b(el|los|las|y)\\b"))
+
+  private val langIdQ: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+    val scored = langs.foldLeft(base) { case (df, (l, pat)) =>
+      df.withColumn(s"s_$l",
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long"))
+    }
+    val pred =
+      when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
+        .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+        .when(col("s_fr") >= col("s_es"), "fr")
+        .otherwise("es")
+    scored.select(col("doc_id"), col("s_en"), col("s_de"), col("s_fr"), col("s_es"),
+      pred.as("pred_lang"),
+      (pred === col("lang")).cast("int").as("is_match"))
+  }
+
+  // ---- quality scoring (length / stopword / alphabetic ratios) ----
+  private val stopPat = "\\b(the|a|and|of|to|in)\\b"
+
+  // Ratios and the composite are integer basis points (//-division, all
+  // operands positive) — a weighted sum of rounded doubles lands on
+  // x.xxxx5 half-boundaries where Spark and DuckDB round differently in
+  // the last ulp; integer arithmetic is exact in both engines.
+  private val quality: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("_stop", size(regexp_extract_all(col("text"), lit(stopPat), lit(0))).cast("long"))
+      .withColumn("_alpha", length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long"))
+      .withColumn("_nch", length(col("text")).cast("long"))
+      .withColumn("stop_bp", expr("(_stop * 10000) DIV n_tokens"))
+      .withColumn("alpha_bp", expr("(_alpha * 10000) DIV _nch"))
+      .withColumn("len_bp", least(col("n_tokens") * 200L, lit(10000L)))
+      .withColumn("quality_bp", expr("(len_bp*4 + stop_bp*3 + alpha_bp*3) DIV 10"))
+      .select("doc_id", "n_tokens", "stop_bp", "alpha_bp", "quality_bp")
+
+  // ---- document fingerprinting (md5 + min-shingle rolling hash) ----
+  private val fingerprint: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    val nSh = greatest(size(toks) - 2, lit(1))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      substring(md5(col("text")), 1, 16).as("fp"),
+      array_min(transform(sequence(lit(1), nSh),
+        i => md5(concat_ws(" ", slice(toks, i, lit(3)))))).as("min_shingle"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "o31_char_chunks" -> o31,
+    "o32_token_windows" -> o32,
+    "q_token_count" -> tokCount,
+    "q_lang_id" -> langIdQ,
+    "q_quality_score" -> quality,
+    "q_fingerprint" -> fingerprint)
+
+  val oracle: Map[String, String] = Map(
+    "o31_char_chunks" ->
+      s"""SELECT doc_id, chunk_id, substr(text, CAST(chunk_id*$ChunkSize+1 AS INT), $ChunkSize) AS chunk FROM (
+         |  SELECT doc_id, text,
+         |         unnest(generate_series(0, CAST(greatest(ceil(length(text)/$ChunkSize.0), 1) AS BIGINT)-1)) AS chunk_id
+         |  FROM documents)""".stripMargin,
+    "o32_token_windows" ->
+      s"""SELECT doc_id, window_id, window_id*$WinStride AS window_start,
+         |       least(window_id*$WinStride+$WinSize, n) AS window_end,
+         |       array_to_string(toks[(window_id*$WinStride+1):(window_id*$WinStride+$WinSize)], ' ') AS win
+         |FROM (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         |         unnest(generate_series(0, CAST(greatest(ceil(len(string_split(text, ' '))/$WinStride.0), 1) AS BIGINT)-1)) AS window_id
+         |  FROM documents)""".stripMargin,
+    "q_token_count" ->
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
+         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |       CAST(len(regexp_extract_all(text, '$tokenPat')) AS BIGINT) AS n_bpeish
+         |FROM documents""".stripMargin,
+    "q_lang_id" -> {
+      val scores = langs.map { case (l, p) =>
+        s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS s_$l"
+      }.mkString(", ")
+      s"""SELECT doc_id, s_en, s_de, s_fr, s_es, pred_lang,
+         |       CAST(pred_lang = lang AS INT) AS is_match
+         |FROM (
+         |  SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+         |         CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |              WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |              WHEN s_fr >= s_es THEN 'fr'
+         |              ELSE 'es' END AS pred_lang
+         |  FROM (SELECT doc_id, lang, $scores FROM documents))""".stripMargin
+    },
+    "q_quality_score" ->
+      s"""SELECT doc_id, n_tokens, stop_bp, alpha_bp,
+         |       (len_bp*4 + stop_bp*3 + alpha_bp*3) // 10 AS quality_bp
+         |FROM (
+         |  SELECT doc_id, n_tokens,
+         |         (_stop * 10000) // n_tokens AS stop_bp,
+         |         (_alpha * 10000) // _nch AS alpha_bp,
+         |         least(n_tokens * 200, 10000) AS len_bp
+         |  FROM (
+         |    SELECT doc_id,
+         |           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |           CAST(len(regexp_extract_all(text, '$stopPat')) AS BIGINT) AS _stop,
+         |           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS _alpha,
+         |           CAST(length(text) AS BIGINT) AS _nch
+         |    FROM documents))""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, substr(md5(text), 1, 16) AS fp,
+        |       list_min(list_transform(
+        |         generate_series(1, greatest(len(string_split(text, ' '))-2, 1)),
+        |         i -> md5(array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS min_shingle
+        |FROM documents""".stripMargin)
+}
