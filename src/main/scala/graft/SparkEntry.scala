@@ -17,7 +17,9 @@ object SparkEntry {
     Seq(
       (RelationalQueries.queries, RelationalQueries.oracle),
       (TextQueries.queries, TextQueries.oracle),
-      (TextAnalyticsQueries.queries, TextAnalyticsQueries.oracle))
+      (TextAnalyticsQueries.queries, TextAnalyticsQueries.oracle),
+      (VectorQueries.queries, VectorQueries.oracle),
+      (DedupQueries.queries, DedupQueries.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorOps._
+
+/** Deduplication pack for the training-data pipeline (builder brief):
+  * exact, MinHash-LSH, SimHash, n-gram Jaccard, and embedding-cosine
+  * near-dup — each a declared oracle-checked query.
+  *
+  * The synthetic documents are near-unique word soup, so near-dup
+  * queries would trivially return nothing; each query therefore unions
+  * in DETERMINISTIC mutated copies (doc_id+100000 with the first token
+  * dropped; vec_id+100000 with dim 1 perturbed) built with the identical
+  * expression in both engines — the dedup logic then has real work to do
+  * and real pairs to find.
+  *
+  * Scale designs (the whole point of these formulations):
+  *  - never all-pairs: MinHash candidates come from a BAND-BUCKET
+  *    equi-join (shuffle on (band, band_key)); Jaccard pairs from a
+  *    shingle inverted-index join (shuffle on shingle, df-bounded);
+  *    embedding pairs from sign-LSH buckets. All are equi-joins Catalyst
+  *    can hash-partition; none materialize n² pairs.
+  *  - the only skew risk is a hot shingle/bucket; at 100 TB you'd add a
+  *    document-frequency cap on shingles (drop df > K) before the join —
+  *    noted here because the testdata doesn't need it.
+  */
+object DedupQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- corpora with planted near/exact duplicates ----
+
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val mut = Tables.documents(s, d).select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      expr("substring(text, instr(text, ' ')+1)").as("text"))
+    docs.unionAll(mut)
+  }
+  private val corpusSql =
+    "(SELECT doc_id, text FROM documents UNION ALL " +
+      "SELECT doc_id+100000 AS doc_id, substr(text, instr(text, ' ')+1) AS text FROM documents)"
+
+  private def shingles(c: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    c.select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(3)))))).as("sh"))
+  }
+  private val shinglesSql =
+    s"""(SELECT doc_id,
+       |        unnest(list_distinct(list_transform(
+       |          generate_series(1, greatest(len(string_split(text, ' '))-2, 1)),
+       |          i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS sh
+       | FROM $corpusSql)""".stripMargin
+
+  // ---- exact dedup: hash-groupBy, keeper = min id ----
+  private val exact: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val dup = Tables.documents(s, d).select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+    docs.unionAll(dup)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+  }
+
+  // ---- MinHash + LSH banding: 8 hashes, 4 bands of 2 ----
+  // All 8 minhashes are computed as 8 min() aggregates in ONE pass over
+  // the shingle table (map-side partial min, one shuffle on doc_id) —
+  // exploding a seed column would multiply the shuffle volume ×8 for no
+  // reason. Bands then unpivot from the 8 signature columns (4 rows/doc).
+  private val minhash: Q = (s, d) => {
+    val seedAggs = (0 to 7).map(k =>
+      min(md5(concat(lit(s"${k}_"), col("sh")))).as(s"mh$k"))
+    val sig = shingles(corpus(s, d)).groupBy("doc_id")
+      .agg(seedAggs.head, seedAggs.tail: _*)
+    val bandCols = (0 to 3).map(b =>
+      struct(lit(b.toLong).as("band"),
+        md5(concat_ws("|", array_sort(array(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))))
+          .as("bkey")))
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  // ---- SimHash: 16-bit signature from md5 hex-digit parity ----
+  private val simhash: Q = (s, d) => {
+    val t = Tables.documents(s, d).select(
+      col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val bits = t
+      .withColumn("j", explode(sequence(lit(0L), lit(15L))))
+      .withColumn("digit", md5(col("tok")).substr(col("j") + 1, lit(1)))
+      .withColumn("sign",
+        when(pmod(expr("instr('0123456789abcdef', digit)") - 1, lit(2)) === 1, 1L)
+          .otherwise(-1L))
+      .groupBy("doc_id", "j").agg(sum("sign").as("s"))
+    bits
+      .withColumn("bitval",
+        when(col("s") > 0, expr("CAST(pow(2, j) AS BIGINT)")).otherwise(0L))
+      .groupBy("doc_id").agg(sum("bitval").as("simhash"))
+  }
+
+  // ---- n-gram Jaccard via shingle inverted-index join ----
+  // Standard document-frequency pruning before the self-join: a shingle
+  // appearing in many documents is non-discriminative and is exactly the
+  // hot key that explodes an inverted-index join — dropping df > 10
+  // bounds every join group at 10 postings (the oracle applies the same
+  // cap, and na/nb are counted on the capped sets so Jaccard stays
+  // consistent). Planted near-dup pairs survive on their rare shingles.
+  private val DfCap = 10
+
+  private val jaccard: Q = (s, d) => {
+    val all = shingles(corpus(s, d))
+    val rare = all.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap).select("sh")
+    val sh = all.join(rare, Seq("sh"))
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val shared = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(cnt.select(col("doc_id").as("doc_a"), col("nsh").as("na")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), Seq("doc_b"))
+      .withColumn("jac_bp", expr("(shared*10000) DIV (na + nb - shared)"))
+      .filter(col("jac_bp") >= 5000)
+      .select("doc_a", "doc_b", "jac_bp")
+  }
+
+  // ---- embedding-cosine near-dup with sign-LSH bucket blocking ----
+  // 8 sign bits → 256 buckets, so the within-bucket pair count is
+  // ~(n/256)²·256 = n²/256 instead of n²; norms are precomputed ONCE per
+  // vector (not per pair — that would triple the per-pair flops). At
+  // 100 TB you'd widen to r random hyperplanes + multi-probe; sign
+  // buckets keep the query deterministic for the oracle.
+  private val embedDup: Q = (s, d) => {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("e"))
+    val mut = base.select((col("vec_id") + 100000L).as("vec_id"),
+      concat(array(element_at(col("e"), 1) + lit(0.05)), slice(col("e"), 2, 63)).as("e"))
+    val bucket = (1 to 8).map(i =>
+      when(element_at(col("e"), i) > 0, lit(1 << (8 - i))).otherwise(lit(0)))
+      .reduce(_ + _)
+    val all = base.unionAll(mut)
+      .withColumn("nrm", norm2(col("e")))
+      .withColumn("bucket", bucket)
+    all.as("a").join(all.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .filter(col("cos") >= 0.98)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_exact" -> exact,
+    "q_dedup_minhash" -> minhash,
+    "q_dedup_simhash" -> simhash,
+    "q_dedup_jaccard" -> jaccard,
+    "q_dedup_embed" -> embedDup)
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keeper, count(*) AS n
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL SELECT doc_id+200000 AS doc_id, text FROM documents)
+        |GROUP BY md5(text)""".stripMargin,
+    "q_dedup_minhash" -> {
+      val mins = (0 to 7).map(k => s"min(md5('${k}_' || sh)) AS mh$k").mkString(", ")
+      val bandRows = (0 to 3).map(b =>
+        s"SELECT doc_id, CAST($b AS BIGINT) AS band, " +
+          s"md5(least(mh${2 * b}, mh${2 * b + 1}) || '|' || greatest(mh${2 * b}, mh${2 * b + 1})) AS bkey FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH sig AS (
+         |  SELECT doc_id, $mins FROM $shinglesSql s GROUP BY doc_id),
+         |bands AS ($bandRows)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
+    },
+    "q_dedup_simhash" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |         sum(CASE WHEN (instr('0123456789abcdef', substr(md5(tok), CAST(j+1 AS INT), 1)) - 1) % 2 = 1
+        |                  THEN 1 ELSE -1 END) AS s
+        |  FROM t CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)
+        |  GROUP BY doc_id, j)
+        |SELECT doc_id,
+        |       CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+    "q_dedup_jaccard" ->
+      s"""WITH allsh AS (SELECT * FROM $shinglesSql),
+         |sh AS (SELECT a.* FROM allsh a
+         |       JOIN (SELECT sh FROM allsh GROUP BY sh HAVING count(*) <= $DfCap) r USING (sh)),
+         |cnt AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+         |shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, (shared*10000) // (na + nb - shared) AS jac_bp
+         |FROM (SELECT s.doc_a, s.doc_b, s.shared, ca.nsh AS na, cb.nsh AS nb
+         |      FROM shared s JOIN cnt ca ON s.doc_a = ca.doc_id
+         |                    JOIN cnt cb ON s.doc_b = cb.doc_id)
+         |WHERE (shared*10000) // (na + nb - shared) >= 5000""".stripMargin,
+    "q_dedup_embed" -> {
+      val e = s"(SELECT vec_id, ${toDoubleArrSql("embedding")} AS e FROM embeddings)"
+      val bucket = (1 to 8).map(i =>
+        s"CASE WHEN e[$i] > 0 THEN ${1 << (8 - i)} ELSE 0 END").mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT vec_id, e FROM $e
+         |  UNION ALL
+         |  SELECT vec_id+100000 AS vec_id, list_concat([e[1]+0.05], e[2:64]) AS e FROM $e),
+         |bk AS (
+         |  SELECT vec_id, e, ${norm2Sql("e")} AS nrm, ($bucket) AS bucket
+         |  FROM base)
+         |SELECT vec_a, vec_b, cos FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         round(${dotSql("a.e", "b.e")} / (a.nrm * b.nrm), 6) AS cos
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |WHERE cos >= 0.98""".stripMargin
+    })
+}

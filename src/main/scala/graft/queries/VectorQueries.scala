@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorOps._
+
+/** Vector / similarity-search / eval pack (O-54, O-56, O-37, O-12, O-41)
+  * over `embeddings` (ARRAY<FLOAT> ×64) and `documents`.
+  *
+  * Scale designs:
+  *  - o54: stateless per-row expressions against a broadcast 1-row probe
+  *    — no shuffle, embarrassingly parallel.
+  *  - o56 brute-force top-k: probes broadcast against the candidate scan,
+  *    per-probe top-k via a PARTITIONED window (WindowGroupLimit turns it
+  *    into a running top-k, no full sort). Brute force is the exact
+  *    baseline; the LSH-bucketed path for 100 TB is `q_dedup_embed` in
+  *    [[DedupQueries]].
+  *  - o37: posexplode to (label, dim, x) long form — the shuffle key is
+  *    (label, dim), so centroid math distributes over dims as well as
+  *    labels; decimal sums make the result independent of partial-agg
+  *    order (engine-stable).
+  */
+object VectorQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"), col("label"), toDoubleArr(col("embedding")).as("e"))
+
+  private val embSql =
+    s"(SELECT vec_id, label, ${toDoubleArrSql("embedding")} AS e FROM embeddings)"
+
+  /** O-54: l2 + cosine of every vector against the vec_id=0 probe. */
+  private val o54: Q = (s, d) => {
+    val probe = emb(s, d).filter(col("vec_id") === 0).select(col("e").as("pv"))
+    emb(s, d).crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(l2Distance(col("e"), col("pv")), 6).as("l2"),
+        round(cosineSimilarity(col("e"), col("pv")), 6).as("cos"))
+  }
+
+  /** O-56: brute-force cosine top-10 for 5 probe vectors. */
+  private val o56: Q = (s, d) => {
+    val probes = emb(s, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("e").as("pv"))
+    emb(s, d).crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosineSimilarity(col("e"), col("pv")), 6).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .filter(col("rk") <= 10)
+      .select("probe_id", "rk", "vec_id", "cos")
+  }
+
+  /** O-37: per-cluster centroid (graph_creator.py:345-347), long form. */
+  private val o37: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label").cast("long").as("label"), posexplode(col("embedding")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+        col("col").cast("double").as("x"))
+      .groupBy("label", "dim")
+      .agg(round(sum(col("x").cast("decimal(18,8)")).cast("double") / count(lit(1)), 6)
+        .as("mean"))
+
+  /** O-12: array-overlap predicate (bert_comparison.ipynb cell 3). */
+  private val o12: Q = (s, d) => {
+    val labs = slice(split(col("text"), " "), 1, 5)
+    val common = array(Seq("data", "row", "fast", "query", "value").map(lit): _*)
+    Tables.documents(s, d)
+      .filter(arrays_overlap(labs, common))
+      .select(col("doc_id"), array_join(labs, " ").as("labs"))
+  }
+
+  /** O-41: hit-rate / per-class F1 (bert_comparison.ipynb cells 8-10).
+    * Deterministic stand-in predictor pred = vec_id mod 3 vs the label
+    * column; F1 in integer basis points (DIV) so no FP boundary.
+    */
+  private val o41: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), pmod(col("vec_id"), lit(3)).cast("long").as("pred"),
+        col("label").cast("long").as("truth"))
+    val classes = s.range(3).select(col("id").as("class"))
+    e.crossJoin(broadcast(classes))
+      .groupBy("class")
+      .agg(
+        sum(when(col("pred") === col("class") && col("truth") === col("class"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") === col("class") && col("truth") =!= col("class"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("pred") =!= col("class") && col("truth") === col("class"), 1L).otherwise(0L)).as("fn"))
+      .withColumn("f1_bp", expr("(2*tp*10000) DIV (2*tp + fp + fn)"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "o54_vec_distance" -> o54,
+    "o56_ann_topk" -> o56,
+    "o37_cluster_centroids" -> o37,
+    "o12_array_overlap" -> o12,
+    "o41_f1_eval" -> o41)
+
+  val oracle: Map[String, String] = Map(
+    "o54_vec_distance" ->
+      s"""SELECT a.vec_id,
+         |       round(${l2DistanceSql("a.e", "b.pv")}, 6) AS l2,
+         |       round(${cosineSimilaritySql("a.e", "b.pv")}, 6) AS cos
+         |FROM $embSql a, (SELECT e AS pv FROM $embSql WHERE vec_id = 0) b""".stripMargin,
+    "o56_ann_topk" ->
+      s"""SELECT probe_id, rk, vec_id, cos FROM (
+         |  SELECT p.probe_id, a.vec_id, c.cos,
+         |         row_number() OVER (PARTITION BY p.probe_id ORDER BY c.cos DESC, a.vec_id) AS rk
+         |  FROM $embSql a
+         |  CROSS JOIN (SELECT vec_id AS probe_id, e AS pv FROM $embSql WHERE vec_id < 5) p
+         |  CROSS JOIN LATERAL (SELECT round(${cosineSimilaritySql("a.e", "p.pv")}, 6) AS cos) c)
+         |WHERE rk <= 10""".stripMargin,
+    "o37_cluster_centroids" ->
+      """SELECT label, dim,
+        |       round(CAST(sum(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / count(*), 6) AS mean
+        |FROM (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |         unnest(generate_series(1, len(embedding))) AS dim,
+        |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+        |  FROM embeddings)
+        |GROUP BY label, dim""".stripMargin,
+    "o12_array_overlap" ->
+      """SELECT doc_id, array_to_string(string_split(text, ' ')[1:5], ' ') AS labs
+        |FROM documents
+        |WHERE list_has_any(string_split(text, ' ')[1:5], ['data','row','fast','query','value'])""".stripMargin,
+    "o41_f1_eval" ->
+      """SELECT class, tp, fp, fn, (2*tp*10000) // (2*tp + fp + fn) AS f1_bp
+        |FROM (
+        |  SELECT c.class,
+        |         sum(CASE WHEN e.vec_id % 3 = c.class AND CAST(e.label AS BIGINT) = c.class THEN 1 ELSE 0 END) AS tp,
+        |         sum(CASE WHEN e.vec_id % 3 = c.class AND CAST(e.label AS BIGINT) <> c.class THEN 1 ELSE 0 END) AS fp,
+        |         sum(CASE WHEN e.vec_id % 3 <> c.class AND CAST(e.label AS BIGINT) = c.class THEN 1 ELSE 0 END) AS fn
+        |  FROM embeddings e CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS class) c
+        |  GROUP BY c.class)""".stripMargin)
+}
