@@ -19,7 +19,8 @@ object SparkEntry {
       (TextQueries.queries, TextQueries.oracle),
       (TextAnalyticsQueries.queries, TextAnalyticsQueries.oracle),
       (VectorQueries.queries, VectorQueries.oracle),
-      (DedupQueries.queries, DedupQueries.oracle))
+      (DedupQueries.queries, DedupQueries.oracle),
+      (GraphQueries.queries, GraphQueries.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,100 @@
+package graft.operators.clustering
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end graph construction (E1 tail, SURVEY.md §3): feature
+  * scaling (O-50) → distributed KMeans micro-clustering (O-51) → driver
+  * Ward over collected centroids (O-52) → rebalance (O-53) → flattened
+  * D6 tables with deterministic ids and materialized paths.
+  *
+  * Scale shape — identical to the reference's own design
+  * (graph_creator.py:179-194): the ONLY driver-side data are the ≤800
+  * micro-cluster centroids (bounded by `maxMicro`, not by input size)
+  * and the per-dim scaling stats (bounded by dimensionality). Membership
+  * never leaves the cluster: the movie→leaf assignment is a broadcast
+  * join of the KMeans label column against the ≤800-row cluster→leaf
+  * map.
+  */
+object GraphBuild {
+
+  final case class GraphTables(graph: DataFrame, movies: DataFrame)
+
+  /** O-50 z-score with population σ (sklearn ddof=0, graph_creator.py:114)
+    * over an ARRAY<FLOAT/DOUBLE> feature column. Stats are a per-dim
+    * aggregate (64 rows for 64 dims — independent of row count) collected
+    * into literal arrays, then applied as one codegen'd zip_with chain.
+    */
+  def scaleFeatures(df: DataFrame, arrCol: String): Column = {
+    val stats = df.select(posexplode(col(arrCol)))
+      .groupBy("pos")
+      .agg(avg(col("col").cast("double")).as("mu"),
+        stddev_pop(col("col").cast("double")).as("sigma"))
+      .orderBy("pos").collect()
+    val mus = array(stats.map(r => lit(r.getDouble(1))).toSeq: _*)
+    val sigmas = array(stats.map { r =>
+      val s = r.getDouble(2); lit(if (s == 0.0) 1.0 else s)
+    }.toSeq: _*)
+    zip_with(
+      zip_with(transform(col(arrCol), x => x.cast("double")), mus, (x, m) => x - m),
+      sigmas, (x, s) => x / s)
+  }
+
+  /** O-51: k = min(maxMicro, max(100, n/50)) like settings.py:113-121,
+    * clamped to n; seed 42 (graph_creator.py:183). Returns per-row
+    * cluster labels and the k×dim centroid matrix.
+    */
+  def microCluster(features: DataFrame, idCol: String, featCol: String,
+      maxMicro: Int = 800): (DataFrame, Array[Array[Double]]) = {
+    val n = features.count()
+    val k = math.max(2, math.min(n, math.min(maxMicro, math.max(100, n / 50))).toInt)
+    val vecs = features.withColumn("_fv", array_to_vector(col(featCol)))
+    val model = new KMeans().setK(k).setSeed(42)
+      .setFeaturesCol("_fv").setPredictionCol("cluster").fit(vecs)
+    val labels = model.transform(vecs)
+      .select(col(idCol), col("cluster").cast("int").as("cluster"))
+    (labels, model.clusterCenters.map(_.toArray))
+  }
+
+  /** Full build over an (id, ARRAY<FLOAT>) frame → D6 graph + movie
+    * assignment tables.
+    */
+  def build(emb: DataFrame, idCol: String, arrCol: String,
+      maxMicro: Int = 800, maxDepth: Int = 5, maxFanout: Int = 8): GraphTables = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+
+    val scaled = emb.select(col(idCol), scaleFeatures(emb, arrCol).as("scaled"))
+    val (labels, centers) = microCluster(scaled, idCol, "scaled", maxMicro)
+
+    val sizes = labels.groupBy("cluster").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val dendro = Ward.linkage(centers)
+    val tree = TreeOps.rebalance(
+      TreeOps.fromDendro(dendro, sizes), maxDepth = maxDepth, maxFanout = maxFanout)
+    val (rows, assign) = TreeOps.flatten(tree)
+
+    val graph = rows.toDF()
+      .select(col("id"), col("path"), col("name"), col("tpe").as("type"),
+        col("children_count"), col("depth"), col("count"), col("distance"))
+    val assignDF = assign.toSeq.toDF("cluster", "graph_id")
+    val movies = labels.join(broadcast(assignDF), Seq("cluster"))
+      .select(col(idCol).as("movie_id"), col("graph_id"))
+    GraphTables(graph, movies)
+  }
+
+  /** E2 serving (graph_repo.py:92-135): immediate children of a node via
+    * the ltree `path ~ 'p.*{1}'` equivalent — prefix + depth predicates,
+    * both pushable string filters.
+    */
+  def childrenOf(graph: DataFrame, nodeId: Long): DataFrame = {
+    val parent = graph.filter(col("id") === nodeId)
+      .select(col("path").as("ppath"), col("depth").as("pdepth"))
+    graph.join(broadcast(parent),
+        col("path").startsWith(concat(col("ppath"), lit("."))) &&
+          col("depth") === col("pdepth") + 1)
+      .select("id", "path", "name", "type", "children_count", "count")
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators.clustering
+
+/** Cluster-tree conversion, rebalance (O-53), and relational flattening —
+  * the driver-local tree rewrites of clustering/graph_creator.py:162-281
+  * and the deterministic replacement for the reference's DB-serial id
+  * scheme (db/repositories/graph_repo.py:75-84).
+  */
+object TreeOps {
+
+  /** The dict-tree of graph_creator.py:215-234: type ∈ {node, leaf},
+    * member micro-cluster ids, movie count, merge distance, children.
+    */
+  final case class TNode(
+      tpe: String,
+      clusters: Seq[Int],
+      count: Long,
+      distance: Double,
+      children: Seq[TNode])
+
+  /** `_convert_tree` (graph_creator.py:211-234): dendrogram → dict tree;
+    * leaves carry their micro-cluster members; node counts roll up.
+    */
+  def fromDendro(d: Ward.Dendro, clusterSizes: Map[Int, Long]): TNode = d match {
+    case Ward.Leaf(id) =>
+      TNode("leaf", Seq(id), clusterSizes.getOrElse(id, 0L), 0.0, Nil)
+    case Ward.Merge(l, r, dist, _) =>
+      val lc = fromDendro(l, clusterSizes)
+      val rc = fromDendro(r, clusterSizes)
+      TNode("node", lc.clusters ++ rc.clusters, lc.count + rc.count, dist, Seq(lc, rc))
+  }
+
+  /** `_rebalance_tree` (graph_creator.py:237-281), semantics preserved:
+    *  - at depth ≥ maxDepth (or no children) the node becomes a leaf;
+    *  - children are rebalanced first (bottom-up);
+    *  - while fanout < maxFanout, a child NODE whose
+    *    distance/parent.distance ratio exceeds `ratio` is dissolved into
+    *    its children (one sweep per iteration, repeat until no change).
+    */
+  def rebalance(node: TNode, depth: Int = 0, maxDepth: Int = 5,
+      maxFanout: Int = 8, ratio: Double = 0.65): TNode = {
+    if (node.children.isEmpty || depth >= maxDepth)
+      return node.copy(tpe = "leaf", children = Nil)
+
+    var children = node.children.map(rebalance(_, depth + 1, maxDepth, maxFanout, ratio))
+    var changed = true
+    while (changed && children.size < maxFanout) {
+      changed = false
+      children = children.flatMap { child =>
+        if (child.tpe == "node" &&
+            child.distance / (node.distance + 1e-9) > ratio) {
+          changed = true
+          child.children
+        } else Seq(child)
+      }
+    }
+    node.copy(children = children)
+  }
+
+  /** One flattened graph row (D6 `graph` table, SURVEY.md §1). */
+  final case class GraphRow(
+      id: Long, path: String, name: String, tpe: String,
+      children_count: Int, depth: Int, count: Long, distance: Double)
+
+  /** DFS-preorder flattening with deterministic ids: root = 1, children
+    * numbered in traversal order — replaces the reference's two-phase
+    * "flush for a serial id, then fix the path" trick (graph_repo.py:75-84)
+    * with reproducible arithmetic. Node names use the reference's
+    * deterministic fallback scheme `{parent}_Subgroup_{i}`
+    * (clustering/utils.py:130); the root is 'All movies'
+    * (graph_repo.py:40-44).
+    *
+    * Returns (graph rows, micro-cluster → owning-leaf-node id).
+    */
+  def flatten(root: TNode): (Seq[GraphRow], Map[Int, Long]) = {
+    val rows = Seq.newBuilder[GraphRow]
+    val assign = Map.newBuilder[Int, Long]
+    var nextId = 0L
+
+    def walk(n: TNode, parentPath: String, name: String, depth: Int): Unit = {
+      nextId += 1
+      val id = nextId
+      val path = if (parentPath.isEmpty) "root" else s"$parentPath.$id"
+      rows += GraphRow(id, path, name, if (n.children.isEmpty) "leaf" else n.tpe,
+        n.children.size, depth, n.count, n.distance)
+      if (n.children.isEmpty) n.clusters.foreach(c => assign += c -> id)
+      n.children.zipWithIndex.foreach { case (c, i) =>
+        walk(c, path, s"${name.replace(' ', '_')}_Subgroup_${i + 1}", depth + 1)
+      }
+    }
+    walk(root, "", "All movies", 0)
+    (rows.result(), assign.result())
+  }
+}

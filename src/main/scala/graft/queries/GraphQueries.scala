@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.clustering.GraphBuild
+
+/** Graph-layer pack: deterministic D6 table generation + the two serving
+  * queries E2/E3 (oracle-checked), and the real KMeans→Ward→rebalance
+  * build (O-51..O-53; seeded-but-not-bit-exact ML, so declared rows-only
+  * per SURVEY.md §5.4 and invariant-tested in ScalaTest instead).
+  */
+object GraphQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** O-7 id/path generation: the deterministic replacement for DB serial
+    * ids (graph_repo.py:75-84) — ids from key arithmetic, materialized
+    * paths from parent concatenation, children_count aggregated in-engine.
+    * Built over region→nation so the oracle can replay it exactly.
+    */
+  private val o07: Q = (s, d) => {
+    val region = Tables.region(s, d)
+    val nation = Tables.nation(s, d)
+    val root = region.agg(count(lit(1)).as("cc")).select(
+      lit(1L).as("id"), lit("root").as("path"), lit("All movies").as("name"),
+      lit("node").as("type"), col("cc").cast("int").as("children_count"),
+      lit(0L).as("depth"))
+    val perRegion = nation.groupBy("n_regionkey").agg(count(lit(1)).as("cc"))
+    val regions = region.join(perRegion, col("r_regionkey") === col("n_regionkey"), "left")
+      .select((col("r_regionkey") + 2).cast("long").as("id"),
+        concat(lit("root."), (col("r_regionkey") + 2).cast("string")).as("path"),
+        col("r_name").as("name"), lit("node").as("type"),
+        coalesce(col("cc"), lit(0L)).cast("int").as("children_count"),
+        lit(1L).as("depth"))
+    val nations = nation.select((col("n_nationkey") + 7).cast("long").as("id"),
+      concat(lit("root."), (col("n_regionkey") + 2).cast("string"),
+        lit("."), (col("n_nationkey") + 7).cast("string")).as("path"),
+      col("n_name").as("name"), lit("leaf").as("type"),
+      lit(0).as("children_count"), lit(2L).as("depth"))
+    root.unionAll(regions).unionAll(nations)
+  }
+
+  private val o07Sql: String =
+    """(SELECT 1 AS id, 'root' AS path, 'All movies' AS name, 'node' AS type,
+      |        CAST((SELECT count(*) FROM region) AS INT) AS children_count, 0 AS depth
+      | UNION ALL
+      | SELECT r_regionkey + 2 AS id, 'root.' || CAST(r_regionkey + 2 AS VARCHAR) AS path,
+      |        r_name AS name, 'node' AS type,
+      |        CAST(coalesce((SELECT count(*) FROM nation n WHERE n.n_regionkey = r.r_regionkey), 0) AS INT) AS children_count,
+      |        1 AS depth
+      | FROM region r
+      | UNION ALL
+      | SELECT n_nationkey + 7 AS id,
+      |        'root.' || CAST(n_regionkey + 2 AS VARCHAR) || '.' || CAST(n_nationkey + 7 AS VARCHAR) AS path,
+      |        n_name AS name, 'leaf' AS type, 0 AS children_count, 2 AS depth
+      | FROM nation)""".stripMargin
+
+  /** O-8 point scan: `SELECT ... WHERE id = ?` with the predicate pushed
+    * to the parquet scan (graph_repo.py:108,193-198).
+    */
+  private val o08: Q = (s, d) =>
+    Tables.documents(s, d).filter(col("doc_id") === 42)
+      .select("doc_id", "lang", "source", "n_chars")
+
+  /** E2: immediate children of a node on the generated graph — the
+    * `path ~ 'root.3.*{1}'` ltree match as prefix+depth (api/api.py:35-59).
+    */
+  private val e2: Q = (s, d) =>
+    GraphBuild.childrenOf(
+      o07(s, d).withColumn("count", lit(0L)), nodeId = 3L)
+      .drop("count")
+
+  /** E3: movie + its embedding windows (api/api.py:62-74;
+    * graph_repo.py:183-199) — point filter, broadcast 1:N join, vectors
+    * exploded to rows so the oracle hash-compares scalars.
+    */
+  private val e3: Q = (s, d) =>
+    Tables.documents(s, d).filter(col("doc_id") < 10)
+      .select(col("doc_id"), col("source"))
+      .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("source"), posexplode(col("embedding")))
+      .select(col("doc_id"), col("source"), (col("pos") + 1).cast("long").as("dim"),
+        round(col("col").cast("double"), 6).as("x"))
+
+  /** O-51 micro-cluster labels (rows-only: MLlib KMeans is seeded but not
+    * bit-identical to any oracle).
+    */
+  private val o51: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val scaled = emb.select(col("vec_id"),
+      GraphBuild.scaleFeatures(emb, "embedding").as("scaled"))
+    GraphBuild.microCluster(scaled, "vec_id", "scaled")._1
+  }
+
+  /** O-52+O-53: the full KMeans→Ward→rebalance→flatten build (rows-only;
+    * invariants — depth ≤ 5, member conservation, rollup counts — are
+    * asserted in ScalaTest).
+    */
+  private val build: Q = (s, d) =>
+    GraphBuild.build(Tables.embeddings(s, d), "vec_id", "embedding").graph
+
+  /** E2 on the REAL built tree (rows-only): children of the root. */
+  private val buildChildren: Q = (s, d) =>
+    GraphBuild.childrenOf(
+      GraphBuild.build(Tables.embeddings(s, d), "vec_id", "embedding").graph, 1L)
+
+  val queries: Map[String, Q] = Map(
+    "o07_graph_ids" -> o07,
+    "o08_point_lookup" -> o08,
+    "q_serve_children_e2" -> e2,
+    "q_serve_movie_e3" -> e3,
+    "o51_kmeans" -> o51,
+    "q_graph_build" -> build,
+    "q_graph_children" -> buildChildren)
+
+  val oracle: Map[String, String] = Map(
+    "o07_graph_ids" -> s"SELECT * FROM $o07Sql",
+    "o08_point_lookup" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",
+    "q_serve_children_e2" ->
+      s"""SELECT g.id, g.path, g.name, g.type, g.children_count
+         |FROM $o07Sql g,
+         |     (SELECT path AS ppath, depth AS pdepth FROM $o07Sql WHERE id = 3) p
+         |WHERE g.path LIKE p.ppath || '.%' AND g.depth = p.pdepth + 1""".stripMargin,
+    "q_serve_movie_e3" ->
+      """SELECT doc_id, source, dim, round(x, 6) AS x FROM (
+        |  SELECT d.doc_id, d.source,
+        |         unnest(generate_series(1, len(e.embedding))) AS dim,
+        |         unnest(list_transform(e.embedding, v -> CAST(v AS DOUBLE))) AS x
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |  WHERE d.doc_id < 10)""".stripMargin)
+    // o51_kmeans / q_graph_build / q_graph_children: intentionally no
+    // oracle → driver records the weaker rows-only check (SURVEY §5.4).
+}
