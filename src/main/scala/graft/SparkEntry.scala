@@ -20,7 +20,8 @@ object SparkEntry {
       (TextAnalyticsQueries.queries, TextAnalyticsQueries.oracle),
       (VectorQueries.queries, VectorQueries.oracle),
       (DedupQueries.queries, DedupQueries.oracle),
-      (GraphQueries.queries, GraphQueries.oracle))
+      (GraphQueries.queries, GraphQueries.oracle),
+      (IoQueries.queries, IoQueries.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,153 @@
+package graft.queries
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.graphx.{Edge, Graph => XGraph}
+
+import graft.Tables
+import graft.operators.{Chunker, Inference}
+import graft.sources.TextFiles
+import graft.streaming.StreamingTwins
+
+/** Sources, sinks, streaming twins, multimodal plumbing, inference, and
+  * the GraphX north star — the remaining §2.1/§2.9 surface as declared
+  * queries.
+  */
+object IoQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** O-2 + O-5 + O-26⁻¹: text-sink documents to per-doc files, wholetext
+    * them back, recover the key from the filename. Oracle checks the
+    * round trip is lossless (doc_id, source, byte-exact text length).
+    */
+  private val wholefile: Q = (s, d) =>
+    TextFiles.roundTrip(s, d)
+      .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("len"))
+
+  /** O-3 + O-4: CSV sink (header) then schema'd CSV scan, aggregated so
+    * the oracle proves values survived the text round trip.
+    */
+  private val csv: Q = (s, d) => {
+    val out = Paths.get(sys.props("java.io.tmpdir"),
+      "graft_csv_" + d.replaceAll("[^a-zA-Z0-9.]", "_")).toString
+    Tables.events(s, d).select("event_id", "event_type", "value")
+      .write.mode("overwrite").option("header", "true").csv(out)
+    s.read.option("header", "true")
+      .schema("event_id LONG, event_type STRING, value DOUBLE")
+      .csv(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+  }
+
+  /** O-6 JSON tree sink: the nested region→nation tree serialized with
+    * to_json — one JSON document per region, children collected in
+    * nationkey order (the reference's unbalanced.json/balanced.json dump,
+    * graph_creator.py:198-204).
+    */
+  private val jsonTree: Q = (s, d) =>
+    Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_regionkey").cast("long").as("region_id"), col("r_name"))
+      .agg(sort_array(collect_list(struct(
+        col("n_nationkey").cast("long").as("id"),
+        col("n_name").as("name")))).as("children"))
+      .select(col("region_id"),
+        to_json(struct(col("r_name").as("name"), col("children"))).as("tree_json"))
+
+  /** Streaming twins — share the batch oracles (results must be equal). */
+  private val streamHourly: Q = (s, d) => StreamingTwins.hourlyAgg(s, d)
+  private val streamDedup: Q = (s, d) => StreamingTwins.dedupUsers(s, d)
+
+  /** O-55: windowed text → per-partition model handle → emotion probs.
+    * Rows-only (the stub model is deterministic but not SQL); invariants
+    * (prob sum = 1, determinism) are ScalaTest'd.
+    */
+  private val infer: Q = (s, d) =>
+    Inference.scoreWindows(
+      Chunker.slidingTokenWindows(Tables.documents(s, d), "text", 48, 24, Seq("doc_id"))
+        .select("doc_id", "window_id", "win"),
+      "win")
+
+  /** Multimodal plumbing: opaque binary payload + typed metadata +
+    * deterministic "decode" features (byte length, content hash, head
+    * bytes) — the schema/partitioning/batch shape of an image/audio
+    * pipeline with the codec swapped for a deterministic stand-in (the
+    * real decode lives behind [[Inference.StubModel]]-style partition
+    * handles; codec libs aren't in this container).
+    */
+  private val multimodal: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        struct(col("lang"), col("source")).as("meta"))
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("content_md5"),
+        hex(substring(col("payload"), 1, 8)).as("head_hex"),
+        col("meta.lang").as("lang"))
+
+  /** GraphX north star: the o07 tree as Graph[VD,ED], depth computed by
+    * Pregel (min-over-parents wave from the root) and oracle-checked
+    * against the materialized-path depth.
+    */
+  private val graphxDepth: Q = (s, d) => {
+    import s.implicits._
+    val g = GraphQueries.queries("o07_graph_ids")(s, d)
+      .select(col("id"), col("path"), col("depth"))
+    val edges = g.filter(col("id") =!= 1)
+      .select(
+        coalesce(
+          when(size(split(col("path"), "\\.")) === 2, lit(1L)),
+          expr("try_element_at(split(path, '\\\\.'), -2)").cast("long")).as("src"),
+        col("id").as("dst"))
+    val vertexRDD = g.select("id").as[Long].rdd.map(id => (id, if (id == 1L) 0 else Int.MaxValue))
+    val edgeRDD = edges.as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, 1) }
+    val graph = XGraph(vertexRDD, edgeRDD, Int.MaxValue)
+    val res = graph.pregel(Int.MaxValue, maxIterations = 10)(
+      (_, attr, msg) => math.min(attr, msg),
+      t => if (t.srcAttr != Int.MaxValue) Iterator((t.dstId, t.srcAttr + 1)) else Iterator.empty,
+      math.min)
+    res.vertices.toDF("id", "depth_pregel")
+      .select(col("id"), col("depth_pregel").cast("long").as("depth_pregel"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "o02_wholefile_roundtrip" -> wholefile,
+    "o03_csv_roundtrip" -> csv,
+    "o06_json_tree" -> jsonTree,
+    "q_stream_hourly" -> streamHourly,
+    "q_stream_dedup" -> streamDedup,
+    "o55_nn_inference" -> infer,
+    "q_multimodal_meta" -> multimodal,
+    "q_graphx_depth" -> graphxDepth)
+
+  val oracle: Map[String, String] = Map(
+    "o02_wholefile_roundtrip" ->
+      "SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len FROM documents",
+    "o03_csv_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "o06_json_tree" ->
+      """SELECT region_id, to_json({'name': r_name, 'children': children}) AS tree_json
+        |FROM (
+        |  SELECT CAST(r_regionkey AS BIGINT) AS region_id, r_name,
+        |         list_sort(list({'id': CAST(n_nationkey AS BIGINT), 'name': n_name})) AS children
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_regionkey, r_name)""".stripMargin,
+    "q_stream_hourly" -> RelationalQueries.oracle("q_hourly_agg"),
+    "q_stream_dedup" -> "SELECT DISTINCT user_id FROM events",
+    "q_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       md5(text) AS content_md5,
+        |       hex(encode(substr(text, 1, 8))) AS head_hex, lang
+        |FROM documents""".stripMargin,
+    "q_graphx_depth" -> {
+      val o07Sql = GraphQueries.oracle("o07_graph_ids")
+      s"SELECT id, CAST(len(string_split(path, '.')) - 1 AS BIGINT) AS depth_pregel FROM ($o07Sql)"
+    })
+    // o55_nn_inference: rows-only (deterministic stub model, not SQL).
+}

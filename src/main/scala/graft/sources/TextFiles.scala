@@ -1,0 +1,61 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Whole-file text source + text sink (O-2, O-5; SURVEY.md §2.1).
+  *
+  * The reference reads one `Title_Year.txt` per movie with the key
+  * encoded in the filename (emotion_analysis/model.py:189-215,
+  * scraping/scraper.py:137-153) and writes cleaned text back the same
+  * way (preprocessing_agent.py:326-331). The Spark shape:
+  * `spark.read.option("wholetext", true).text(dir)` + `input_file_name()`
+  * parsed with `regexp_extract` — one task per file, no shuffle, scales
+  * with file count.
+  */
+object TextFiles {
+
+  /** O-5 text sink: one `doc_<id>__<source>.txt` per row, written from
+    * the executors via foreachPartition (the per-movie file layout the
+    * reference uses; engine-internal bulk data would be parquet).
+    */
+  def writeTextFiles(df: DataFrame, idCol: String, keyCol: String,
+      textCol: String, outDir: String): Unit = {
+    Files.createDirectories(Paths.get(outDir))
+    df.select(col(idCol).cast("string"), col(keyCol), col(textCol))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          val p = Paths.get(outDir, s"doc_${r.getString(0)}__${r.getString(1)}.txt")
+          Files.write(p, r.getString(2).getBytes(StandardCharsets.UTF_8))
+        }
+      }
+  }
+
+  /** O-2 whole-file scan: each file is ONE row; the filename key is
+    * recovered with regexp_extract on input_file_name (O-26's inverse
+    * split, graph_creator.py:292-302).
+    */
+  def readWholeFiles(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("wholetext", "true").text(dir)
+      .withColumn("_file", input_file_name())
+      .select(
+        regexp_extract(col("_file"), "doc_(\\d+)__([^/]+)\\.txt$", 1)
+          .cast("long").as("doc_id"),
+        regexp_extract(col("_file"), "doc_(\\d+)__([^/]+)\\.txt$", 2).as("source"),
+        col("value").as("text"))
+
+  /** Round-trip helper for the declared query: sink documents to a
+    * scratch dir once, read them back whole. The scratch dir is keyed by
+    * the input dir so sf0.001/sf0.01 runs don't collide.
+    */
+  def roundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val out: Path = Paths.get(sys.props("java.io.tmpdir"),
+      "graft_wholefile_" + sfDir.replaceAll("[^a-zA-Z0-9.]", "_"))
+    writeTextFiles(docs, "doc_id", "source", "text", out.toString)
+    readWholeFiles(spark, out.toString)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming twins (SURVEY.md §2.9) of the batch event
+  * queries: the same parquet data replayed through `readStream` with
+  * `Trigger.AvailableNow`, so batch and stream results must be
+  * hash-identical — which is exactly how they are oracle-checked (the
+  * stream queries share the batch oracles).
+  *
+  * Scale: file-source micro-batches + watermarked state are the standard
+  * unbounded-ingest shape; `AvailableNow` drains the backlog with
+  * bounded state and exits, the production pattern for catch-up runs.
+  */
+object StreamingTwins {
+
+  private val runId = new AtomicInteger(0)
+
+  /** Runs a streaming frame to completion into a uniquely-named memory
+    * sink and returns the materialized table.
+    */
+  private def runToTable(df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // The file source needs a DIRECTORY; select just the events file via
+    // a glob filter (a real deployment would point at an arrival dir).
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+  }
+
+  /** Streaming twin of q_hourly_agg: event-time watermark + tumbling
+    * hour buckets (same floor-div arithmetic as the batch query), run in
+    * complete mode so the final state equals the batch aggregate.
+    */
+  def hourlyAgg(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withColumn("event_time", (col("ts") / lit(1000000000L)).cast("timestamp"))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(
+        (((col("ts") - pmod(col("ts"), lit(3600000000000L))) / 3600000000000L)
+          .cast("long") * 3600L).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+    runToTable(agg, "complete")
+  }
+
+  /** Streaming stateful dedup (dropDuplicates state store), projected to
+    * the key set so the result is order-independent and oracle-checkable
+    * as `SELECT DISTINCT user_id`.
+    */
+  def dedupUsers(spark: SparkSession, dir: String): DataFrame =
+    runToTable(
+      eventsStream(spark, dir).select(col("user_id")).dropDuplicates("user_id"),
+      "append")
+}

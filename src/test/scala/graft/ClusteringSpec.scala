@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.clustering.{GraphBuild, TreeOps, Ward}
+
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ward merges tight blobs before joining them") {
+    val pts = Array(
+      Array(0.0, 0.0), Array(0.1, 0.0),    // blob A
+      Array(10.0, 10.0), Array(10.1, 10.0)) // blob B
+    val root = Ward.linkage(pts).asInstanceOf[Ward.Merge]
+    val sides = Seq(root.left.leaves.toSet, root.right.leaves.toSet)
+    assert(sides.contains(Set(0, 1)) && sides.contains(Set(2, 3)))
+    assert(root.dist > root.left.dist && root.dist > root.right.dist,
+      "merge heights must be monotone")
+  }
+
+  test("singleton ward distance equals euclidean (scipy init)") {
+    val root = Ward.linkage(Array(Array(0.0, 0.0), Array(3.0, 4.0)))
+    assert(math.abs(root.dist - 5.0) < 1e-12)
+  }
+
+  test("fromDendro conserves member counts") {
+    val root = Ward.linkage(Array(Array(0.0), Array(1.0), Array(10.0)))
+    val t = TreeOps.fromDendro(root, Map(0 -> 5L, 1 -> 7L, 2 -> 11L))
+    assert(t.count == 23L)
+    assert(t.clusters.toSet == Set(0, 1, 2))
+  }
+
+  test("rebalance: depth cap turns nodes into leaves; dissolution respects ratio") {
+    // chain: root(d=1.0) -> n1(d=0.9) -> n2(d=0.2) -> leaves
+    val lf = (i: Int) => TreeOps.TNode("leaf", Seq(i), 1, 0.0, Nil)
+    val n2 = TreeOps.TNode("node", Seq(0, 1), 2, 0.2, Seq(lf(0), lf(1)))
+    val n1 = TreeOps.TNode("node", Seq(0, 1, 2), 3, 0.9, Seq(n2, lf(2)))
+    val root = TreeOps.TNode("node", Seq(0, 1, 2, 3), 4, 1.0, Seq(n1, lf(3)))
+    val r = TreeOps.rebalance(root)
+    // n1 (0.9/1.0 > 0.65) dissolves into root; n2 (0.2/1.0 < 0.65) survives
+    assert(r.children.exists(_.clusters == Seq(0, 1)), "n2 should survive")
+    assert(!r.children.exists(_.clusters == Seq(0, 1, 2)), "n1 should dissolve")
+    assert(r.count == 4)
+
+    def maxDepth(n: TreeOps.TNode, d: Int = 0): Int =
+      if (n.children.isEmpty) d else n.children.map(maxDepth(_, d + 1)).max
+    // a 10-deep chain gets capped at 5
+    val deep = (1 to 10).foldLeft(lf(0)) { (child, i) =>
+      TreeOps.TNode("node", child.clusters, child.count, 0.01 * i, Seq(child))
+    }
+    assert(maxDepth(TreeOps.rebalance(deep)) <= 5)
+  }
+
+  test("flatten: DFS ids, parent-prefixed paths, full assignment") {
+    val lf = (i: Int) => TreeOps.TNode("leaf", Seq(i), 2, 0.0, Nil)
+    val root = TreeOps.TNode("node", Seq(0, 1, 2), 6, 1.0,
+      Seq(lf(0), TreeOps.TNode("node", Seq(1, 2), 4, 0.5, Seq(lf(1), lf(2)))))
+    val (rows, assign) = TreeOps.flatten(root)
+    assert(rows.map(_.id) == Seq(1L, 2L, 3L, 4L, 5L), "DFS preorder ids")
+    assert(rows.head.path == "root" && rows.head.name == "All movies")
+    rows.tail.foreach { r =>
+      val parentPath = r.path.substring(0, r.path.lastIndexOf('.'))
+      assert(rows.exists(_.path == parentPath), s"dangling path ${r.path}")
+    }
+    assert(assign.keySet == Set(0, 1, 2), "every micro-cluster assigned")
+  }
+
+  test("end-to-end build invariants on separable blobs (SURVEY §5.4)") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 120).map { i =>
+      val center = (i % 3) * 10.0
+      (i.toLong, Array.fill(8)((center + rnd.nextGaussian()).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val t = GraphBuild.build(df, "vec_id", "embedding", maxMicro = 20)
+    val g = t.graph.collect()
+    val root = g.find(_.getAs[Long]("id") == 1L).get
+    assert(root.getAs[Long]("count") == 120L, "root count = all members")
+    assert(g.map(_.getAs[Int]("depth")).max <= 5, "depth cap")
+    val leafSum = g.filter(_.getAs[String]("type") == "leaf")
+      .map(_.getAs[Long]("count")).sum
+    assert(leafSum == 120L, "leaves partition the members")
+    assert(t.movies.count() == 120L, "every movie assigned to a leaf")
+    assert(t.movies.select("movie_id").distinct().count() == 120L)
+    // E2 serving returns exactly the root's children
+    val kids = GraphBuild.childrenOf(t.graph, 1L).collect()
+    assert(kids.length == root.getAs[Int]("children_count"))
+  }
+}

@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (one JVM, forked by sbt). */
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSpec.session
+
+  /** Evaluate a scalar Column on a single-row frame. */
+  def evalStr(c: Column): String =
+    spark.range(1).select(c.as("v")).head().getString(0)
+}
+
+object SparkSpec {
+  lazy val session: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-tests")
+    .getOrCreate()
+}
