@@ -52,10 +52,16 @@ object ActFeatures {
       .filter(col("_cnt") >= lit(numActs))
       .withColumn("_act", ntile(numActs).over(ordered))
 
+    // Act means as exact decimal sums / non-null counts, then ONE IEEE
+    // double division before rounding: plain double avg() partial-agg
+    // order differs between engines and can flip the rounded hash on a
+    // .xxxx5 boundary (inputs are exact at <= 4 decimal places).
     val actCols: Seq[Column] = for {
       m <- metrics
       a <- 1 to numActs
-    } yield round(avg(when(col("_act") === a, col(m))), roundTo)
+    } yield round(
+      sum(when(col("_act") === a, col(m)).cast("decimal(18,4)")).cast("double") /
+        count(when(col("_act") === a, lit(1))), roundTo)
       .as(s"${m}_act$a")
     val stdCols: Seq[Column] = metrics.map { m =>
       // groups have >= numActs >= 2 rows, so stddev_samp is never NaN
@@ -76,7 +82,8 @@ object ActFeatures {
     val actCols = for {
       m <- metrics
       a <- 1 to numActs
-    } yield s"round(avg(CASE WHEN _act = $a THEN $m END), $roundTo) AS ${m}_act$a"
+    } yield s"round(CAST(sum(CAST(CASE WHEN _act = $a THEN $m END AS DECIMAL(18,4))) AS DOUBLE)" +
+      s" / count(CASE WHEN _act = $a THEN 1 END), $roundTo) AS ${m}_act$a"
     val stdCols = metrics.map(m => s"round(stddev_samp($m), $roundTo) AS ${m}_std")
     val sel = (actCols ++ stdCols).mkString(", ")
     s"""WITH _acts AS (

@@ -80,8 +80,12 @@ object DedupQueries {
       struct(lit(b.toLong).as("band"),
         md5(concat_ws("|", array_sort(array(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))))
           .as("bkey")))
+    // persisted: the band table feeds BOTH sides of the self-join, and
+    // its lineage (shingle generation + 8-way min agg) is the expensive
+    // part — without this Spark recomputes it per side.
     val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .persist()
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -90,20 +94,21 @@ object DedupQueries {
   }
 
   // ---- SimHash: 16-bit signature from md5 hex-digit parity ----
+  // All 16 bit-sums are separate aggregates over ONE pass of the token
+  // table (map-side combined) — exploding a bit-index column would
+  // multiply the shuffle ×16 for no reason.
   private val simhash: Q = (s, d) => {
     val t = Tables.documents(s, d).select(
       col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-    val bits = t
-      .withColumn("j", explode(sequence(lit(0L), lit(15L))))
-      .withColumn("digit", md5(col("tok")).substr(col("j") + 1, lit(1)))
-      .withColumn("sign",
-        when(pmod(expr("instr('0123456789abcdef', digit)") - 1, lit(2)) === 1, 1L)
-          .otherwise(-1L))
-      .groupBy("doc_id", "j").agg(sum("sign").as("s"))
-    bits
-      .withColumn("bitval",
-        when(col("s") > 0, expr("CAST(pow(2, j) AS BIGINT)")).otherwise(0L))
-      .groupBy("doc_id").agg(sum("bitval").as("simhash"))
+      .withColumn("h", md5(col("tok")))
+    def sign(j: Int) =
+      when(pmod(expr(s"instr('0123456789abcdef', substring(h, ${j + 1}, 1))") - 1,
+        lit(2)) === 1, 1L).otherwise(-1L)
+    val sums = (0 to 15).map(j => sum(sign(j)).as(s"s$j"))
+    t.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 to 15).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   // ---- n-gram Jaccard via shingle inverted-index join ----
@@ -116,10 +121,14 @@ object DedupQueries {
   private val DfCap = 10
 
   private val jaccard: Q = (s, d) => {
-    val all = shingles(corpus(s, d))
+    // persisted: the shingle table is consumed 3× (df stats, both sides
+    // of the inverted-index self-join) and its generation (explode +
+    // 3-gram construction) dominates the query — the .explain without
+    // the persist shows SIX full recomputes of the Generate subtree.
+    val all = shingles(corpus(s, d)).persist()
     val rare = all.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select("sh")
-    val sh = all.join(rare, Seq("sh"))
+    val sh = all.join(rare, Seq("sh")).persist()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val shared = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -150,6 +159,7 @@ object DedupQueries {
     val all = base.unionAll(mut)
       .withColumn("nrm", norm2(col("e")))
       .withColumn("bucket", bucket)
+      .persist() // both sides of the self-join; avoids recomputing norms
     all.as("a").join(all.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

@@ -126,7 +126,7 @@ object IoQueries {
 
   val oracle: Map[String, String] = Map(
     "o02_wholefile_roundtrip" ->
-      "SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len FROM documents",
+      "SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len FROM documents WHERE doc_id < 500",
     "o03_csv_roundtrip" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value

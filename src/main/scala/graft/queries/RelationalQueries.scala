@@ -85,7 +85,8 @@ object RelationalQueries {
   private val o34: Q = (s, d) =>
     Tables.lineitem(s, d).groupBy("l_returnflag", "l_linestatus").agg(
       sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
-      round(avg("l_quantity"), 4).as("avg_qty"),
+      round(sum(col("l_quantity").cast("decimal(18,4)")).cast("double") / count(lit(1)), 4)
+        .as("avg_qty"),
       sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
         .cast("double").as("revenue"),
       count(lit(1)).as("n"))
@@ -97,12 +98,18 @@ object RelationalQueries {
       round(stddev_pop("l_quantity"), 4).as("stdp_qty"),
       count(lit(1)).as("n"))
 
-  /** O-36 global mean vector (root centroid, graph_creator.py:389). */
-  private val o36: Q = (s, d) =>
+  /** O-36 global mean vector (root centroid, graph_creator.py:389).
+    * Means via exact decimal sums + one IEEE division (o34/o48
+    * convention) so partial-agg order can't flip the rounded hash.
+    */
+  private val o36: Q = (s, d) => {
+    def decAvg(c: String) =
+      round(sum(col(c).cast("decimal(18,4)")).cast("double") / count(lit(1)), 4)
     Tables.lineitem(s, d).agg(
-      round(avg("l_quantity"), 4).as("avg_qty"),
-      round(avg("l_discount"), 4).as("avg_disc"),
-      round(avg("l_tax"), 4).as("avg_tax"))
+      decAvg("l_quantity").as("avg_qty"),
+      decAvg("l_discount").as("avg_disc"),
+      decAvg("l_tax").as("avg_tax"))
+  }
 
   /** O-38 count per node (graph_creator.py:222,231). */
   private val o38: Q = (s, d) =>
@@ -146,7 +153,8 @@ object RelationalQueries {
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name").agg(
         count(lit(1)).as("n_cust"),
-        round(avg("c_acctbal"), 4).as("avg_bal"))
+        round(sum(col("c_acctbal").cast("decimal(18,4)")).cast("double") / count(lit(1)), 4)
+          .as("avg_bal"))
 
   /** O-45 positional (zip-with-index) join (graph_creator.py:187-189).
     * Global ordinals on both sides via the scale-safe two-pass pattern
@@ -357,7 +365,7 @@ object RelationalQueries {
     "o34_group_mean" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
         |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |       count(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
@@ -366,8 +374,10 @@ object RelationalQueries {
         |       round(stddev_pop(l_quantity), 4) AS stdp_qty, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "o36_global_mean" ->
-      """SELECT round(avg(l_quantity), 4) AS avg_qty, round(avg(l_discount), 4) AS avg_disc,
-        |       round(avg(l_tax), 4) AS avg_tax FROM lineitem""".stripMargin,
+      """SELECT round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        |       round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
+        |       round(CAST(sum(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_tax
+        |FROM lineitem""".stripMargin,
     "o38_count_per_group" ->
       "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus",
     "o39_group_members" ->
@@ -382,7 +392,8 @@ object RelationalQueries {
       """SELECT o_orderkey, l_linenumber, o_orderstatus, l_quantity
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
     "o44_join_star" ->
-      """SELECT r_name, count(*) AS n_cust, round(avg(c_acctbal), 4) AS avg_bal
+      """SELECT r_name, count(*) AS n_cust,
+        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,

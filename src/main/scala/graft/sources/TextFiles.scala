@@ -24,7 +24,14 @@ object TextFiles {
     */
   def writeTextFiles(df: DataFrame, idCol: String, keyCol: String,
       textCol: String, outDir: String): Unit = {
-    Files.createDirectories(Paths.get(outDir))
+    val dir = Paths.get(outDir)
+    // idempotent sink: clear stale files from previous runs, or the
+    // subsequent directory scan would read them too
+    if (Files.isDirectory(dir)) {
+      val old = Files.list(dir)
+      try old.forEach(p => Files.deleteIfExists(p)) finally old.close()
+    }
+    Files.createDirectories(dir)
     df.select(col(idCol).cast("string"), col(keyCol), col(textCol))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         rows.foreach { r =>
@@ -49,10 +56,13 @@ object TextFiles {
 
   /** Round-trip helper for the declared query: sink documents to a
     * scratch dir once, read them back whole. The scratch dir is keyed by
-    * the input dir so sf0.001/sf0.01 runs don't collide.
+    * the input dir so sf0.001/sf0.01 runs don't collide. Capped at 500
+    * docs (same cap in the oracle) — the operator under test is the
+    * file-per-row layout, not the filesystem's small-file throughput.
     */
   def roundTrip(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 500)
     val out: Path = Paths.get(sys.props("java.io.tmpdir"),
       "graft_wholefile_" + sfDir.replaceAll("[^a-zA-Z0-9.]", "_"))
     writeTextFiles(docs, "doc_id", "source", "text", out.toString)
