@@ -28,6 +28,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup pass at the smallest SF: JIT + codegen compilation otherwise
+    // lands entirely on whichever query runs first (alphabetically o09)
+    // and on the regex-heavy text queries, skewing per-query numbers.
+    // Disable with SPARK_GRAFT_WARMUP=0.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
+      val warmDir = "/root/testdata/sf0.001"
+      if (new java.io.File(warmDir).isDirectory) {
+        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+          try fn(spark, warmDir).queryExecution.toRdd
+            .foreachPartition(it => it.foreach(_ => ()))
+          catch { case _: Throwable => () }
+        }
+      }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {

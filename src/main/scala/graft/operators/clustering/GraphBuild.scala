@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object GraphBuild {
 
-  final case class GraphTables(graph: DataFrame, movies: DataFrame)
+  final case class GraphTables(graph: DataFrame, movies: DataFrame, labels: DataFrame)
 
   /** O-50 z-score with population σ (sklearn ddof=0, graph_creator.py:114)
     * over an ARRAY<FLOAT/DOUBLE> feature column. Stats are a per-dim
@@ -82,7 +82,7 @@ object GraphBuild {
     val assignDF = assign.toSeq.toDF("cluster", "graph_id")
     val movies = labels.join(broadcast(assignDF), Seq("cluster"))
       .select(col(idCol).as("movie_id"), col("graph_id"))
-    GraphTables(graph, movies)
+    GraphTables(graph, movies, labels)
   }
 
   /** E2 serving (graph_repo.py:92-135): immediate children of a node via

@@ -84,14 +84,10 @@ object GraphQueries {
         round(col("col").cast("double"), 6).as("x"))
 
   /** O-51 micro-cluster labels (rows-only: MLlib KMeans is seeded but not
-    * bit-identical to any oracle).
+    * bit-identical to any oracle). Shares the memoized build's clustering
+    * run rather than fitting a second model.
     */
-  private val o51: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-    val scaled = emb.select(col("vec_id"),
-      GraphBuild.scaleFeatures(emb, "embedding").as("scaled"))
-    GraphBuild.microCluster(scaled, "vec_id", "scaled")._1
-  }
+  private val o51: Q = (s, d) => built(s, d).labels
 
   // The KMeans→Ward build is deterministic per (session, dir); memoize it
   // so q_graph_build and q_graph_children don't each rerun the clustering
