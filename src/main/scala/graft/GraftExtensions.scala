@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.expressions.{CosineSimilarityExpr, DotProductExpr, L2DistanceExpr}
+
+/** Session extension registering the engine's native expressions as SQL
+  * functions (`cosine_similarity`, `l2_distance`) — enable with
+  * `spark.sql.extensions=graft.GraftExtensions` or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  *
+  * This is the (b) tier of the custom-operator ladder (SURVEY §4): a
+  * whole-stage-codegen expression surfaced through the normal function
+  * registry, usable from both the Column API and SQL text.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_similarity"),
+      (children: Seq[Expression]) => CosineSimilarityExpr(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProductExpr(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("l2_distance"),
+      new ExpressionInfo(classOf[L2DistanceExpr].getName, "l2_distance"),
+      (children: Seq[Expression]) => L2DistanceExpr(children(0), children(1))))
+  }
+}

@@ -45,4 +45,15 @@ object VectorOps {
     dot(a, b) / (norm2(a) * norm2(b))
   def cosineSimilaritySql(a: String, b: String): String =
     s"${dotSql(a, b)} / (${norm2Sql(a)} * ${norm2Sql(b)})"
+
+  // Native codegen'd variants (graft.functions.expressions, registered by
+  // [[graft.GraftExtensions]]): one tight loop, no intermediate array.
+  // Same left-to-right double accumulation as the HOF forms, so results
+  // are bit-identical and oracle twins are unchanged.
+  def cosineSimilarityNative(a: Column, b: Column): Column =
+    call_function("cosine_similarity", a, b)
+  def dotNative(a: Column, b: Column): Column =
+    call_function("dot_product", a, b)
+  def l2DistanceNative(a: Column, b: Column): Column =
+    call_function("l2_distance", a, b)
 }

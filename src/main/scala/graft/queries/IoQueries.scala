@@ -60,6 +60,7 @@ object IoQueries {
   /** Streaming twins — share the batch oracles (results must be equal). */
   private val streamHourly: Q = (s, d) => StreamingTwins.hourlyAgg(s, d)
   private val streamDedup: Q = (s, d) => StreamingTwins.dedupUsers(s, d)
+  private val streamSess: Q = (s, d) => StreamingTwins.sessionize(s, d)
 
   /** O-55: windowed text → per-partition model handle → emotion probs.
     * Rows-only (the stub model is deterministic but not SQL); invariants
@@ -120,6 +121,7 @@ object IoQueries {
     "o06_json_tree" -> jsonTree,
     "q_stream_hourly" -> streamHourly,
     "q_stream_dedup" -> streamDedup,
+    "q_stream_sessionize" -> streamSess,
     "o55_nn_inference" -> infer,
     "q_multimodal_meta" -> multimodal,
     "q_graphx_depth" -> graphxDepth)
@@ -140,6 +142,7 @@ object IoQueries {
         |  GROUP BY r_regionkey, r_name)""".stripMargin,
     "q_stream_hourly" -> RelationalQueries.oracle("q_hourly_agg"),
     "q_stream_dedup" -> "SELECT DISTINCT user_id FROM events",
+    "q_stream_sessionize" -> RelationalQueries.oracle("q_sessionize"),
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       md5(text) AS content_md5,

@@ -33,13 +33,16 @@ object VectorQueries {
   private val embSql =
     s"(SELECT vec_id, label, ${toDoubleArrSql("embedding")} AS e FROM embeddings)"
 
-  /** O-54: l2 + cosine of every vector against the vec_id=0 probe. */
+  /** O-54: l2 + cosine of every vector against the vec_id=0 probe —
+    * native codegen'd expressions (same fold order as the HOF forms, so
+    * the oracle twins are unchanged).
+    */
   private val o54: Q = (s, d) => {
     val probe = emb(s, d).filter(col("vec_id") === 0).select(col("e").as("pv"))
     emb(s, d).crossJoin(broadcast(probe))
       .select(col("vec_id"),
-        round(l2Distance(col("e"), col("pv")), 6).as("l2"),
-        round(cosineSimilarity(col("e"), col("pv")), 6).as("cos"))
+        round(l2DistanceNative(col("e"), col("pv")), 6).as("l2"),
+        round(cosineSimilarityNative(col("e"), col("pv")), 6).as("cos"))
   }
 
   /** O-56: brute-force cosine top-10 for 5 probe vectors. */
@@ -48,7 +51,7 @@ object VectorQueries {
       .select(col("vec_id").as("probe_id"), col("e").as("pv"))
     emb(s, d).crossJoin(broadcast(probes))
       .select(col("probe_id"), col("vec_id"),
-        round(cosineSimilarity(col("e"), col("pv")), 6).as("cos"))
+        round(cosineSimilarityNative(col("e"), col("pv")), 6).as("cos"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))).cast("long"))
       .filter(col("rk") <= 10)

@@ -4,7 +4,12 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Encoder case classes for the stateful sessionizer. */
+final case class SessEvent(user_id: Long, event_id: Long, ts: Long)
+final case class SessState(lastTs: Long, lastSession: Long)
+final case class SessOut(user_id: Long, event_id: Long, session_id: Long)
 
 /** Structured Streaming twins (SURVEY.md §2.9) of the batch event
   * queries: the same parquet data replayed through `readStream` with
@@ -64,4 +69,36 @@ object StreamingTwins {
     runToTable(
       eventsStream(spark, dir).select(col("user_id")).dropDuplicates("user_id"),
       "append")
+
+  /** Streaming twin of q_sessionize via `flatMapGroupsWithState` — the
+    * KeyValueGroupedDataset custom-state operator (builder brief §2.9):
+    * per-user state carries (last event ts, last session id) so session
+    * numbering is genuinely incremental across micro-batches; 30-min gap
+    * opens a new session, same as the batch window query. Events within a
+    * batch are sorted per user (groups are user-bounded) — with
+    * AvailableNow over static data this reproduces the batch result
+    * exactly, which is how it's oracle-checked.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gapNs = 1800000000000L
+    val out = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[SessEvent], state: GroupState[SessState]) =>
+          val prev = state.getOption.getOrElse(SessState(Long.MinValue, 0L))
+          var lastTs = prev.lastTs
+          var session = prev.lastSession
+          val outRows = events.toSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
+            if (lastTs == Long.MinValue || e.ts - lastTs > gapNs) session += 1
+            lastTs = e.ts
+            SessOut(uid, e.event_id, session)
+          }
+          state.update(SessState(lastTs, session))
+          outRows.iterator
+      }
+    runToTable(out.toDF(), "append")
+  }
 }

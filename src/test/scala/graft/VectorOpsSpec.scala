@@ -22,6 +22,25 @@ class VectorOpsSpec extends SparkSpec {
     assert(math.abs(evalD(norm2(c)) - 5.0) < 1e-12)
   }
 
+  test("native codegen expressions match the HOF forms bit-exactly") {
+    val df = spark.range(200).select(
+      transform(sequence(lit(0), lit(63)), i => sin(col("id") * 64 + i)).as("a"),
+      transform(sequence(lit(0), lit(63)), i => cos(col("id") * 64 + i)).as("b"))
+    val mismatches = df.filter(
+      cosineSimilarityNative(col("a"), col("b")) =!= cosineSimilarity(col("a"), col("b")) ||
+        l2DistanceNative(col("a"), col("b")) =!= l2Distance(col("a"), col("b")) ||
+        dotNative(col("a"), col("b")) =!= dot(col("a"), col("b"))).count()
+    assert(mismatches == 0, "native and HOF folds must be bit-identical")
+  }
+
+  test("extension-registered functions are callable from SQL text") {
+    val r = spark.sql(
+      "SELECT cosine_similarity(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS c, " +
+        "l2_distance(array(0.0d, 0.0d), array(3.0d, 4.0d)) AS d").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 5.0) < 1e-12)
+  }
+
   test("global ordinals match row_number semantics without a global window") {
     val df = (1 to 97).reverse.map(i => (i.toLong, s"v$i")).toDF("k", "v")
     val withOrd = Ordinals.withGlobalOrdinal(df, "rn", col("k"))
