@@ -64,8 +64,12 @@ object ActFeatures {
         count(when(col("_act") === a, lit(1))), roundTo)
       .as(s"${m}_act$a")
     val stdCols: Seq[Column] = metrics.map { m =>
-      // groups have >= numActs >= 2 rows, so stddev_samp is never NaN
-      round(stddev_samp(col(m)), roundTo).as(s"${m}_std")
+      // closed form over exact decimal Σx / Σx² (same reasoning as the
+      // act means); groups have >= numActs >= 2 rows so n-1 >= 1
+      val sx = sum(col(m).cast("decimal(28,4)")).cast("double")
+      val sxx = sum((col(m) * col(m)).cast("decimal(28,8)")).cast("double")
+      val n = count(lit(1)).cast("double")
+      round(sqrt(greatest((sxx - sx * sx / n) / (n - 1), lit(0.0))), roundTo).as(s"${m}_std")
     }
     val aggs = actCols ++ stdCols
     withAct.groupBy(col(groupKey)).agg(aggs.head, aggs.tail: _*)
@@ -84,7 +88,12 @@ object ActFeatures {
       a <- 1 to numActs
     } yield s"round(CAST(sum(CAST(CASE WHEN _act = $a THEN $m END AS DECIMAL(18,4))) AS DOUBLE)" +
       s" / count(CASE WHEN _act = $a THEN 1 END), $roundTo) AS ${m}_act$a"
-    val stdCols = metrics.map(m => s"round(stddev_samp($m), $roundTo) AS ${m}_std")
+    val stdCols = metrics.map { m =>
+      val sx = s"CAST(sum(CAST($m AS DECIMAL(28,4))) AS DOUBLE)"
+      val sxx = s"CAST(sum(CAST($m * $m AS DECIMAL(28,8))) AS DOUBLE)"
+      val n = "CAST(count(*) AS DOUBLE)"
+      s"round(sqrt(greatest(($sxx - $sx*$sx/$n) / ($n - 1), 0.0)), $roundTo) AS ${m}_std"
+    }
     val sel = (actCols ++ stdCols).mkString(", ")
     s"""WITH _acts AS (
        |  SELECT $groupKey, ${(orderCols ++ metrics).distinct.mkString(", ")},

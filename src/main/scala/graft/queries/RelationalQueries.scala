@@ -91,12 +91,21 @@ object RelationalQueries {
         .cast("double").as("revenue"),
       count(lit(1)).as("n"))
 
-  /** O-35 per-group sample stddev (pandas ddof=1, graph_creator.py:102-105). */
-  private val o35: Q = (s, d) =>
+  /** O-35 per-group sample stddev (pandas ddof=1, graph_creator.py:102-105).
+    * Computed from exact decimal Σx and Σx² (inputs ≤4 dp → x² exact at
+    * 8 dp) via the closed form √((Σx² − (Σx)²/n)/(n−ddof)) — the
+    * engines' own stddev aggregates accumulate doubles in
+    * partial-agg-dependent order, which can flip a rounded hash.
+    */
+  private val o35: Q = (s, d) => {
+    val sx = sum(col("l_quantity").cast("decimal(28,4)")).cast("double")
+    val sxx = sum((col("l_quantity") * col("l_quantity")).cast("decimal(28,8)")).cast("double")
+    val n = count(lit(1)).cast("double")
     Tables.lineitem(s, d).groupBy("l_returnflag").agg(
-      round(stddev_samp("l_quantity"), 4).as("std_qty"),
-      round(stddev_pop("l_quantity"), 4).as("stdp_qty"),
+      round(sqrt(greatest((sxx - sx * sx / n) / (n - 1), lit(0.0))), 4).as("std_qty"),
+      round(sqrt(greatest((sxx - sx * sx / n) / n, lit(0.0))), 4).as("stdp_qty"),
       count(lit(1)).as("n"))
+  }
 
   /** O-36 global mean vector (root centroid, graph_creator.py:389).
     * Means via exact decimal sums + one IEEE division (o34/o48
@@ -243,7 +252,12 @@ object RelationalQueries {
     */
   private val o50: Q = (s, d) => {
     val c = Tables.customer(s, d)
-    val stats = c.agg(avg("c_acctbal").as("mu"), stddev_pop("c_acctbal").as("sigma"))
+    val sx = sum(col("c_acctbal").cast("decimal(28,4)")).cast("double")
+    val sxx = sum((col("c_acctbal") * col("c_acctbal")).cast("decimal(28,8)")).cast("double")
+    val n = count(lit(1)).cast("double")
+    // μ and σ_pop from exact decimal sums (same closed form as o35) so the
+    // broadcast stats are bit-identical across engines
+    val stats = c.agg((sx / n).as("mu"), sqrt(greatest((sxx - sx * sx / n) / n, lit(0.0))).as("sigma"))
     c.crossJoin(broadcast(stats))
       .select(col("c_custkey"),
         round((col("c_acctbal") - col("mu")) / col("sigma"), 4).as("z"))
@@ -370,9 +384,16 @@ object RelationalQueries {
         |       count(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "o35_group_stddev" ->
-      """SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS std_qty,
-        |       round(stddev_pop(l_quantity), 4) AS stdp_qty, count(*) AS n
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      """SELECT l_returnflag,
+        |       round(sqrt(greatest((sxx - sx*sx/n) / (n - 1), 0.0)), 4) AS std_qty,
+        |       round(sqrt(greatest((sxx - sx*sx/n) / n, 0.0)), 4) AS stdp_qty,
+        |       CAST(n AS BIGINT) AS n
+        |FROM (
+        |  SELECT l_returnflag,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+        |         CAST(count(*) AS DOUBLE) AS n
+        |  FROM lineitem GROUP BY l_returnflag)""".stripMargin,
     "o36_global_mean" ->
       """SELECT round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
         |       round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
@@ -426,9 +447,14 @@ object RelationalQueries {
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
     "o50_zscore" ->
-      """SELECT c_custkey,
-        |       round((c_acctbal - avg(c_acctbal) OVER ()) / stddev_pop(c_acctbal) OVER (), 4) AS z
-        |FROM customer""".stripMargin,
+      """SELECT c_custkey, round((c_acctbal - mu) / sigma, 4) AS z
+        |FROM customer, (
+        |  SELECT sx/n AS mu, sqrt(greatest((sxx - sx*sx/n) / n, 0.0)) AS sigma
+        |  FROM (
+        |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+        |           CAST(sum(CAST(c_acctbal * c_acctbal AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+        |           CAST(count(*) AS DOUBLE) AS n
+        |    FROM customer))""".stripMargin,
     "q_sessionize" ->
       """SELECT user_id, event_id,
         |       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
