@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.TextClean
+import graft.operators.Chunker
+import graft.operators.clustering.{TreeOps, Ward}
+
+/** scalacheck property suites (SURVEY §5.3): generated-input invariants
+  * for the pure driver-side algebra (Ward, rebalance, title parsing) and
+  * small-corpus DataFrame round trips for the chunkers.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(name: String, p: Prop, min: Int = 50): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(min), p)
+    assert(r.passed, s"$name: ${r.status}")
+  }
+
+  test("ward linkage: monotone merge heights, leaves partition the input") {
+    val genPts = for {
+      n <- Gen.choose(2, 40)
+      dim <- Gen.choose(1, 6)
+      pts <- Gen.listOfN(n, Gen.listOfN(dim, Gen.choose(-100.0, 100.0)))
+    } yield pts.map(_.toArray).toArray
+    check("ward", forAll(genPts) { pts =>
+      val root = Ward.linkage(pts)
+      def monotone(d: Ward.Dendro): Boolean = d match {
+        case Ward.Leaf(_) => true
+        case Ward.Merge(l, r, dist, _) =>
+          dist >= l.dist && dist >= r.dist && monotone(l) && monotone(r)
+      }
+      monotone(root) && root.leaves.sorted == pts.indices.toList
+    })
+  }
+
+  test("rebalance: conserves counts/members, respects the depth cap") {
+    val genCase = for {
+      n <- Gen.choose(2, 60)
+      sizes <- Gen.listOfN(n, Gen.choose(1L, 50L))
+      pts <- Gen.listOfN(n, Gen.listOfN(3, Gen.choose(-10.0, 10.0)))
+    } yield (pts.map(_.toArray).toArray, sizes)
+    check("rebalance", forAll(genCase) { case (pts, sizes) =>
+      val sizeMap = sizes.indices.map(i => i -> sizes(i)).toMap
+      val tree = TreeOps.fromDendro(Ward.linkage(pts), sizeMap)
+      val r = TreeOps.rebalance(tree)
+      def depth(t: TreeOps.TNode, d: Int = 0): Int =
+        if (t.children.isEmpty) d else t.children.map(depth(_, d + 1)).max
+      def leafClusters(t: TreeOps.TNode): Seq[Int] =
+        if (t.children.isEmpty) t.clusters else t.children.flatMap(leafClusters)
+      def countsOk(t: TreeOps.TNode): Boolean =
+        t.children.isEmpty ||
+          (t.count == t.children.map(_.count).sum && t.children.forall(countsOk))
+      r.count == sizes.sum && depth(r) <= 5 &&
+        leafClusters(r).sorted == pts.indices.toList && countsOk(r)
+    })
+  }
+
+  test("flatten: ids are dense DFS preorder, every path has a parent") {
+    val genPts = Gen.choose(2, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.listOfN(2, Gen.choose(-5.0, 5.0))))
+    check("flatten", forAll(genPts) { ptsL =>
+      val pts = ptsL.map(_.toArray).toArray
+      val tree = TreeOps.rebalance(
+        TreeOps.fromDendro(Ward.linkage(pts), pts.indices.map(_ -> 1L).toMap))
+      val (rows, assign) = TreeOps.flatten(tree)
+      val paths = rows.map(_.path).toSet
+      rows.map(_.id) == (1L to rows.size) &&
+        rows.tail.forall(r => paths.contains(r.path.substring(0, r.path.lastIndexOf('.')))) &&
+        assign.keySet == pts.indices.toSet
+    })
+  }
+
+  test("title/year parse inverts formatting (incl. 1800 fallback)") {
+    val genTitle = Gen.nonEmptyListOf(
+      Gen.frequency(8 -> Gen.alphaNumChar, 2 -> Gen.const(' '))).map(_.mkString.trim)
+      .suchThat(_.nonEmpty)
+    val genYear = Gen.choose(1000, 9999)
+    check("titleYear", forAll(genTitle, genYear) { (t, y) =>
+      val formatted = s"$t ($y)"
+      val parsedT = evalStr(TextClean.titleOf(lit(formatted)))
+      val parsedY = evalStr(TextClean.yearOf(lit(formatted)))
+      val bareY = evalStr(TextClean.yearOf(lit(t)))
+      parsedT == t && parsedY == y.toString && bareY == "1800"
+    }, min = 20)
+  }
+
+  test("chunker: reconstruction and window-count over generated corpora") {
+    val genCorpus = Gen.listOfN(15, for {
+      nTok <- Gen.choose(1, 120)
+      toks <- Gen.listOfN(nTok, Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString))
+    } yield toks.mkString(" "))
+    check("chunker", forAll(genCorpus, Gen.choose(8, 64), Gen.choose(2, 16)) {
+      (texts, size, stride) =>
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val rebuilt = Chunker.chunkChars(df, "text", size, Seq("doc_id"))
+          .groupBy("doc_id")
+          .agg(concat_ws("",
+            sort_array(collect_list(struct(col("chunk_id"), col("chunk"))))
+              .getField("chunk")).as("rebuilt"))
+          .join(df, "doc_id")
+          .filter(col("rebuilt") =!= col("text")).count()
+        val winBad = Chunker.slidingTokenWindows(df, "text", size, stride, Seq("doc_id"))
+          .groupBy("doc_id").count()
+          .join(df.select(col("doc_id"),
+            size_(split(col("text"), " ")).cast("long").as("n")), "doc_id")
+          .filter(col("count") =!= greatest(ceil(col("n") / stride.toDouble), lit(1L)))
+          .count()
+        rebuilt == 0 && winBad == 0
+    }, min = 8)
+  }
+
+  private def size_(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.size(c)
+}
