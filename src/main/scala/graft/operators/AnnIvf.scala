@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.operators.clustering.GraphBuild
+
+/** IVF (inverted-file) approximate nearest neighbour over an embedding
+  * column — the "coarse quantizer + probe few lists" scale path for
+  * O-56, complementing the exact brute-force baseline (`o56_ann_topk`)
+  * and the sign-LSH bucket join (`q_dedup_embed`).
+  *
+  * Index: KMeans centroids partition the corpus into nList inverted
+  * lists (`cluster` column — at rest this would be the partition key of
+  * the index table, so a probe reads only its lists' files). Search:
+  * each probe scores the nList centroids (tiny, broadcast), keeps its
+  * `nProbe` nearest lists, and scans ONLY vectors in those lists via an
+  * equi-join on the list id — corpus touched ≈ nProbe/nList of the data,
+  * which is the entire point at 100 TB.
+  *
+  * With nProbe == nList this degrades to exact brute force (asserted in
+  * tests); smaller nProbe trades recall for a proportional scan cut.
+  */
+object AnnIvf {
+
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+
+  /** Build the inverted lists: (id, e, cluster) + a centroid table. */
+  def buildIndex(emb: DataFrame, idCol: String, arrCol: String,
+      nList: Int): IvfIndex = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val doubled = emb.select(col(idCol), VectorOps.toDoubleArr(col(arrCol)).as("e"))
+    val (labels, centers) = GraphBuild.microCluster(doubled, idCol, "e", maxMicro = nList)
+    val cents = centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("cluster", "centroid")
+      .select(col("cluster"), col("centroid").cast("array<double>").as("centroid"))
+    IvfIndex(doubled.join(labels, idCol), cents)
+  }
+
+  /** Cosine top-k per probe, scanning only the nProbe nearest lists. */
+  def topK(index: IvfIndex, probes: DataFrame, probeId: String,
+      probeVec: String, k: Int, nProbe: Int): DataFrame = {
+    val p = probes.select(col(probeId).as("probe_id"),
+      VectorOps.toDoubleArr(col(probeVec)).as("pv"))
+    // 1. probe × centroids (centroids are tiny → broadcast), keep nProbe
+    val lists = p.crossJoin(broadcast(index.centroids))
+      .withColumn("cdist", VectorOps.l2DistanceNative(col("pv"), col("centroid")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cdist"), col("cluster"))))
+      .filter(col("crk") <= nProbe)
+      .select("probe_id", "pv", "cluster")
+    // 2. equi-join on the list id — only the probed lists are scanned
+    lists.join(index.assigned, Seq("cluster"))
+      .select(col("probe_id"), col(index.assigned.columns.head),
+        round(VectorOps.cosineSimilarityNative(col("e"), col("pv")), 6).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id")
+          .orderBy(col("cos").desc, col(index.assigned.columns.head))).cast("long"))
+      .filter(col("rk") <= k)
+  }
+}

@@ -95,9 +95,22 @@ object VectorQueries {
       .withColumn("f1_bp", expr("(2*tp*10000) DIV (2*tp + fp + fn)"))
   }
 
+  /** IVF ANN (rows-only: KMeans-built index): probe 4 of 16 inverted
+    * lists — the 100 TB scale path where the corpus scan is cut to
+    * nProbe/nList. Exactness at nProbe == nList is asserted in tests.
+    */
+  private val ivf: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val index = graft.operators.AnnIvf.buildIndex(emb, "vec_id", "embedding", nList = 16)
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("pid"), col("embedding"))
+    graft.operators.AnnIvf.topK(index, probes, "pid", "embedding", k = 10, nProbe = 4)
+  }
+
   val queries: Map[String, Q] = Map(
     "o54_vec_distance" -> o54,
     "o56_ann_topk" -> o56,
+    "q_ann_ivf" -> ivf,
     "o37_cluster_centroids" -> o37,
     "o12_array_overlap" -> o12,
     "o41_f1_eval" -> o41)

@@ -81,17 +81,25 @@ object StreamingTwins {
     */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val gapNs = 1800000000000L
-    val out = eventsStream(spark, dir)
+    val events = eventsStream(spark, dir)
       .select(col("user_id"), col("event_id"), col("ts"))
       .as[SessEvent]
-      .groupByKey(_.user_id)
+    runToTable(sessionizeDS(events).toDF(), "append")
+  }
+
+  /** The stateful core, reusable over any streaming Dataset[SessEvent]
+    * (e.g. a MemoryStream in tests, Kafka in production).
+    */
+  def sessionizeDS(events: org.apache.spark.sql.Dataset[SessEvent],
+      gapNs: Long = 1800000000000L): org.apache.spark.sql.Dataset[SessOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid: Long, events: Iterator[SessEvent], state: GroupState[SessState]) =>
+        (uid: Long, batch: Iterator[SessEvent], state: GroupState[SessState]) =>
           val prev = state.getOption.getOrElse(SessState(Long.MinValue, 0L))
           var lastTs = prev.lastTs
           var session = prev.lastSession
-          val outRows = events.toSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
+          val outRows = batch.toSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
             if (lastTs == Long.MinValue || e.ts - lastTs > gapNs) session += 1
             lastTs = e.ts
             SessOut(uid, e.event_id, session)
@@ -99,6 +107,5 @@ object StreamingTwins {
           state.update(SessState(lastTs, session))
           outRows.iterator
       }
-    runToTable(out.toDF(), "append")
   }
 }

@@ -39,7 +39,7 @@ class PlanSpec extends SparkSpec {
     // crossJoin against broadcast 1-row stats plans as BroadcastNestedLoop;
     // a real CartesianProduct would be a scale bug.
     SparkEntry.queries.keys
-      .filterNot(Set("o51_kmeans", "q_graph_build", "q_graph_children",
+      .filterNot(Set("o51_kmeans", "q_graph_build", "q_graph_children", "q_ann_ivf",
         "o55_nn_inference", "o02_wholefile_roundtrip", "o03_csv_roundtrip",
         "q_stream_hourly", "q_stream_dedup"))
       .foreach { name =>
@@ -50,7 +50,7 @@ class PlanSpec extends SparkSpec {
 
   test("no declared query uses an unpartitioned window (scale-killer)") {
     SparkEntry.queries.keys
-      .filterNot(Set("o51_kmeans", "q_graph_build", "q_graph_children",
+      .filterNot(Set("o51_kmeans", "q_graph_build", "q_graph_children", "q_ann_ivf",
         "o55_nn_inference", "o02_wholefile_roundtrip", "o03_csv_roundtrip",
         "q_stream_hourly", "q_stream_dedup"))
       .foreach { name =>

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.operators.{AnnIvf, SkewJoin}
+import graft.streaming.{SessEvent, StreamingTwins}
+
+/** Scale-path operators: IVF ANN, salted skew join, bucketed co-located
+  * join, and multi-batch streaming state.
+  */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def blobEmb(n: Int) = {
+    val rnd = new scala.util.Random(7)
+    (0 until n).map { i =>
+      val c = (i % 4) * 5.0
+      (i.toLong, Array.fill(8)((c + rnd.nextGaussian() * 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("IVF with nProbe == nList reproduces exact brute-force top-k") {
+    val emb = blobEmb(200)
+    val index = AnnIvf.buildIndex(emb, "vec_id", "embedding", nList = 8)
+    val probes = emb.filter(col("vec_id") < 3).select(col("vec_id").as("pid"), col("embedding"))
+    val ivfAll = AnnIvf.topK(index, probes, "pid", "embedding", k = 5, nProbe = 8)
+      .select("probe_id", "rk", "vec_id").collect().map(_.toSeq).toSet
+    // brute force: same cosine + same tie-break over the full corpus
+    val bf = AnnIvf.topK(
+      AnnIvf.IvfIndex(index.assigned.withColumn("cluster", lit(0)),
+        Seq((0, Seq.fill(8)(0.0))).toDF("cluster", "centroid")),
+      probes, "pid", "embedding", k = 5, nProbe = 1)
+      .select("probe_id", "rk", "vec_id").collect().map(_.toSeq).toSet
+    assert(ivfAll == bf, "probing all lists must equal brute force")
+  }
+
+  test("IVF recall on separable blobs: nearest neighbours share the probe's list") {
+    val emb = blobEmb(200)
+    val index = AnnIvf.buildIndex(emb, "vec_id", "embedding", nList = 4)
+    val probes = emb.filter(col("vec_id") < 3).select(col("vec_id").as("pid"), col("embedding"))
+    val hit = AnnIvf.topK(index, probes, "pid", "embedding", k = 5, nProbe = 1)
+      .filter(col("rk") === 1)
+      .collect()
+    // top-1 must be the probe itself (cos = 1 with itself, in its own list)
+    hit.foreach(r => assert(r.getAs[Long]("vec_id") == r.getAs[Long]("probe_id")))
+  }
+
+  test("salted join equals the plain join, with the hot key spread over salts") {
+    val fact = (1 to 5000).map(i => (if (i % 10 == 0) 1L else i.toLong % 50, i.toLong))
+      .toDF("k", "v")
+    val dim = (0L until 50L).map(k => (k, s"name$k")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k")).select("k", "v", "name")
+      .collect().map(_.toSeq).toSet
+    val salted = SkewJoin.saltedJoin(fact, dim, "k", salts = 8,
+      Seq("k", "v"), Seq("name")).collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without a shuffle (co-located join)") {
+    val n = 1000
+    spark.sql("DROP TABLE IF EXISTS b1")
+    spark.sql("DROP TABLE IF EXISTS b2")
+    // the in-memory catalog forgets tables between sessions but their
+    // warehouse directories survive — clear them or the CTAS refuses
+    Seq("b1", "b2").foreach { t =>
+      val dir = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (dir.isDirectory) {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
+    (1 to n).map(i => (i.toLong, i * 2.0)).toDF("k", "x")
+      .write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("b1")
+    (1 to n).map(i => (i.toLong, s"s$i")).toDF("k", "s")
+      .write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("b2")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b1").join(spark.table("b2"), Seq("k"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n${plan.take(1000)}")
+      assert(joined.count() == n)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("sessionizer state is incremental across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[SessEvent]
+    val q = StreamingTwins.sessionizeDS(input.toDS()).toDF()
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode(OutputMode.Append).start()
+    val min30 = 1800000000000L
+    try {
+      input.addData(SessEvent(1, 100, 0L), SessEvent(1, 101, min30 / 2))
+      q.processAllAvailable()
+      // second batch: one event inside the gap, one far beyond it
+      input.addData(SessEvent(1, 102, min30), SessEvent(1, 103, min30 * 10))
+      q.processAllAvailable()
+      val out = spark.table("sess_test").orderBy("event_id")
+        .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("session_id")))
+      assert(out.toSeq == Seq((100L, 1L), (101L, 1L), (102L, 1L), (103L, 2L)),
+        s"got ${out.toSeq}")
+    } finally q.stop()
+  }
+}
