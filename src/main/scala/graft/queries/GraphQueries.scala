@@ -81,7 +81,7 @@ object GraphQueries {
       .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
       .select(col("doc_id"), col("source"), posexplode(col("embedding")))
       .select(col("doc_id"), col("source"), (col("pos") + 1).cast("long").as("dim"),
-        round(col("col").cast("double"), 6).as("x"))
+        (round(col("col").cast("double"), 6) + lit(0.0)).as("x"))
 
   /** O-51 micro-cluster labels (rows-only: MLlib KMeans is seeded but not
     * bit-identical to any oracle). Shares the memoized build's clustering
@@ -127,7 +127,7 @@ object GraphQueries {
          |     (SELECT path AS ppath, depth AS pdepth FROM $o07Sql WHERE id = 3) p
          |WHERE g.path LIKE p.ppath || '.%' AND g.depth = p.pdepth + 1""".stripMargin,
     "q_serve_movie_e3" ->
-      """SELECT doc_id, source, dim, round(x, 6) AS x FROM (
+      """SELECT doc_id, source, dim, round(x, 6) + 0.0 AS x FROM (
         |  SELECT d.doc_id, d.source,
         |         unnest(generate_series(1, len(e.embedding))) AS dim,
         |         unnest(list_transform(e.embedding, v -> CAST(v AS DOUBLE))) AS x

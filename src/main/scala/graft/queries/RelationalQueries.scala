@@ -260,7 +260,7 @@ object RelationalQueries {
     val stats = c.agg((sx / n).as("mu"), sqrt(greatest((sxx - sx * sx / n) / n, lit(0.0))).as("sigma"))
     c.crossJoin(broadcast(stats))
       .select(col("c_custkey"),
-        round((col("c_acctbal") - col("mu")) / col("sigma"), 4).as("z"))
+        (round((col("c_acctbal") - col("mu")) / col("sigma"), 4) + lit(0.0)).as("z"))
   }
 
   /** O-28 ltree immediate-children match (graph_repo.py:114-123): the
@@ -447,7 +447,7 @@ object RelationalQueries {
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
     "o50_zscore" ->
-      """SELECT c_custkey, round((c_acctbal - mu) / sigma, 4) AS z
+      """SELECT c_custkey, round((c_acctbal - mu) / sigma, 4) + 0.0 AS z
         |FROM customer, (
         |  SELECT sx/n AS mu, sqrt(greatest((sxx - sx*sx/n) / n, 0.0)) AS sigma
         |  FROM (

@@ -41,8 +41,8 @@ object VectorQueries {
     val probe = emb(s, d).filter(col("vec_id") === 0).select(col("e").as("pv"))
     emb(s, d).crossJoin(broadcast(probe))
       .select(col("vec_id"),
-        round(l2DistanceNative(col("e"), col("pv")), 6).as("l2"),
-        round(cosineSimilarityNative(col("e"), col("pv")), 6).as("cos"))
+        (round(l2DistanceNative(col("e"), col("pv")), 6) + lit(0.0)).as("l2"),
+        (round(cosineSimilarityNative(col("e"), col("pv")), 6) + lit(0.0)).as("cos"))
   }
 
   /** O-56: brute-force cosine top-10 for 5 probe vectors. */
@@ -51,7 +51,7 @@ object VectorQueries {
       .select(col("vec_id").as("probe_id"), col("e").as("pv"))
     emb(s, d).crossJoin(broadcast(probes))
       .select(col("probe_id"), col("vec_id"),
-        round(cosineSimilarityNative(col("e"), col("pv")), 6).as("cos"))
+        (round(cosineSimilarityNative(col("e"), col("pv")), 6) + lit(0.0)).as("cos"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))).cast("long"))
       .filter(col("rk") <= 10)
@@ -65,7 +65,7 @@ object VectorQueries {
       .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
         col("col").cast("double").as("x"))
       .groupBy("label", "dim")
-      .agg(round(sum(col("x").cast("decimal(18,8)")).cast("double") / count(lit(1)), 6)
+      .agg((round(sum(col("x").cast("decimal(18,8)")).cast("double") / count(lit(1)), 6) + lit(0.0))
         .as("mean"))
 
   /** O-12: array-overlap predicate (bert_comparison.ipynb cell 3). */
@@ -118,8 +118,8 @@ object VectorQueries {
   val oracle: Map[String, String] = Map(
     "o54_vec_distance" ->
       s"""SELECT a.vec_id,
-         |       round(${l2DistanceSql("a.e", "b.pv")}, 6) AS l2,
-         |       round(${cosineSimilaritySql("a.e", "b.pv")}, 6) AS cos
+         |       round(${l2DistanceSql("a.e", "b.pv")}, 6) + 0.0 AS l2,
+         |       round(${cosineSimilaritySql("a.e", "b.pv")}, 6) + 0.0 AS cos
          |FROM $embSql a, (SELECT e AS pv FROM $embSql WHERE vec_id = 0) b""".stripMargin,
     "o56_ann_topk" ->
       s"""SELECT probe_id, rk, vec_id, cos FROM (
@@ -127,11 +127,11 @@ object VectorQueries {
          |         row_number() OVER (PARTITION BY p.probe_id ORDER BY c.cos DESC, a.vec_id) AS rk
          |  FROM $embSql a
          |  CROSS JOIN (SELECT vec_id AS probe_id, e AS pv FROM $embSql WHERE vec_id < 5) p
-         |  CROSS JOIN LATERAL (SELECT round(${cosineSimilaritySql("a.e", "p.pv")}, 6) AS cos) c)
+         |  CROSS JOIN LATERAL (SELECT round(${cosineSimilaritySql("a.e", "p.pv")}, 6) + 0.0 AS cos) c)
          |WHERE rk <= 10""".stripMargin,
     "o37_cluster_centroids" ->
       """SELECT label, dim,
-        |       round(CAST(sum(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / count(*), 6) AS mean
+        |       round(CAST(sum(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / count(*), 6) + 0.0 AS mean
         |FROM (
         |  SELECT CAST(label AS BIGINT) AS label,
         |         unnest(generate_series(1, len(embedding))) AS dim,
