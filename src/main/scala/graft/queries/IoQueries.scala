@@ -42,6 +42,25 @@ object IoQueries {
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
   }
 
+  /** O-7 JDBC sink + scan round trip (graph_repo.py:53-89 persistence,
+    * minus the serial-id dance o07 replaces): write nation through
+    * `df.write.jdbc` into embedded Derby, read it back with
+    * `spark.read.jdbc`, prove values survived. Derby is in-process here;
+    * against a real server only the URL changes — partitioned reads
+    * would add (partitionColumn, numPartitions) bounds.
+    */
+  private val jdbc: Q = (s, d) => {
+    val url = "jdbc:derby:" + Paths.get(sys.props("java.io.tmpdir"),
+      "graft_derby_" + d.replaceAll("[^a-zA-Z0-9.]", "_")) + ";create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").jdbc(url, "nation_t", props)
+    s.read.jdbc(url, "nation_t", props)
+      .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+        col("n_regionkey").cast("long").as("n_regionkey"))
+  }
+
   /** O-6 JSON tree sink: the nested region→nation tree serialized with
     * to_json — one JSON document per region, children collected in
     * nationkey order (the reference's unbalanced.json/balanced.json dump,
@@ -118,6 +137,7 @@ object IoQueries {
   val queries: Map[String, Q] = Map(
     "o02_wholefile_roundtrip" -> wholefile,
     "o03_csv_roundtrip" -> csv,
+    "o07_jdbc_roundtrip" -> jdbc,
     "o06_json_tree" -> jsonTree,
     "q_stream_hourly" -> streamHourly,
     "q_stream_dedup" -> streamDedup,
@@ -129,6 +149,9 @@ object IoQueries {
   val oracle: Map[String, String] = Map(
     "o02_wholefile_roundtrip" ->
       "SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len FROM documents WHERE doc_id < 500",
+    "o07_jdbc_roundtrip" ->
+      ("SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, " +
+        "CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation"),
     "o03_csv_roundtrip" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
