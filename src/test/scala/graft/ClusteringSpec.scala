@@ -65,6 +65,17 @@ class ClusteringSpec extends SparkSpec {
     assert(assign.keySet == Set(0, 1, 2), "every micro-cluster assigned")
   }
 
+  test("graph build is deterministic across runs (seeded KMeans + Ward tie-breaks)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 90).map { i =>
+      (i.toLong, Array.fill(6)(((i % 3) * 8.0 + rnd.nextGaussian()).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def run() = GraphBuild.build(df, "vec_id", "embedding", maxMicro = 15)
+      .graph.orderBy("id").collect().map(_.toSeq).toSeq
+    assert(run() == run(), "two builds over the same data must be identical")
+  }
+
   test("end-to-end build invariants on separable blobs (SURVEY §5.4)") {
     val rnd = new scala.util.Random(42)
     val rows = (0 until 120).map { i =>
