@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextClean
+import graft.operators.{ActFeatures, Chunker, Inference}
+import graft.operators.clustering.GraphBuild
+
+/** E1 — the reference's entire batch pipeline (SURVEY.md §3,
+  * main.py:7-32) as ONE declarative Spark DAG:
+  *
+  *   raw text → 10-tool regex clean → sliding token windows →
+  *   per-partition model inference → per-act feature matrix →
+  *   z-score → KMeans micro-clusters → driver Ward → rebalance →
+  *   flattened D6 graph/movies tables.
+  *
+  * What the reference runs as four separate processes with file
+  * hand-offs (scraper → preprocessor → emotion analyzer → graph
+  * creator) is here a single lazy plan: Catalyst fuses the clean +
+  * window stages into the scan, inference is the only RDD hop, and the
+  * tree build touches the driver only for the bounded centroid set.
+  */
+object Pipeline {
+
+  /** Window/act knobs scaled to the testdata (reference: 512/256 tokens,
+    * 3 acts — model.py:26-28, graph_creator.py:44).
+    */
+  def e1(spark: SparkSession, dir: String,
+      winSize: Int = 48, stride: Int = 24, numActs: Int = 3,
+      maxMicro: Int = 50): GraphBuild.GraphTables = {
+    val docs = Tables.documents(spark, dir)
+    val cleaned = docs.select(col("doc_id"),
+      TextClean.cleanSubtitles(col("text")).as("clean"))
+    val windows = Chunker
+      .slidingTokenWindows(cleaned, "clean", winSize, stride, Seq("doc_id"))
+      .select("doc_id", "window_id", "win")
+    val scored = Inference.scoreWindows(windows, "win")
+    val feats = ActFeatures.actFeatures(
+      scored, "doc_id", Seq("window_id"), Inference.EmotionLabels, numActs)
+    val featCols =
+      (for { m <- Inference.EmotionLabels; a <- 1 to numActs } yield s"${m}_act$a") ++
+        Inference.EmotionLabels.map(m => s"${m}_std")
+    val vectors = feats.select(col("doc_id"),
+      array(featCols.map(c => coalesce(col(c), lit(0.0))): _*).as("features"))
+    GraphBuild.build(vectors, "doc_id", "features", maxMicro = maxMicro)
+  }
+}

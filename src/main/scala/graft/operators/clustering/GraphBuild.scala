@@ -66,7 +66,13 @@ object GraphBuild {
     val spark = emb.sparkSession
     import spark.implicits._
 
-    val scaled = emb.select(col(idCol), scaleFeatures(emb, arrCol).as("scaled"))
+    // persisted: the input is consumed by the scaling-stats pass and then
+    // by KMeans many times over (count, ~20 Lloyd passes, label
+    // transform) — without this the ENTIRE upstream lineage (for E1:
+    // clean → window → inference → act features) recomputes per pass.
+    val input = emb.persist()
+    val scaled = input.select(col(idCol), scaleFeatures(input, arrCol).as("scaled"))
+      .persist()
     val (labels, centers) = microCluster(scaled, idCol, "scaled", maxMicro)
 
     val sizes = labels.groupBy("cluster").count()

@@ -134,7 +134,18 @@ object IoQueries {
       .select(col("id"), col("depth_pregel").cast("long").as("depth_pregel"))
   }
 
+  // memoized like the other build artifacts (driver may re-run queries)
+  private val e1Cache = scala.collection.concurrent.TrieMap
+    .empty[String, graft.operators.clustering.GraphBuild.GraphTables]
+
+  /** E1 end-to-end (rows-only): the full reference pipeline in one DAG;
+    * invariants tested in PipelineSpec.
+    */
+  private val e1: Q = (s, d) =>
+    e1Cache.getOrElseUpdate(d, graft.Pipeline.e1(s, d)).graph
+
   val queries: Map[String, Q] = Map(
+    "q_e1_pipeline" -> e1,
     "o02_wholefile_roundtrip" -> wholefile,
     "o03_csv_roundtrip" -> csv,
     "o07_jdbc_roundtrip" -> jdbc,

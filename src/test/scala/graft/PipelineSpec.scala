@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** E1 end-to-end pipeline invariants over the sf0.001 testdata. */
+class PipelineSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("E1: clean→window→infer→features→tree holds the reference invariants") {
+    val t = Pipeline.e1(spark, sf)
+    val g = t.graph.collect()
+    val root = g.find(_.getAs[Long]("id") == 1L).get
+
+    // docs surviving the <numActs window filter == movies in the tree
+    val docs = Tables.documents(spark, sf)
+    val eligible = docs
+      .select(col("doc_id"),
+        size(split(graft.functions.TextClean.cleanSubtitles(col("text")), " ")).as("n"))
+      .filter(greatest(ceil(col("n") / 24.0), lit(1)) >= 3)
+      .count()
+    assert(root.getAs[Long]("count") == eligible,
+      s"root count ${root.getAs[Long]("count")} != eligible docs $eligible")
+    assert(t.movies.count() == eligible)
+    assert(g.map(_.getAs[Int]("depth")).max <= 5)
+    val leafSum = g.filter(_.getAs[String]("type") == "leaf")
+      .map(_.getAs[Long]("count")).sum
+    assert(leafSum == eligible, "leaves must partition the movies")
+    // every movie's graph_id is a leaf in the graph table
+    val leafIds = g.filter(_.getAs[String]("type") == "leaf")
+      .map(_.getAs[Long]("id")).toSet
+    val badAssign = t.movies.collect()
+      .count(r => !leafIds.contains(r.getAs[Long]("graph_id")))
+    assert(badAssign == 0)
+  }
+}
