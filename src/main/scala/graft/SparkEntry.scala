@@ -21,7 +21,8 @@ object SparkEntry {
       (VectorQueries.queries, VectorQueries.oracle),
       (DedupQueries.queries, DedupQueries.oracle),
       (GraphQueries.queries, GraphQueries.oracle),
-      (IoQueries.queries, IoQueries.oracle))
+      (IoQueries.queries, IoQueries.oracle),
+      (ExtendedQueries.queries, ExtendedQueries.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Extended relational surface (SURVEY §2.5/§2.6 "come free from Spark
+  * built-ins"): rollup, anti join, and an as-of join — the ops the
+  * reference never needed but a user of this engine gets, each with a
+  * genuine cross-engine oracle.
+  */
+object ExtendedQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** ROLLUP aggregation levels; NULL level markers coalesced to
+    * sentinels so both engines emit identical scalar rows.
+    */
+  private val rollupQ: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("bucket", pmod(col("user_id"), lit(10)))
+      .rollup("event_type", "bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("bucket"), lit(-1L)).as("bucket"),
+        col("n"), col("sum_value"))
+
+  /** Anti join: customers with no high-value order (left_anti; the
+    * unfiltered variant is vacuously empty in this data).
+    */
+  private val antiQ: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** AS-OF (backward) join: for every event, the most recent 'click'
+    * timestamp by the same user at or before it. Spark lacks a native
+    * as-of join; the scalable formulation is a per-user window carrying
+    * `last(click_ts, ignoreNulls)` — one shuffle on user_id, no range
+    * join explosion. The oracle uses DuckDB's NATIVE `ASOF JOIN`, so the
+    * two different algorithms must agree on the semantics.
+    */
+  private val asofQ: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("click_ts", when(col("event_type") === "click", col("ts")))
+      .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      // emit µs: Spark reads the parquet TIMESTAMP(NANOS) as a ns long,
+      // DuckDB as a µs TIMESTAMP — truncate to the common precision
+      .select(col("event_id"), col("user_id"),
+        expr("last_click_ts DIV 1000").as("last_click_us"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_rollup" -> rollupQ,
+    "q_anti_join" -> antiQ,
+    "q_asof_join" -> asofQ)
+
+  val oracle: Map[String, String] = Map(
+    "q_rollup" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |       coalesce(bucket, -1) AS bucket, n, sum_value
+        |FROM (
+        |  SELECT event_type, user_id % 10 AS bucket, count(*) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY ROLLUP(event_type, user_id % 10))""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, epoch_us(c.ts) AS last_click_us
+        |FROM events e
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin)
+}
