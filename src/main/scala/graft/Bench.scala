@@ -43,16 +43,22 @@ object Bench {
         }
       }
     }
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        // Force every operator in the plan to actually run and every row
-        // to be produced: consume the InternalRow iterator to exhaustion.
-        fn(spark, sfDir).queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
-      } catch {
-        case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      // min over `reps` timed runs — GC/JIT noise at sub-second query
+      // times otherwise dominates the per-query numbers
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          // Force every operator in the plan to actually run and every
+          // row to be produced: consume the InternalRow iterators.
+          fn(spark, sfDir).queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
+        } catch {
+          case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

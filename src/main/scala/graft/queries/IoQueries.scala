@@ -144,8 +144,21 @@ object IoQueries {
   private val e1: Q = (s, d) =>
     e1Cache.getOrElseUpdate(d, graft.Pipeline.e1(s, d)).graph
 
+  /** Multimodal decode via the partition-handle codec (rows-only: the
+    * stub codec is deterministic but not SQL; plumbing invariants are
+    * tested in VectorOpsSpec).
+    */
+  private val mmDecode: Q = (s, d) =>
+    graft.operators.Multimodal.decodeFeatures(
+      Tables.documents(s, d).select(col("doc_id"),
+        col("text").cast("binary").as("payload")), "payload")
+      .select(col("doc_id"), col("decoded.width").as("width"),
+        col("decoded.height").as("height"), col("decoded.n_frames").as("n_frames"),
+        col("decoded.n_sampled").as("n_sampled"))
+
   val queries: Map[String, Q] = Map(
     "q_e1_pipeline" -> e1,
+    "q_multimodal_decode" -> mmDecode,
     "o02_wholefile_roundtrip" -> wholefile,
     "o03_csv_roundtrip" -> csv,
     "o07_jdbc_roundtrip" -> jdbc,

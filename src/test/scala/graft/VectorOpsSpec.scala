@@ -51,6 +51,21 @@ class VectorOpsSpec extends SparkSpec {
       "ordinal order must follow the sort key")
   }
 
+  test("multimodal decode: per-partition codec, deterministic typed features") {
+    val df = Seq((0L, "payload one"), (1L, "payload two"))
+      .toDF("doc_id", "t").select(col("doc_id"), col("t").cast("binary").as("payload"))
+    val out1 = graft.operators.Multimodal.decodeFeatures(df, "payload")
+      .select("doc_id", "decoded.*").collect().sortBy(_.getLong(0))
+    val out2 = graft.operators.Multimodal.decodeFeatures(df, "payload")
+      .select("doc_id", "decoded.*").collect().sortBy(_.getLong(0))
+    assert(out1.map(_.toSeq).toSeq == out2.map(_.toSeq).toSeq, "must be deterministic")
+    out1.foreach { r =>
+      assert(r.getAs[Int]("width") >= 320 && r.getAs[Int]("height") >= 240)
+      assert(r.getAs[Int]("n_sampled") ==
+        math.ceil(r.getAs[Int]("n_frames") / 24.0).toInt)
+    }
+  }
+
   test("inference stub: per-window probabilities are a distribution and deterministic") {
     val df = Seq((0L, "hello world"), (1L, "other text")).toDF("doc_id", "win")
     val out1 = Inference.scoreWindows(df, "win").collect().sortBy(_.getLong(0))
