@@ -55,10 +55,37 @@ object ExtendedQueries {
         expr("last_click_ts DIV 1000").as("last_click_us"))
   }
 
+  /** Bucketed co-located join: both sides written bucketed+sorted by
+    * the join key, then joined WITHOUT any Exchange (the bucket layout
+    * IS the shuffle, paid once at write time — the 100 TB pattern for
+    * repeated joins on the same key). The oracle is the plain join, so
+    * correctness of the bucket routing is hash-checked; the no-shuffle
+    * property is asserted in ScaleOpsSpec.
+    */
+  private val bucketedQ: Q = (s, d) => {
+    val suffix = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val (t1, t2) = (s"graft_ord_$suffix", s"graft_cust_$suffix")
+    Seq(t1, t2).foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (dir.isDirectory) { dir.listFiles().foreach(_.delete()); dir.delete() }
+    }
+    Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(t1)
+    Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey")
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(t2)
+    s.table(t1).join(s.table(t2), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_rollup" -> rollupQ,
     "q_anti_join" -> antiQ,
-    "q_asof_join" -> asofQ)
+    "q_asof_join" -> asofQ,
+    "q_bucketed_join" -> bucketedQ)
 
   val oracle: Map[String, String] = Map(
     "q_rollup" ->
@@ -76,5 +103,10 @@ object ExtendedQueries {
       """SELECT e.event_id, e.user_id, epoch_us(c.ts) AS last_click_us
         |FROM events e
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
-        |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin)
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey""".stripMargin)
 }
