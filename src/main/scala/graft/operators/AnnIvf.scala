@@ -25,7 +25,7 @@ import graft.operators.clustering.GraphBuild
   */
 object AnnIvf {
 
-  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame, idCol: String)
 
   /** Build the inverted lists: (id, e, cluster) + a centroid table. */
   def buildIndex(emb: DataFrame, idCol: String, arrCol: String,
@@ -37,7 +37,7 @@ object AnnIvf {
     val cents = centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
       .toSeq.toDF("cluster", "centroid")
       .select(col("cluster"), col("centroid").cast("array<double>").as("centroid"))
-    IvfIndex(doubled.join(labels, idCol), cents)
+    IvfIndex(doubled.join(labels, idCol), cents, idCol)
   }
 
   /** Cosine top-k per probe, scanning only the nProbe nearest lists. */
@@ -54,11 +54,11 @@ object AnnIvf {
       .select("probe_id", "pv", "cluster")
     // 2. equi-join on the list id — only the probed lists are scanned
     lists.join(index.assigned, Seq("cluster"))
-      .select(col("probe_id"), col(index.assigned.columns.head),
+      .select(col("probe_id"), col(index.idCol),
         round(VectorOps.cosineSimilarityNative(col("e"), col("pv")), 6).as("cos"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("probe_id")
-          .orderBy(col("cos").desc, col(index.assigned.columns.head))).cast("long"))
+          .orderBy(col("cos").desc, col(index.idCol))).cast("long"))
       .filter(col("rk") <= k)
   }
 }

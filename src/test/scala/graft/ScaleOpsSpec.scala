@@ -30,7 +30,7 @@ class ScaleOpsSpec extends SparkSpec {
     // brute force: same cosine + same tie-break over the full corpus
     val bf = AnnIvf.topK(
       AnnIvf.IvfIndex(index.assigned.withColumn("cluster", lit(0)),
-        Seq((0, Seq.fill(8)(0.0))).toDF("cluster", "centroid")),
+        Seq((0, Seq.fill(8)(0.0))).toDF("cluster", "centroid"), "vec_id"),
       probes, "pid", "embedding", k = 5, nProbe = 1)
       .select("probe_id", "rk", "vec_id").collect().map(_.toSeq).toSet
     assert(ivfAll == bf, "probing all lists must equal brute force")
