@@ -30,14 +30,21 @@ object AnnIvf {
   /** Build the inverted lists: (id, e, cluster) + a centroid table. */
   def buildIndex(emb: DataFrame, idCol: String, arrCol: String,
       nList: Int): IvfIndex = {
+    require(!Seq("e", "probe_id", "pv", "cluster").contains(idCol),
+      s"idCol '$idCol' collides with an internal column name")
     val spark = emb.sparkSession
     import spark.implicits._
+    // persisted: KMeans iterates this frame ~20x, and the inverted-list
+    // join consumes it again — an index build reads the corpus once
     val doubled = emb.select(col(idCol), VectorOps.toDoubleArr(col(arrCol)).as("e"))
+      .persist()
     val (labels, centers) = GraphBuild.microCluster(doubled, idCol, "e", maxMicro = nList)
     val cents = centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
       .toSeq.toDF("cluster", "centroid")
       .select(col("cluster"), col("centroid").cast("array<double>").as("centroid"))
-    IvfIndex(doubled.join(labels, idCol), cents, idCol)
+    // the materialized index: persisted so every topK call scans the
+    // (small) lists table, not the original corpus lineage twice
+    IvfIndex(doubled.join(labels, idCol).persist(), cents, idCol)
   }
 
   /** Cosine top-k per probe, scanning only the nProbe nearest lists. */
@@ -55,7 +62,7 @@ object AnnIvf {
     // 2. equi-join on the list id — only the probed lists are scanned
     lists.join(index.assigned, Seq("cluster"))
       .select(col("probe_id"), col(index.idCol),
-        round(VectorOps.cosineSimilarityNative(col("e"), col("pv")), 6).as("cos"))
+        (round(VectorOps.cosineSimilarityNative(col("e"), col("pv")), 6) + lit(0.0)).as("cos"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("probe_id")
           .orderBy(col("cos").desc, col(index.idCol))).cast("long"))
