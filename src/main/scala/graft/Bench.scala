@@ -44,17 +44,24 @@ object Bench {
       }
     }
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // min over `reps` timed runs — GC/JIT noise at sub-second query
-      // times otherwise dominates the per-query numbers
+      // times otherwise dominates the per-query numbers. Every rep is
+      // COLD: memoized build artifacts and cached RDDs are dropped first,
+      // so min-of-reps measures the real work, not a cache lookup.
       val times = (1 to reps).map { _ =>
+        SparkEntry.clearCaches()
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try {
           // Force every operator in the plan to actually run and every
           // row to be produced: consume the InternalRow iterators.
           fn(spark, sfDir).queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
         } catch {
-          case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          case e: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }
@@ -62,9 +69,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    // "errors" lists queries that threw during ANY rep — their recorded
+    // time is time-to-exception and must not be read as a pass.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), json)
     println(json)
     spark.stop()

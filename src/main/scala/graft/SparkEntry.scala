@@ -37,4 +37,14 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     packs.map(_._2).reduce(_ ++ _)
+
+  /** Drop all memoized build artifacts (graph build, IVF index, E1
+    * pipeline) so the next invocation pays the full cost — used by Bench
+    * to keep timed reps cold.
+    */
+  def clearCaches(): Unit = {
+    GraphQueries.clearCache()
+    VectorQueries.clearCache()
+    IoQueries.clearCache()
+  }
 }

@@ -16,13 +16,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * custom-operator preference order (builder brief; SURVEY §4).
   *
   * Semantics are IDENTICAL to the HOF forms: strict left-to-right double
-  * accumulation over ARRAY<DOUBLE>, so swapping implementations cannot
-  * change a rounded oracle hash. Nulls: null in → null out (Catalyst
-  * null-safe codegen); mismatched lengths iterate the shorter prefix
-  * (callers pass fixed-dim vectors).
+  * accumulation over ARRAY<DOUBLE>; a NULL input OR a NULL element
+  * yields NULL (matching zip_with/aggregate null propagation — asserted
+  * in tests). Mismatched lengths iterate the shorter prefix (callers
+  * pass fixed-dim vectors).
   */
 abstract class VectorFoldExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // element-level nulls can produce NULL even from non-nullable arrays
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
@@ -35,13 +37,13 @@ abstract class VectorFoldExpression extends BinaryExpression {
         s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
-  /** Scala fold for interpreted eval. */
-  protected def fold(a: ArrayData, b: ArrayData): Double
+  /** Scala fold for interpreted eval; null on null element. */
+  protected def fold(a: ArrayData, b: ArrayData): Any
 
-  /** Java loop body: given `a`, `b`, `n`, `i` in scope, accumulate into
-    * the declared accumulator variables and assign the result to `ev`.
+  /** Java statements: given array vars and element count `n` in scope,
+    * set `evValue` or `evIsNull = true` (on a null element).
     */
-  protected def genLoop(ev: String, a: String, b: String): String
+  protected def genLoop(evValue: String, evIsNull: String, a: String, b: String): String
 
   override def nullSafeEval(left: Any, right: Any): Any =
     fold(left.asInstanceOf[ArrayData], right.asInstanceOf[ArrayData])
@@ -49,7 +51,8 @@ abstract class VectorFoldExpression extends BinaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     // braces: the loop's locals live in their own Java scope, so the same
     // expression can appear multiple times in one generated method
-    nullSafeCodeGen(ctx, ev, (a, b) => s"{\n${genLoop(s"${ev.value}", a, b)}}\n")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"{\n${genLoop(s"${ev.value}", s"${ev.isNull}", a, b)}}\n")
 }
 
 /** Σ aᵢ·bᵢ / (‖a‖·‖b‖) in one pass (three accumulators, one loop). */
@@ -57,25 +60,32 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     extends VectorFoldExpression {
   override def prettyName: String = "cosine_similarity"
 
-  override protected def fold(a: ArrayData, b: ArrayData): Double = {
+  override protected def fold(a: ArrayData, b: ArrayData): Any = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getDouble(i); val y = b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  override protected def genLoop(ev: String, a: String, b: String): String =
+  override protected def genLoop(evValue: String, evIsNull: String,
+      a: String, b: String): String =
     s"""int n = java.lang.Math.min($a.numElements(), $b.numElements());
        |double dot = 0.0, na = 0.0, nb = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  double x = $a.getDouble(i);
-       |  double y = $b.getDouble(i);
-       |  dot += x * y; na += x * x; nb += y * y;
+       |boolean anyNull = false;
+       |for (int i = 0; i < n && !anyNull; i++) {
+       |  if ($a.isNullAt(i) || $b.isNullAt(i)) { anyNull = true; }
+       |  else {
+       |    double x = $a.getDouble(i);
+       |    double y = $b.getDouble(i);
+       |    dot += x * y; na += x * x; nb += y * y;
+       |  }
        |}
-       |$ev = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+       |if (anyNull) { $evIsNull = true; }
+       |else { $evValue = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb)); }
        |""".stripMargin
 
   override protected def withNewChildrenInternal(
@@ -88,18 +98,26 @@ case class DotProductExpr(left: Expression, right: Expression)
     extends VectorFoldExpression {
   override def prettyName: String = "dot_product"
 
-  override protected def fold(a: ArrayData, b: ArrayData): Double = {
+  override protected def fold(a: ArrayData, b: ArrayData): Any = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0; var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i); i += 1
+    }
     s
   }
 
-  override protected def genLoop(ev: String, a: String, b: String): String =
+  override protected def genLoop(evValue: String, evIsNull: String,
+      a: String, b: String): String =
     s"""int n = java.lang.Math.min($a.numElements(), $b.numElements());
        |double s = 0.0;
-       |for (int i = 0; i < n; i++) { s += $a.getDouble(i) * $b.getDouble(i); }
-       |$ev = s;
+       |boolean anyNull = false;
+       |for (int i = 0; i < n && !anyNull; i++) {
+       |  if ($a.isNullAt(i) || $b.isNullAt(i)) { anyNull = true; }
+       |  else { s += $a.getDouble(i) * $b.getDouble(i); }
+       |}
+       |if (anyNull) { $evIsNull = true; } else { $evValue = s; }
        |""".stripMargin
 
   override protected def withNewChildrenInternal(
@@ -112,21 +130,27 @@ case class L2DistanceExpr(left: Expression, right: Expression)
     extends VectorFoldExpression {
   override def prettyName: String = "l2_distance"
 
-  override protected def fold(a: ArrayData, b: ArrayData): Double = {
+  override protected def fold(a: ArrayData, b: ArrayData): Any = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0; var i = 0
-    while (i < n) { val t = a.getDouble(i) - b.getDouble(i); s += t * t; i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val t = a.getDouble(i) - b.getDouble(i); s += t * t; i += 1
+    }
     math.sqrt(s)
   }
 
-  override protected def genLoop(ev: String, a: String, b: String): String =
+  override protected def genLoop(evValue: String, evIsNull: String,
+      a: String, b: String): String =
     s"""int n = java.lang.Math.min($a.numElements(), $b.numElements());
        |double s = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  double t = $a.getDouble(i) - $b.getDouble(i);
-       |  s += t * t;
+       |boolean anyNull = false;
+       |for (int i = 0; i < n && !anyNull; i++) {
+       |  if ($a.isNullAt(i) || $b.isNullAt(i)) { anyNull = true; }
+       |  else { double t = $a.getDouble(i) - $b.getDouble(i); s += t * t; }
        |}
-       |$ev = java.lang.Math.sqrt(s);
+       |if (anyNull) { $evIsNull = true; }
+       |else { $evValue = java.lang.Math.sqrt(s); }
        |""".stripMargin
 
   override protected def withNewChildrenInternal(

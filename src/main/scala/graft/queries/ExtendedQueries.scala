@@ -44,15 +44,28 @@ object ExtendedQueries {
     * two different algorithms must agree on the semantics.
     */
   private val asofQ: Q = (s, d) => {
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Two precision rules make the engines agree exactly:
+    //  1. compare at µs — Spark reads the parquet TIMESTAMP(NANOS) as a
+    //     ns long while DuckDB TRUNCATES to a µs timestamp on read, so
+    //     an as-of comparison at ns precision can include/exclude a
+    //     click differently at µs boundaries. Floor-divide FIRST (pmod
+    //     form, exact for negative epochs too), window on the µs value.
+    //  2. RANGE frame (not ROWS): ASOF's `e.ts >= c.ts` includes a click
+    //     at the SAME timestamp regardless of tie-break order; within a
+    //     tie every non-null click value is identical, so
+    //     ignoreNulls-last is deterministic despite unspecified peer
+    //     order.
+    // integer DIV end-to-end: `/` would cast the ~1.7e18 ns long to
+    // double and lose the low digits; pmod first keeps floor semantics
+    // for negative epochs
+    val tsUs = expr("(ts - pmod(ts, 1000L)) DIV 1000L")
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, d)
-      .withColumn("click_ts", when(col("event_type") === "click", col("ts")))
-      .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
-      // emit µs: Spark reads the parquet TIMESTAMP(NANOS) as a ns long,
-      // DuckDB as a µs TIMESTAMP — truncate to the common precision
-      .select(col("event_id"), col("user_id"),
-        expr("last_click_ts DIV 1000").as("last_click_us"))
+      .withColumn("ts_us", tsUs)
+      .withColumn("click_us", when(col("event_type") === "click", col("ts_us")))
+      .withColumn("last_click_us", last(col("click_us"), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("last_click_us"))
   }
 
   /** Bucketed co-located join: both sides written bucketed+sorted by

@@ -95,8 +95,13 @@ object GraphQueries {
   private val builtCache =
     scala.collection.concurrent.TrieMap.empty[String, GraphBuild.GraphTables]
   private def built(s: SparkSession, d: String): GraphBuild.GraphTables =
-    builtCache.getOrElseUpdate(d,
+    // keyed by (session, dir): cached DataFrames are session-bound and
+    // must not leak across a session restart in the same JVM
+    builtCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d",
       GraphBuild.build(Tables.embeddings(s, d), "vec_id", "embedding"))
+
+  /** Drop memoized build artifacts (bench cold-timing hook). */
+  def clearCache(): Unit = builtCache.clear()
 
   /** O-52+O-53: the full KMeans→Ward→rebalance→flatten build (rows-only;
     * invariants — depth ≤ 5, member conservation, rollup counts — are

@@ -142,7 +142,11 @@ object IoQueries {
     * invariants tested in PipelineSpec.
     */
   private val e1: Q = (s, d) =>
-    e1Cache.getOrElseUpdate(d, graft.Pipeline.e1(s, d)).graph
+    e1Cache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d",
+      graft.Pipeline.e1(s, d)).graph
+
+  /** Drop memoized pipeline artifacts (bench cold-timing hook). */
+  def clearCache(): Unit = e1Cache.clear()
 
   /** Multimodal decode via the partition-handle codec (rows-only: the
     * stub codec is deterministic but not SQL; plumbing invariants are

@@ -311,8 +311,8 @@ object RelationalQueries {
     */
   private val hourly: Q = (s, d) =>
     Tables.events(s, d)
-      .groupBy((((col("ts") - pmod(col("ts"), lit(3600000000000L))) / 3600000000000L)
-          .cast("long") * 3600L).as("hour_epoch"),
+      .groupBy(expr("((ts - pmod(ts, 3600000000000L)) DIV 3600000000000L) * 3600")
+          .as("hour_epoch"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))

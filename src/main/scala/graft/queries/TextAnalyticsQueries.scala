@@ -78,7 +78,7 @@ object TextAnalyticsQueries {
       .withColumn("_alpha", length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long"))
       .withColumn("_nch", length(col("text")).cast("long"))
       .withColumn("stop_bp", expr("(_stop * 10000) DIV n_tokens"))
-      .withColumn("alpha_bp", expr("(_alpha * 10000) DIV _nch"))
+      .withColumn("alpha_bp", expr("(_alpha * 10000) DIV greatest(_nch, 1)"))
       .withColumn("len_bp", least(col("n_tokens") * 200L, lit(10000L)))
       .withColumn("quality_bp", expr("(len_bp*4 + stop_bp*3 + alpha_bp*3) DIV 10"))
       .select("doc_id", "n_tokens", "stop_bp", "alpha_bp", "quality_bp")
@@ -142,7 +142,7 @@ object TextAnalyticsQueries {
          |FROM (
          |  SELECT doc_id, n_tokens,
          |         (_stop * 10000) // n_tokens AS stop_bp,
-         |         (_alpha * 10000) // _nch AS alpha_bp,
+         |         (_alpha * 10000) // greatest(_nch, 1) AS alpha_bp,
          |         least(n_tokens * 200, 10000) AS len_bp
          |  FROM (
          |    SELECT doc_id,

@@ -92,7 +92,7 @@ object VectorQueries {
         sum(when(col("pred") === col("class") && col("truth") === col("class"), 1L).otherwise(0L)).as("tp"),
         sum(when(col("pred") === col("class") && col("truth") =!= col("class"), 1L).otherwise(0L)).as("fp"),
         sum(when(col("pred") =!= col("class") && col("truth") === col("class"), 1L).otherwise(0L)).as("fn"))
-      .withColumn("f1_bp", expr("(2*tp*10000) DIV (2*tp + fp + fn)"))
+      .withColumn("f1_bp", expr("(2*tp*10000) DIV greatest(2*tp + fp + fn, 1)"))
   }
 
   /** IVF ANN (rows-only: KMeans-built index): probe 4 of 16 inverted
@@ -104,9 +104,12 @@ object VectorQueries {
   private val ivfCache =
     scala.collection.concurrent.TrieMap.empty[String, graft.operators.AnnIvf.IvfIndex]
 
+  /** Drop the memoized index (bench cold-timing hook). */
+  def clearCache(): Unit = ivfCache.clear()
+
   private val ivf: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val index = ivfCache.getOrElseUpdate(d,
+    val index = ivfCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d",
       graft.operators.AnnIvf.buildIndex(emb, "vec_id", "embedding", nList = 16))
     val probes = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("pid"), col("embedding"))
@@ -149,7 +152,7 @@ object VectorQueries {
         |FROM documents
         |WHERE list_has_any(string_split(text, ' ')[1:5], ['data','row','fast','query','value'])""".stripMargin,
     "o41_f1_eval" ->
-      """SELECT class, tp, fp, fn, (2*tp*10000) // (2*tp + fp + fn) AS f1_bp
+      """SELECT class, tp, fp, fn, (2*tp*10000) // greatest(2*tp + fp + fn, 1) AS f1_bp
         |FROM (
         |  SELECT c.class,
         |         sum(CASE WHEN e.vec_id % 3 = c.class AND CAST(e.label AS BIGINT) = c.class THEN 1 ELSE 0 END) AS tp,

@@ -53,8 +53,8 @@ object StreamingTwins {
       .withColumn("event_time", (col("ts") / lit(1000000000L)).cast("timestamp"))
       .withWatermark("event_time", "1 hour")
       .groupBy(
-        (((col("ts") - pmod(col("ts"), lit(3600000000000L))) / 3600000000000L)
-          .cast("long") * 3600L).as("hour_epoch"),
+        expr("((ts - pmod(ts, 3600000000000L)) DIV 3600000000000L) * 3600")
+          .as("hour_epoch"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))

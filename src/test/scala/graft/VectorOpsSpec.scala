@@ -33,6 +33,15 @@ class VectorOpsSpec extends SparkSpec {
     assert(mismatches == 0, "native and HOF folds must be bit-identical")
   }
 
+  test("native expressions propagate element nulls like the HOF forms") {
+    val r = spark.sql(
+      "SELECT cosine_similarity(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS c, " +
+        "dot_product(array(CAST(NULL AS DOUBLE)), array(1.0d)) AS d, " +
+        "l2_distance(array(1.0d), array(CAST(NULL AS DOUBLE))) AS l").head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2),
+      "a null element must yield NULL, matching zip_with/aggregate")
+  }
+
   test("extension-registered functions are callable from SQL text") {
     val r = spark.sql(
       "SELECT cosine_similarity(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS c, " +
