@@ -27,6 +27,30 @@ object ExtendedQueries {
         coalesce(col("bucket"), lit(-1L)).as("bucket"),
         col("n"), col("sum_value"))
 
+  /** CUBE: all grouping combinations, same sentinel convention. */
+  private val cubeQ: Q = (s, d) =>
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("n"), col("total"))
+
+  /** Windowed moving aggregate: trailing 7-row mean of value per user —
+    * partitioned rows-frame window (scale-safe), decimal sums so the
+    * frame aggregation order can't flip the rounded hash.
+    */
+  private val movingQ: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-6, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("mov_avg",
+        round(sum(col("value").cast("decimal(18,4)")).over(w).cast("double") /
+          count(lit(1)).over(w), 4) + lit(0.0))
+      .select("user_id", "event_id", "mov_avg")
+  }
+
   /** Anti join: customers with no high-value order (left_anti; the
     * unfiltered variant is vacuously empty in this data).
     */
@@ -96,6 +120,8 @@ object ExtendedQueries {
 
   val queries: Map[String, Q] = Map(
     "q_rollup" -> rollupQ,
+    "q_cube" -> cubeQ,
+    "q_moving_avg" -> movingQ,
     "q_anti_join" -> antiQ,
     "q_asof_join" -> asofQ,
     "q_bucketed_join" -> bucketedQ)
@@ -108,6 +134,21 @@ object ExtendedQueries {
         |  SELECT event_type, user_id % 10 AS bucket, count(*) AS n,
         |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |  FROM events GROUP BY ROLLUP(event_type, user_id % 10))""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        |       coalesce(o_orderpriority, 'ALL') AS o_orderpriority, n, total
+        |FROM (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority))""".stripMargin,
+    "q_moving_avg" ->
+      """SELECT user_id, event_id,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,4)))
+        |                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |             / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) + 0.0 AS mov_avg
+        |FROM events""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
