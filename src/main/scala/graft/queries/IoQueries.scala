@@ -42,6 +42,38 @@ object IoQueries {
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
   }
 
+  /** JSON-lines sink + schema'd scan round trip (the `other_data` JSONB
+    * surface, db/models/movie.py:12, as a whole-row format): values must
+    * survive text serialization.
+    */
+  private val jsonRt: Q = (s, d) => {
+    val out = Paths.get(sys.props("java.io.tmpdir"),
+      "graft_jsonl_" + d.replaceAll("[^a-zA-Z0-9.]", "_")).toString
+    Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+      .write.mode("overwrite").json(out)
+    s.read.schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+      .json(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("user_id")).as("sum_users"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+  }
+
+  /** ORC sink + scan round trip — the other columnar format Spark ships;
+    * the oracle runs on the parquet originals, so the check proves ORC
+    * serialization is lossless for these types.
+    */
+  private val orcRt: Q = (s, d) => {
+    val out = Paths.get(sys.props("java.io.tmpdir"),
+      "graft_orc_" + d.replaceAll("[^a-zA-Z0-9.]", "_")).toString
+    Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+  }
+
   /** O-7 JDBC sink + scan round trip (graph_repo.py:53-89 persistence,
     * minus the serial-id dance o07 replaces): write nation through
     * `df.write.jdbc` into embedded Derby, read it back with
@@ -165,6 +197,8 @@ object IoQueries {
     "q_multimodal_decode" -> mmDecode,
     "o02_wholefile_roundtrip" -> wholefile,
     "o03_csv_roundtrip" -> csv,
+    "q_json_roundtrip" -> jsonRt,
+    "q_orc_roundtrip" -> orcRt,
     "o07_jdbc_roundtrip" -> jdbc,
     "o06_json_tree" -> jsonTree,
     "q_stream_hourly" -> streamHourly,
@@ -177,6 +211,14 @@ object IoQueries {
   val oracle: Map[String, String] = Map(
     "o02_wholefile_roundtrip" ->
       "SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len FROM documents WHERE doc_id < 500",
+    "q_json_roundtrip" ->
+      """SELECT event_type, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_users,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "o07_jdbc_roundtrip" ->
       ("SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, " +
         "CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation"),

@@ -41,6 +41,15 @@ class ChunkerSpec extends SparkSpec {
     assert(oversize == 0)
   }
 
+  test("edge cases: empty text yields one empty chunk/window, never zero rows") {
+    val edf = Seq((0L, "")).toDF("doc_id", "text")
+    val chunks = Chunker.chunkChars(edf, "text", 64, Seq("doc_id")).collect()
+    assert(chunks.length == 1 && chunks(0).getAs[String]("chunk") == "")
+    val wins = Chunker.slidingTokenWindows(edf, "text", 4, 2, Seq("doc_id")).collect()
+    assert(wins.length == 1 && wins(0).getAs[Long]("window_end") == 1L,
+      "split('') is [''] — one token, one window")
+  }
+
   test("window count == ceil(n/stride) and reference bounds (model.py:89-105)") {
     val w = Chunker.slidingTokenWindows(df, "text", 4, 2, Seq("doc_id"))
     val counts = w.groupBy("doc_id").count().collect()
