@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers parse the LAST stdout line as JSON:
+//  - StdoutOutput sends the forked JVM's stdout straight through instead
+//    of wrapping every line in an [info] logger prefix;
+//  - showSuccess kills the "[success] Total time: ..." epilogue that
+//    would otherwise land AFTER the JSON line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

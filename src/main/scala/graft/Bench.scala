@@ -43,14 +43,20 @@ object Bench {
         }
       }
     }
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // ≥5 reps by default: r2-vs-r3 driver runs of IDENTICAL code differed
+    // by +39% total (14.8× on one query) under min-of-2 — n=2 cold reps is
+    // not a measurement on a shared box.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // min over `reps` timed runs — GC/JIT noise at sub-second query
       // times otherwise dominates the per-query numbers. Every rep is
       // COLD: memoized build artifacts and cached RDDs are dropped first,
       // so min-of-reps measures the real work, not a cache lookup.
-      val times = (1 to reps).map { _ =>
+      // A rep that throws contributes NO time — time-to-exception must
+      // never win the min. All-reps-failed records -1.0 (and the name in
+      // "errors"), excluded from the total.
+      val times = (1 to reps).flatMap { _ =>
         SparkEntry.clearCaches()
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
@@ -58,21 +64,22 @@ object Bench {
           // Force every operator in the plan to actually run and every
           // row to be produced: consume the InternalRow iterators.
           fn(spark, sfDir).queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
+          Some((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable =>
             failed += name
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    // "errors" lists queries that threw during ANY rep — their recorded
-    // time is time-to-exception and must not be read as a pass.
+    val total = results.map(_._2).filter(_ >= 0).sum
+    // "errors" lists queries that threw during ANY rep; a query whose
+    // every rep failed records -1.0 and is excluded from "value".
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), json)

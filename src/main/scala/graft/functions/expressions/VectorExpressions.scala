@@ -40,19 +40,22 @@ abstract class VectorFoldExpression extends BinaryExpression {
   /** Scala fold for interpreted eval; null on null element. */
   protected def fold(a: ArrayData, b: ArrayData): Any
 
-  /** Java statements: given array vars and element count `n` in scope,
-    * set `evValue` or `evIsNull = true` (on a null element).
+  /** Java statements: given array vars `a`/`b`, set `evValue` or
+    * `evIsNull = true` (on a null element). Every local MUST come from
+    * `ctx.freshName` — generated predicate methods pass the input row as a
+    * parameter named `i`, and Java forbids shadowing an enclosing
+    * local/parameter, so any fixed name risks a janino "Redefinition of
+    * local variable" error and a silent fall back to interpreted eval.
     */
-  protected def genLoop(evValue: String, evIsNull: String, a: String, b: String): String
+  protected def genLoop(ctx: CodegenContext, evValue: String, evIsNull: String,
+      a: String, b: String): String
 
   override def nullSafeEval(left: Any, right: Any): Any =
     fold(left.asInstanceOf[ArrayData], right.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    // braces: the loop's locals live in their own Java scope, so the same
-    // expression can appear multiple times in one generated method
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"{\n${genLoop(s"${ev.value}", s"${ev.isNull}", a, b)}}\n")
+      genLoop(ctx, s"${ev.value}", s"${ev.isNull}", a, b))
 }
 
 /** Σ aᵢ·bᵢ / (‖a‖·‖b‖) in one pass (three accumulators, one loop). */
@@ -71,22 +74,27 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  override protected def genLoop(evValue: String, evIsNull: String,
-      a: String, b: String): String =
-    s"""int n = java.lang.Math.min($a.numElements(), $b.numElements());
-       |double dot = 0.0, na = 0.0, nb = 0.0;
-       |boolean anyNull = false;
-       |for (int i = 0; i < n && !anyNull; i++) {
-       |  if ($a.isNullAt(i) || $b.isNullAt(i)) { anyNull = true; }
+  override protected def genLoop(ctx: CodegenContext, evValue: String, evIsNull: String,
+      a: String, b: String): String = {
+    val n = ctx.freshName("n"); val idx = ctx.freshName("idx")
+    val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+    val anyNull = ctx.freshName("anyNull")
+    val x = ctx.freshName("x"); val y = ctx.freshName("y")
+    s"""int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+       |boolean $anyNull = false;
+       |for (int $idx = 0; $idx < $n && !$anyNull; $idx++) {
+       |  if ($a.isNullAt($idx) || $b.isNullAt($idx)) { $anyNull = true; }
        |  else {
-       |    double x = $a.getDouble(i);
-       |    double y = $b.getDouble(i);
-       |    dot += x * y; na += x * x; nb += y * y;
+       |    double $x = $a.getDouble($idx);
+       |    double $y = $b.getDouble($idx);
+       |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
        |  }
        |}
-       |if (anyNull) { $evIsNull = true; }
-       |else { $evValue = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb)); }
+       |if ($anyNull) { $evIsNull = true; }
+       |else { $evValue = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
        |""".stripMargin
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -108,17 +116,20 @@ case class DotProductExpr(left: Expression, right: Expression)
     s
   }
 
-  override protected def genLoop(evValue: String, evIsNull: String,
-      a: String, b: String): String =
-    s"""int n = java.lang.Math.min($a.numElements(), $b.numElements());
-       |double s = 0.0;
-       |boolean anyNull = false;
-       |for (int i = 0; i < n && !anyNull; i++) {
-       |  if ($a.isNullAt(i) || $b.isNullAt(i)) { anyNull = true; }
-       |  else { s += $a.getDouble(i) * $b.getDouble(i); }
+  override protected def genLoop(ctx: CodegenContext, evValue: String, evIsNull: String,
+      a: String, b: String): String = {
+    val n = ctx.freshName("n"); val idx = ctx.freshName("idx")
+    val s = ctx.freshName("s"); val anyNull = ctx.freshName("anyNull")
+    s"""int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double $s = 0.0;
+       |boolean $anyNull = false;
+       |for (int $idx = 0; $idx < $n && !$anyNull; $idx++) {
+       |  if ($a.isNullAt($idx) || $b.isNullAt($idx)) { $anyNull = true; }
+       |  else { $s += $a.getDouble($idx) * $b.getDouble($idx); }
        |}
-       |if (anyNull) { $evIsNull = true; } else { $evValue = s; }
+       |if ($anyNull) { $evIsNull = true; } else { $evValue = $s; }
        |""".stripMargin
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -140,18 +151,22 @@ case class L2DistanceExpr(left: Expression, right: Expression)
     math.sqrt(s)
   }
 
-  override protected def genLoop(evValue: String, evIsNull: String,
-      a: String, b: String): String =
-    s"""int n = java.lang.Math.min($a.numElements(), $b.numElements());
-       |double s = 0.0;
-       |boolean anyNull = false;
-       |for (int i = 0; i < n && !anyNull; i++) {
-       |  if ($a.isNullAt(i) || $b.isNullAt(i)) { anyNull = true; }
-       |  else { double t = $a.getDouble(i) - $b.getDouble(i); s += t * t; }
+  override protected def genLoop(ctx: CodegenContext, evValue: String, evIsNull: String,
+      a: String, b: String): String = {
+    val n = ctx.freshName("n"); val idx = ctx.freshName("idx")
+    val s = ctx.freshName("s"); val anyNull = ctx.freshName("anyNull")
+    val t = ctx.freshName("t")
+    s"""int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double $s = 0.0;
+       |boolean $anyNull = false;
+       |for (int $idx = 0; $idx < $n && !$anyNull; $idx++) {
+       |  if ($a.isNullAt($idx) || $b.isNullAt($idx)) { $anyNull = true; }
+       |  else { double $t = $a.getDouble($idx) - $b.getDouble($idx); $s += $t * $t; }
        |}
-       |if (anyNull) { $evIsNull = true; }
-       |else { $evValue = java.lang.Math.sqrt(s); }
+       |if ($anyNull) { $evIsNull = true; }
+       |else { $evValue = java.lang.Math.sqrt($s); }
        |""".stripMargin
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

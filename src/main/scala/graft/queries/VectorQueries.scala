@@ -155,9 +155,9 @@ object VectorQueries {
       """SELECT class, tp, fp, fn, (2*tp*10000) // greatest(2*tp + fp + fn, 1) AS f1_bp
         |FROM (
         |  SELECT c.class,
-        |         sum(CASE WHEN e.vec_id % 3 = c.class AND CAST(e.label AS BIGINT) = c.class THEN 1 ELSE 0 END) AS tp,
-        |         sum(CASE WHEN e.vec_id % 3 = c.class AND CAST(e.label AS BIGINT) <> c.class THEN 1 ELSE 0 END) AS fp,
-        |         sum(CASE WHEN e.vec_id % 3 <> c.class AND CAST(e.label AS BIGINT) = c.class THEN 1 ELSE 0 END) AS fn
+        |         CAST(sum(CASE WHEN e.vec_id % 3 = c.class AND CAST(e.label AS BIGINT) = c.class THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |         CAST(sum(CASE WHEN e.vec_id % 3 = c.class AND CAST(e.label AS BIGINT) <> c.class THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |         CAST(sum(CASE WHEN e.vec_id % 3 <> c.class AND CAST(e.label AS BIGINT) = c.class THEN 1 ELSE 0 END) AS BIGINT) AS fn
         |  FROM embeddings e CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS class) c
         |  GROUP BY c.class)""".stripMargin)
 }

@@ -1,10 +1,12 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Path, Paths}
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.SerializableConfiguration
 
 /** Whole-file text source + text sink (O-2, O-5; SURVEY.md §2.1).
   *
@@ -21,22 +23,35 @@ object TextFiles {
   /** O-5 text sink: one `doc_<id>__<source>.txt` per row, written from
     * the executors via foreachPartition (the per-movie file layout the
     * reference uses; engine-internal bulk data would be parquet).
+    *
+    * Cluster-safe: all IO goes through the Hadoop [[FileSystem]] resolved
+    * from `outDir`'s scheme, so executors on different hosts land files in
+    * the SAME shared filesystem (HDFS/S3A/file:) instead of each writing
+    * its own local disk. The key is sanitized to `[A-Za-z0-9._-]` — a `/`
+    * or other separator in a raw key would both break the write path and
+    * defeat the `doc_(\d+)__([^/]+)` recovery regex on read.
     */
   def writeTextFiles(df: DataFrame, idCol: String, keyCol: String,
       textCol: String, outDir: String): Unit = {
-    val dir = Paths.get(outDir)
+    val hconf = new SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val dir = new HPath(outDir)
     // idempotent sink: clear stale files from previous runs, or the
     // subsequent directory scan would read them too
-    if (Files.isDirectory(dir)) {
-      val old = Files.list(dir)
-      try old.forEach(p => Files.deleteIfExists(p)) finally old.close()
-    }
-    Files.createDirectories(dir)
-    df.select(col(idCol).cast("string"), col(keyCol), col(textCol))
+    val fs = dir.getFileSystem(hconf.value)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    fs.mkdirs(dir)
+    df.select(col(idCol).cast("string"),
+        regexp_replace(col(keyCol).cast("string"), "[^A-Za-z0-9._-]", "_"),
+        col(textCol))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val d = new HPath(outDir)
+        val efs = d.getFileSystem(hconf.value)
         rows.foreach { r =>
-          val p = Paths.get(outDir, s"doc_${r.getString(0)}__${r.getString(1)}.txt")
-          Files.write(p, r.getString(2).getBytes(StandardCharsets.UTF_8))
+          val p = new HPath(d, s"doc_${r.getString(0)}__${r.getString(1)}.txt")
+          val out = efs.create(p, true)
+          try out.write(r.getString(2).getBytes(StandardCharsets.UTF_8))
+          finally out.close()
         }
       }
   }

@@ -33,6 +33,32 @@ class VectorOpsSpec extends SparkSpec {
     assert(mismatches == 0, "native and HOF folds must be bit-identical")
   }
 
+  test("native exprs compile codegen'd inside a filter predicate (no janino fallback)") {
+    // Generated predicate methods take the input row as a parameter named
+    // `i` (ctx.INPUT_ROW) and Java forbids shadowing, so any fixed local
+    // name in doGenCode dies in janino ("Redefinition of local variable")
+    // and Spark silently falls back to interpreted per-row eval — exactly
+    // the slow path these expressions exist to avoid. generate() throws on
+    // compile failure, so this test fails loudly where prod would degrade.
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.expressions.codegen.GeneratePredicate
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.functions.expressions.{CosineSimilarityExpr, DotProductExpr, L2DistanceExpr}
+    val arrT = ArrayType(DoubleType, containsNull = true)
+    val a = BoundReference(0, arrT, nullable = true)
+    val b = BoundReference(1, arrT, nullable = true)
+    Seq[Expression](
+      CosineSimilarityExpr(a, b), DotProductExpr(a, b), L2DistanceExpr(a, b)
+    ).foreach { e =>
+      val pred = GeneratePredicate.generate(GreaterThan(e, Literal(-1e18)))
+      // and twice in ONE predicate (the q_dedup_embed shape: expr appears
+      // in both the projection and the threshold filter)
+      GeneratePredicate.generate(And(GreaterThan(e, Literal(-1e18)),
+        LessThan(e.makeCopy(e.children.toArray), Literal(1e18))))
+      assert(pred != null)
+    }
+  }
+
   test("native expressions propagate element nulls like the HOF forms") {
     val r = spark.sql(
       "SELECT cosine_similarity(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS c, " +
