@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Order-exact aggregation of ≤4-decimal-place double columns via scaled
+  * BIGINT sums (the o34 hash-stability convention, constant-factor form).
+  *
+  * Why not double sums: partial-aggregation order differs across engines
+  * and runs, and a last-ulp difference on a rounding boundary flips a
+  * rounded hash. Why not decimal sums: Spark's Decimal aggregate path is
+  * object-based (no primitive codegen) and costs a constant factor on
+  * every row. A ≤4-dp value times 10⁴ is an integer, so `round(x*1e4)`
+  * is exact, the BIGINT sum is exact and order-independent, and
+  * `CAST(sum AS DOUBLE)/1e4` equals the decimal-sum-cast-double result
+  * bit for bit while staying in primitive whole-stage codegen.
+  *
+  * Headroom: |Σ x·1e4| must stay < 2⁶³ (values ≤1e6 → ~9e8 rows per
+  * group at worst); beyond that fall back to the decimal form. Both
+  * engine and oracle twins MUST use the same formula — the division is
+  * one IEEE op so lockstep twins are bit-identical.
+  */
+object ExactAgg {
+  /** Exact Σx for a ≤4-dp column, as DOUBLE (= decimal-sum cast double). */
+  def ssum4(c: Column): Column =
+    sum(round(c * 10000).cast("long")).cast("double") / 10000.0
+  // parenthesized: embedded in larger arithmetic (sx*sx/n) the division
+  // must bind exactly like the Column tree or the IEEE rounding order —
+  // and hence the hash — diverges in the last ulp
+  def ssum4Sql(e: String): String =
+    s"(CAST(sum(CAST(round(($e) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0)"
+}

@@ -120,22 +120,65 @@ object TextClean {
     * (preprocessing_agent.py:182-196): timestamps → brackets → html →
     * speakers → dialog punctuation → newlines → non-alphabetic →
     * fillers → lowercase → whitespace.
+    *
+    * FUSED for the hot path: the naive composition is ~29 full-string
+    * regex passes (each tool re-strips, `remove_newlines`/`fillers` each
+    * re-collapse spaces, `normalize_whitespace` runs a per-line HOF). The
+    * fused chain is 17 passes with IDENTICAL results because
+    *  - every intermediate `strip` only trims string-edge whitespace,
+    *    which the final collapse+strip subsumes (no later pattern can
+    *    match string-edge whitespace into a different result: `^`-anchored
+    *    patterns re-anchor at each line, and the string head here is
+    *    always the cleaned-away WEBVTT block);
+    *  - after `\n\r → space` the string is single-line, so
+    *    `normalize_whitespace` degenerates to collapse+strip, merging
+    *    with the collapses owed by remove_newlines/remove_fillers.
+    * Parity is enforced two ways: [[cleanSubtitlesSequential]] is diffed
+    * against this on the corpus in TextCleanSpec, and
+    * `tools/ref_fidelity.py` replays the reference Python chain.
     */
   def cleanSubtitles(c: Column): Column = {
+    var t = rr(rr(rr(c, srtTs), bareCueNum), webvtt)
+    // brackets stay three sequential passes: removing [..] can expose a
+    // (..) pair that a one-pass alternation would miss ("(a[b)c]d)")
+    t = rr(rr(rr(t, "\\[.*?\\]"), "\\(.*?\\)"), "\\{.*?\\}")
+    t = rr(t, "<[^>]+>")
+    // one strip is load-bearing here: `^[A-Z]`/`^\w` are the only
+    // anchored patterns that string-START whitespace can defeat (every
+    // other anchored pattern consumes `\s*` itself), and the sequential
+    // chain strips after each preceding tool
+    t = pyStrip(t)
+    t = rr(rr(rr(t, upperLabel), mixedLabel), vttVoice)
+    t = rr(rr(rr(rr(rr(t, leadDash), ellipsis), dblDash), quotes), dialogPunct)
+    t = rr(t, "[\\n\\r]", " ")
+    t = rr(t, "[^a-zA-Z\\s]")
+    t = rr(t, fillers)
+    lower(pyStrip(rr(t, " +", " ")))
+  }
+  def cleanSubtitlesSql(e: String): String = {
+    var t = rrSql(rrSql(rrSql(e, srtTs), bareCueNum), webvtt)
+    t = rrSql(rrSql(rrSql(t, "\\[.*?\\]"), "\\(.*?\\)"), "\\{.*?\\}")
+    t = rrSql(t, "<[^>]+>")
+    t = pyStripSql(t)
+    t = rrSql(rrSql(rrSql(t, upperLabel), mixedLabel), vttVoice)
+    t = rrSql(rrSql(rrSql(rrSql(rrSql(t, leadDash), ellipsis), dblDash), quotes), dialogPunct)
+    t = rrSql(t, "[\\n\\r]", " ")
+    t = rrSql(t, "[^a-zA-Z\\s]")
+    t = rrSql(t, fillers)
+    s"lower(${pyStripSql(rrSql(t, " +", " "))})"
+  }
+
+  /** The literal tool-by-tool composition (each tool strips, exactly as
+    * the reference agent applies them) — the parity reference for the
+    * fused [[cleanSubtitles]]; kept for tests, not the hot path.
+    */
+  private[graft] def cleanSubtitlesSequential(c: Column): Column = {
     val steps: Seq[Column => Column] = Seq(
       removeTimestamps, removeBracketsContent, removeHtmlTags,
       removeSpeakerLabels, removeDialogPunctuation, removeNewlines,
       removeNonAlphabetic, removeFillerWords, lowercaseText,
       normalizeWhitespace)
     steps.foldLeft(c)((acc, f) => f(acc))
-  }
-  def cleanSubtitlesSql(e: String): String = {
-    val steps: Seq[String => String] = Seq(
-      removeTimestampsSql, removeBracketsContentSql, removeHtmlTagsSql,
-      removeSpeakerLabelsSql, removeDialogPunctuationSql, removeNewlinesSql,
-      removeNonAlphabeticSql, removeFillerWordsSql, lowercaseTextSql,
-      normalizeWhitespaceSql)
-    steps.foldLeft(e)((acc, f) => f(acc))
   }
 
   // ---- O-25 ASCII-only cleaning (clustering/utils.py:60-73) ----

@@ -52,22 +52,25 @@ object ActFeatures {
       .filter(col("_cnt") >= lit(numActs))
       .withColumn("_act", ntile(numActs).over(ordered))
 
-    // Act means as exact decimal sums / non-null counts, then ONE IEEE
-    // double division before rounding: plain double avg() partial-agg
+    // Act means as exact scaled-BIGINT sums / non-null counts, then ONE
+    // IEEE double division before rounding: plain double avg() partial-agg
     // order differs between engines and can flip the rounded hash on a
-    // .xxxx5 boundary (inputs are exact at <= 4 decimal places).
+    // .xxxx5 boundary (inputs are exact at <= 4 decimal places; see
+    // ExactAgg for why BIGINT beats the earlier decimal form).
+    import graft.functions.ExactAgg.ssum4
     val actCols: Seq[Column] = for {
       m <- metrics
       a <- 1 to numActs
     } yield round(
-      sum(when(col("_act") === a, col(m)).cast("decimal(18,4)")).cast("double") /
+      ssum4(when(col("_act") === a, col(m))) /
         count(when(col("_act") === a, lit(1))), roundTo)
       .as(s"${m}_act$a")
     val stdCols: Seq[Column] = metrics.map { m =>
-      // closed form over exact decimal Σx / Σx² (same reasoning as the
-      // act means); groups have >= numActs >= 2 rows so n-1 >= 1
-      val sx = sum(col(m).cast("decimal(28,4)")).cast("double")
-      val sxx = sum((col(m) * col(m)).cast("decimal(28,8)")).cast("double")
+      // closed form over exact Σx / Σx² (same reasoning as the act
+      // means; metrics are ≤2 dp so squares are ≤4 dp, exact at 1e4);
+      // groups have >= numActs >= 2 rows so n-1 >= 1
+      val sx = ssum4(col(m))
+      val sxx = ssum4(col(m) * col(m))
       val n = count(lit(1)).cast("double")
       round(sqrt(greatest((sxx - sx * sx / n) / (n - 1), lit(0.0))), roundTo).as(s"${m}_std")
     }
@@ -83,14 +86,15 @@ object ActFeatures {
       metrics: Seq[String],
       numActs: Int = 3,
       roundTo: Int = 4): String = {
+    import graft.functions.ExactAgg.ssum4Sql
     val actCols = for {
       m <- metrics
       a <- 1 to numActs
-    } yield s"round(CAST(sum(CAST(CASE WHEN _act = $a THEN $m END AS DECIMAL(18,4))) AS DOUBLE)" +
+    } yield s"round(${ssum4Sql(s"CASE WHEN _act = $a THEN $m END")}" +
       s" / count(CASE WHEN _act = $a THEN 1 END), $roundTo) AS ${m}_act$a"
     val stdCols = metrics.map { m =>
-      val sx = s"CAST(sum(CAST($m AS DECIMAL(28,4))) AS DOUBLE)"
-      val sxx = s"CAST(sum(CAST($m * $m AS DECIMAL(28,8))) AS DOUBLE)"
+      val sx = ssum4Sql(m)
+      val sxx = ssum4Sql(s"$m * $m")
       val n = "CAST(count(*) AS DOUBLE)"
       s"round(sqrt(greatest(($sxx - $sx*$sx/$n) / ($n - 1), 0.0)), $roundTo) AS ${m}_std"
     }

@@ -18,6 +18,23 @@ import graft.streaming.StreamingTwins
 object IoQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** O-1: the paged-ingest DataSourceV2 Batch source (one InputPartition
+    * per page range, scraper.py:230-240 shape) — the fetch is the
+    * deterministic synthetic pager, so the oracle regenerates the exact
+    * rows with generate_series. Title/year recovered from the link text
+    * with O-26's splitter, like the reference does while scraping
+    * (scraper.py:85-88,124).
+    */
+  private val ingest: Q = (s, _) =>
+    s.read.format("graft.sources.ingest.PagedIngestSource")
+      .option("startPage", 1).option("endPage", 40)
+      .option("perPage", 25).option("numPartitions", 8)
+      .load()
+      .select(col("page"), col("slot"), col("movie_id"),
+        graft.functions.TextClean.titleOf(col("link_text")).as("title"),
+        graft.functions.TextClean.yearOf(col("link_text")).as("year"),
+        col("url"), length(col("body")).cast("long").as("body_len"))
+
   /** O-2 + O-5 + O-26⁻¹: text-sink documents to per-doc files, wholetext
     * them back, recover the key from the filename. Oracle checks the
     * round trip is lossless (doc_id, source, byte-exact text length).
@@ -193,6 +210,7 @@ object IoQueries {
         col("decoded.n_sampled").as("n_sampled"))
 
   val queries: Map[String, Q] = Map(
+    "o01_ingest_scrape" -> ingest,
     "q_e1_pipeline" -> e1,
     "q_multimodal_decode" -> mmDecode,
     "o02_wholefile_roundtrip" -> wholefile,
@@ -209,6 +227,17 @@ object IoQueries {
     "q_graphx_depth" -> graphxDepth)
 
   val oracle: Map[String, String] = Map(
+    "o01_ingest_scrape" ->
+      """SELECT page, slot, (page-1)*25 + slot AS movie_id,
+        |       'Movie ' || CAST((page-1)*25 + slot AS VARCHAR) AS title,
+        |       CASE WHEN ((page-1)*25 + slot) % 7 = 0 THEN '1800'
+        |            ELSE CAST(1900 + ((page-1)*25 + slot) % 100 AS VARCHAR) END AS year,
+        |       'https://example.org/movies/' || CAST((page-1)*25 + slot AS VARCHAR) AS url,
+        |       CAST(length('WEBVTT' || chr(10) || 'subtitle text for movie ' ||
+        |            CAST((page-1)*25 + slot AS VARCHAR) || ' on page ' ||
+        |            CAST(page AS VARCHAR)) AS BIGINT) AS body_len
+        |FROM (SELECT unnest(generate_series(1, 40)) AS page) p
+        |CROSS JOIN (SELECT unnest(generate_series(0, 24)) AS slot) sl""".stripMargin,
     "o02_wholefile_roundtrip" ->
       "SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len FROM documents WHERE doc_id < 500",
     "q_json_roundtrip" ->

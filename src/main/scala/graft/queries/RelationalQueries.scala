@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.ExactAgg.{ssum4, ssum4Sql}
 import graft.operators.{ActFeatures, Ordinals}
 
 /** Relational operator pack — SURVEY.md §2.2/§2.4–§2.7 (O-9..O-14, O-28,
@@ -77,29 +78,30 @@ object RelationalQueries {
   /** O-34 per-group mean (graph_creator.py:99-101) — classic partial+final
     * hash aggregate; map-side combine makes the shuffle O(groups).
     *
-    * Sums go through DECIMAL(18,4): the inputs are exact at <= 4 decimal
-    * places, so the decimal sum is exact and independent of partial-agg
-    * order — double sums of 60k+ rows differ between engines in the last
-    * ulps and can flip a rounded hash.
+    * Sums go through scaled BIGINT ([[graft.functions.ExactAgg]]): the
+    * inputs are exact at <= 4 decimal places, so the integer sum is exact
+    * and independent of partial-agg order — double sums of 60k+ rows
+    * differ between engines in the last ulps and can flip a rounded hash —
+    * while staying in primitive whole-stage codegen (the earlier
+    * DECIMAL(18,4) form paid the object-based Decimal aggregate path on
+    * every row).
     */
   private val o34: Q = (s, d) =>
     Tables.lineitem(s, d).groupBy("l_returnflag", "l_linestatus").agg(
-      sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
-      round(sum(col("l_quantity").cast("decimal(18,4)")).cast("double") / count(lit(1)), 4)
-        .as("avg_qty"),
-      sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
-        .cast("double").as("revenue"),
+      ssum4(col("l_quantity")).as("sum_qty"),
+      round(ssum4(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
+      ssum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
       count(lit(1)).as("n"))
 
   /** O-35 per-group sample stddev (pandas ddof=1, graph_creator.py:102-105).
-    * Computed from exact decimal Σx and Σx² (inputs ≤4 dp → x² exact at
-    * 8 dp) via the closed form √((Σx² − (Σx)²/n)/(n−ddof)) — the
+    * Computed from exact scaled-BIGINT Σx and Σx² (inputs ≤2 dp → x²
+    * exact at 4 dp) via the closed form √((Σx² − (Σx)²/n)/(n−ddof)) — the
     * engines' own stddev aggregates accumulate doubles in
     * partial-agg-dependent order, which can flip a rounded hash.
     */
   private val o35: Q = (s, d) => {
-    val sx = sum(col("l_quantity").cast("decimal(28,4)")).cast("double")
-    val sxx = sum((col("l_quantity") * col("l_quantity")).cast("decimal(28,8)")).cast("double")
+    val sx = ssum4(col("l_quantity"))
+    val sxx = ssum4(col("l_quantity") * col("l_quantity"))
     val n = count(lit(1)).cast("double")
     Tables.lineitem(s, d).groupBy("l_returnflag").agg(
       round(sqrt(greatest((sxx - sx * sx / n) / (n - 1), lit(0.0))), 4).as("std_qty"),
@@ -113,7 +115,7 @@ object RelationalQueries {
     */
   private val o36: Q = (s, d) => {
     def decAvg(c: String) =
-      round(sum(col(c).cast("decimal(18,4)")).cast("double") / count(lit(1)), 4)
+      round(ssum4(col(c)) / count(lit(1)), 4)
     Tables.lineitem(s, d).agg(
       decAvg("l_quantity").as("avg_qty"),
       decAvg("l_discount").as("avg_disc"),
@@ -162,8 +164,7 @@ object RelationalQueries {
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name").agg(
         count(lit(1)).as("n_cust"),
-        round(sum(col("c_acctbal").cast("decimal(18,4)")).cast("double") / count(lit(1)), 4)
-          .as("avg_bal"))
+        round(ssum4(col("c_acctbal")) / count(lit(1)), 4).as("avg_bal"))
 
   /** O-45 positional (zip-with-index) join (graph_creator.py:187-189).
     * Global ordinals on both sides via the scale-safe two-pass pattern
@@ -213,12 +214,12 @@ object RelationalQueries {
     */
   private val o48: Q = (s, d) => {
     val e = Tables.events(s, d)
-    // Means as exact-decimal sums cast to double, THEN one IEEE division
-    // (o34 convention): double partial-aggregation order differs across
+    // Means as exact scaled-BIGINT sums, THEN one IEEE division (o34
+    // convention): double partial-aggregation order differs across
     // engines and a last-ulp difference on a rounding boundary would flip
-    // delta AND cascade into rk_desc. The decimal sum is order-exact; the
-    // single double division is bit-deterministic in both engines.
-    val decAvg = sum(col("value").cast("decimal(18,4)")).cast("double") / count(lit(1))
+    // delta AND cascade into rk_desc. The integer sum is order-exact; the
+    // double divisions are bit-deterministic in both engines.
+    val decAvg = ssum4(col("value")) / count(lit(1))
     val per = e.groupBy("event_type").agg(decAvg.as("tavg"))
     val glob = e.agg(decAvg.as("gavg"))
     val deltas = per.crossJoin(broadcast(glob))
@@ -252,11 +253,11 @@ object RelationalQueries {
     */
   private val o50: Q = (s, d) => {
     val c = Tables.customer(s, d)
-    val sx = sum(col("c_acctbal").cast("decimal(28,4)")).cast("double")
-    val sxx = sum((col("c_acctbal") * col("c_acctbal")).cast("decimal(28,8)")).cast("double")
+    val sx = ssum4(col("c_acctbal"))
+    val sxx = ssum4(col("c_acctbal") * col("c_acctbal"))
     val n = count(lit(1)).cast("double")
-    // μ and σ_pop from exact decimal sums (same closed form as o35) so the
-    // broadcast stats are bit-identical across engines
+    // μ and σ_pop from exact scaled-BIGINT sums (same closed form as o35)
+    // so the broadcast stats are bit-identical across engines
     val stats = c.agg((sx / n).as("mu"), sqrt(greatest((sxx - sx * sx / n) / n, lit(0.0))).as("sigma"))
     c.crossJoin(broadcast(stats))
       .select(col("c_custkey"),
@@ -377,27 +378,27 @@ object RelationalQueries {
         |       ntile(3) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) AS act
         |FROM lineitem""".stripMargin,
     "o34_group_mean" ->
-      """SELECT l_returnflag, l_linestatus,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
-        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      s"""SELECT l_returnflag, l_linestatus,
+        |       ${ssum4Sql("l_quantity")} AS sum_qty,
+        |       round(${ssum4Sql("l_quantity")} / count(*), 4) AS avg_qty,
+        |       ${ssum4Sql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
         |       count(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "o35_group_stddev" ->
-      """SELECT l_returnflag,
+      s"""SELECT l_returnflag,
         |       round(sqrt(greatest((sxx - sx*sx/n) / (n - 1), 0.0)), 4) AS std_qty,
         |       round(sqrt(greatest((sxx - sx*sx/n) / n, 0.0)), 4) AS stdp_qty,
         |       CAST(n AS BIGINT) AS n
         |FROM (
         |  SELECT l_returnflag,
-        |         CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
-        |         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+        |         ${ssum4Sql("l_quantity")} AS sx,
+        |         ${ssum4Sql("l_quantity * l_quantity")} AS sxx,
         |         CAST(count(*) AS DOUBLE) AS n
         |  FROM lineitem GROUP BY l_returnflag)""".stripMargin,
     "o36_global_mean" ->
-      """SELECT round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
-        |       round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
-        |       round(CAST(sum(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_tax
+      s"""SELECT round(${ssum4Sql("l_quantity")} / count(*), 4) AS avg_qty,
+        |       round(${ssum4Sql("l_discount")} / count(*), 4) AS avg_disc,
+        |       round(${ssum4Sql("l_tax")} / count(*), 4) AS avg_tax
         |FROM lineitem""".stripMargin,
     "o38_count_per_group" ->
       "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus",
@@ -413,8 +414,8 @@ object RelationalQueries {
       """SELECT o_orderkey, l_linenumber, o_orderstatus, l_quantity
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
     "o44_join_star" ->
-      """SELECT r_name, count(*) AS n_cust,
-        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_bal
+      s"""SELECT r_name, count(*) AS n_cust,
+        |       round(${ssum4Sql("c_acctbal")} / count(*), 4) AS avg_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
@@ -436,23 +437,23 @@ object RelationalQueries {
         |  FROM customer)
         |WHERE rk <= 5""".stripMargin,
     "o48_centroid_delta" ->
-      """SELECT event_type, delta,
+      s"""SELECT event_type, delta,
         |       row_number() OVER (ORDER BY delta DESC, event_type) AS rk_desc
         |FROM (
         |  SELECT event_type,
-        |         round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*)
-        |               - (SELECT CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) FROM events), 4) + 0.0 AS delta
+        |         round(${ssum4Sql("value")} / count(*)
+        |               - (SELECT ${ssum4Sql("value")} / count(*) FROM events), 4) + 0.0 AS delta
         |  FROM events GROUP BY event_type)""".stripMargin,
     "o49_head_n" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
     "o50_zscore" ->
-      """SELECT c_custkey, round((c_acctbal - mu) / sigma, 4) + 0.0 AS z
+      s"""SELECT c_custkey, round((c_acctbal - mu) / sigma, 4) + 0.0 AS z
         |FROM customer, (
         |  SELECT sx/n AS mu, sqrt(greatest((sxx - sx*sx/n) / n, 0.0)) AS sigma
         |  FROM (
-        |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS sx,
-        |           CAST(sum(CAST(c_acctbal * c_acctbal AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+        |    SELECT ${ssum4Sql("c_acctbal")} AS sx,
+        |           ${ssum4Sql("c_acctbal * c_acctbal")} AS sxx,
         |           CAST(count(*) AS DOUBLE) AS n
         |    FROM customer))""".stripMargin,
     "q_sessionize" ->

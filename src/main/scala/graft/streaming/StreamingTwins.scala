@@ -87,6 +87,35 @@ object StreamingTwins {
     runToTable(sessionizeDS(events).toDF(), "append")
   }
 
+  /** Durable resumable dedup — the engine analogue of the reference's
+    * offset/resume bookkeeping (settings.py:39-42 offset config;
+    * preprocessing_agent.py:388-397 skip-already-processed): file-source
+    * offsets AND the dropDuplicates key state live in `checkpointDir`, so
+    * a restarted query drains only files that arrived since the last run
+    * and never re-emits a key seen in an earlier run. `AvailableNow`
+    * drains the backlog and exits — the production catch-up pattern; a
+    * 24/7 deployment would only change the trigger.
+    *
+    * Exactly-once: the parquet file sink commits atomically per
+    * micro-batch via the checkpoint's commit log (memory sinks can't
+    * recover, which is why the oracle-checked twins above are
+    * correctness twins, not the durability surface).
+    */
+  def dedupUsersResumable(spark: SparkSession, inDir: String,
+      checkpointDir: String, outDir: String): Unit = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("user_id", LongType)))
+    val q = spark.readStream.schema(schema).parquet(inDir)
+      .dropDuplicates("user_id")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** The stateful core, reusable over any streaming Dataset[SessEvent]
     * (e.g. a MemoryStream in tests, Kafka in production).
     */

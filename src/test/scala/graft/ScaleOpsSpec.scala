@@ -105,4 +105,26 @@ class ScaleOpsSpec extends SparkSpec {
         s"got ${out.toSeq}")
     } finally q.stop()
   }
+
+  test("checkpointed dedup survives a stop/restart: offsets and key state carry") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_resume_").toString
+    val (in, ckpt, out) = (s"$base/in", s"$base/ckpt", s"$base/out")
+    import spark.implicits._
+
+    // run 1: users 1,2,3 (flat part files — the file source lists inDir)
+    Seq(1L, 2L, 3L).toDF("user_id").coalesce(1).write.mode("append").parquet(in)
+    StreamingTwins.dedupUsersResumable(spark, in, ckpt, out)
+    assert(spark.read.parquet(out).count() == 3)
+
+    // stop (query exited via AvailableNow); new file arrives: 2,3 again + 4
+    Seq(2L, 3L, 4L).toDF("user_id").coalesce(1).write.mode("append").parquet(in)
+    // restart from the SAME checkpoint — must read ONLY batch2 (source
+    // offsets carried) and emit ONLY user 4 (dedup key state carried)
+    StreamingTwins.dedupUsersResumable(spark, in, ckpt, out)
+
+    val rows = spark.read.parquet(out).as[Long].collect().sorted.toSeq
+    assert(rows == Seq(1L, 2L, 3L, 4L),
+      s"state did not survive the restart (duplicates or losses): $rows")
+  }
 }

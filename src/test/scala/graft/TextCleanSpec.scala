@@ -48,6 +48,36 @@ class TextCleanSpec extends SparkSpec {
     assert(out.contains("hello there"), "real dialog was lost")
   }
 
+  test("fused cleanSubtitles == sequential tool chain (corpus + adversarial)") {
+    import org.apache.spark.sql.functions._
+    // the exact decoration TextQueries applies before cleaning
+    def deco(text: Column, id: Column): Column = concat(
+      lit("WEBVTT\n12\n00:01:23,456 --> 00:01:25,789\n"),
+      lit("[applause] (laughs) {music}\n"),
+      lit("JOHN: <i>Hello there...</i> -- \"quoted\" don’t\n"),
+      lit("<v Narrator>once upon a time\n"),
+      lit("- um Uh GONNA line one, okay!?\n"),
+      text, lit("\nJohn Smith: ep "), id.cast("string"), lit(" trailing;:"))
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { sf =>
+      val docs = Tables.documents(spark, sf)
+        .select(deco(col("text"), col("doc_id")).as("raw"))
+      val diff = docs.filter(
+        cleanSubtitles(col("raw")) =!= cleanSubtitlesSequential(col("raw"))).count()
+      assert(diff == 0, s"fused pipeline diverges from sequential on $sf")
+    }
+    // shapes the corpus may not cover: interleaved brackets, dash/ellipsis
+    // interleave, edge-whitespace labels, digit-joined timestamp lines
+    Seq(
+      "(a[b)c]d)", "a-..-b", "  JOHN: hi\nplain", "\n SAM : yo",
+      "12\n1200:00:01,000 --> 00:00:02,00034\ntext",
+      "[(nested]) {curly[}] done", "...---...", "um5 uh6 gonna7")
+      .foreach { s =>
+        val fused = evalStr(cleanSubtitles(lit(s)))
+        val seq = evalStr(cleanSubtitlesSequential(lit(s)))
+        assert(fused == seq, s"diverges on ${s.take(40)}: '$fused' vs '$seq'")
+      }
+  }
+
   test("title/year split with 1800 fallback (scraper.py:85-88)") {
     assert(evalStr(titleOf(lit("The Matrix (1999)"))) == "The Matrix")
     assert(evalStr(yearOf(lit("The Matrix (1999)"))) == "1999")
