@@ -64,14 +64,17 @@ object TreeOps {
   /** DFS-preorder flattening with deterministic ids: root = 1, children
     * numbered in traversal order — replaces the reference's two-phase
     * "flush for a serial id, then fix the path" trick (graph_repo.py:75-84)
-    * with reproducible arithmetic. Node names use the reference's
-    * deterministic fallback scheme `{parent}_Subgroup_{i}`
-    * (clustering/utils.py:130); the root is 'All movies'
-    * (graph_repo.py:40-44).
+    * with reproducible arithmetic. Node names come from the pluggable
+    * [[Naming.Namer]] via the validate→retry(≤5)→fallback loop
+    * (clustering/utils.py:76-130); the default [[Naming.DeterministicNamer]]
+    * yields the reference's fallback scheme `{parent}_Subgroup_{i}`
+    * (clustering/utils.py:130), so default builds are reproducible. The
+    * root is 'All movies' (graph_repo.py:40-44).
     *
     * Returns (graph rows, micro-cluster → owning-leaf-node id).
     */
-  def flatten(root: TNode): (Seq[GraphRow], Map[Int, Long]) = {
+  def flatten(root: TNode,
+      namer: Naming.Namer = Naming.DeterministicNamer): (Seq[GraphRow], Map[Int, Long]) = {
     val rows = Seq.newBuilder[GraphRow]
     val assign = Map.newBuilder[Int, Long]
     var nextId = 0L
@@ -83,8 +86,11 @@ object TreeOps {
       rows += GraphRow(id, path, name, if (n.children.isEmpty) "leaf" else n.tpe,
         n.children.size, depth, n.count, n.distance)
       if (n.children.isEmpty) n.clusters.foreach(c => assign += c -> id)
-      n.children.zipWithIndex.foreach { case (c, i) =>
-        walk(c, path, s"${name.replace(' ', '_')}_Subgroup_${i + 1}", depth + 1)
+      if (n.children.nonEmpty) {
+        val groups = n.children.map(c =>
+          Naming.NamingGroup(c.clusters.map(i => s"cluster_$i"), f"${c.distance}%.4f"))
+        val names = Naming.nameChildren(name, groups, namer)
+        n.children.lazyZip(names).foreach((c, nm) => walk(c, path, nm, depth + 1))
       }
     }
     walk(root, "", "All movies", 0)

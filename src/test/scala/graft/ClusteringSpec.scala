@@ -65,6 +65,58 @@ class ClusteringSpec extends SparkSpec {
     assert(assign.keySet == Set(0, 1, 2), "every micro-cluster assigned")
   }
 
+  test("namer loop: validate, retry up to 5, fall back (clustering/utils.py:76-130)") {
+    import graft.operators.clustering.Naming
+    import graft.operators.clustering.Naming.{Namer, NamingGroup}
+    val groups = Seq(NamingGroup(Seq("a"), "0.1"), NamingGroup(Seq("b"), "0.2"))
+
+    // fails twice (throw, then duplicates), succeeds on the third attempt
+    var calls = 0
+    val flaky = new Namer {
+      def propose(p: String, g: Seq[NamingGroup], attempt: Int): Seq[String] = {
+        calls += 1
+        attempt match {
+          case 0 => throw new RuntimeException("llm down")
+          case 1 => Seq("Same Name", "Same Name")
+          case _ => Seq("Dark Comedy", " Slow Burn ")
+        }
+      }
+    }
+    assert(Naming.nameChildren("All movies", groups, flaky) ==
+      Seq("Dark_Comedy", "Slow_Burn"))
+    assert(calls == 3, "must stop retrying once a proposal validates")
+
+    // never valid (5-word name) -> exhausts 5 attempts -> fallback scheme
+    val invalid = new Namer {
+      def propose(p: String, g: Seq[NamingGroup], attempt: Int): Seq[String] =
+        Seq("one two three four five", "ok name")
+    }
+    assert(Naming.nameChildren("All movies", groups, invalid) ==
+      Seq("All_movies_Subgroup_1", "All_movies_Subgroup_2"))
+
+    // wrong arity is a failed attempt too
+    val shortArity = new Namer {
+      def propose(p: String, g: Seq[NamingGroup], attempt: Int): Seq[String] = Seq("only one")
+    }
+    assert(Naming.nameChildren("P", groups, shortArity) ==
+      Seq("P_Subgroup_1", "P_Subgroup_2"))
+  }
+
+  test("flatten with a custom namer names children; default is unchanged") {
+    import graft.operators.clustering.Naming
+    val lf = (i: Int) => TreeOps.TNode("leaf", Seq(i), 2, 0.0, Nil)
+    val root = TreeOps.TNode("node", Seq(0, 1), 4, 1.0, Seq(lf(0), lf(1)))
+    val custom = new Naming.Namer {
+      def propose(p: String, g: Seq[Naming.NamingGroup], attempt: Int): Seq[String] =
+        g.indices.map(i => s"Theme $i")
+    }
+    val (rows, _) = TreeOps.flatten(root, custom)
+    assert(rows.map(_.name) == Seq("All movies", "Theme_0", "Theme_1"))
+    val (defRows, _) = TreeOps.flatten(root)
+    assert(defRows.map(_.name) ==
+      Seq("All movies", "All_movies_Subgroup_1", "All_movies_Subgroup_2"))
+  }
+
   test("graph build is deterministic across runs (seeded KMeans + Ward tie-breaks)") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 90).map { i =>

@@ -64,6 +64,15 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("q_serve_children_pruned: depth equality prunes the partitioned graph scan") {
+    val p = plan("q_serve_children_pruned")
+    // the GiST-index equivalent: the scan must carry a PartitionFilters
+    // entry with the literal depth equality, not a post-scan Filter only
+    val ok = "PartitionFilters: \\[[^\\]]*depth[^\\]]*=\\s*2".r
+      .findFirstIn(p).isDefined
+    assert(ok, s"no depth partition filter in scan:\n${p.take(1200)}")
+  }
+
   test("q_act_features: one shuffle on the group key, window + agg reuse it") {
     val p = plan("q_act_features")
     val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
