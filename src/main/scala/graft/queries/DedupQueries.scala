@@ -145,10 +145,11 @@ object DedupQueries {
   // ---- embedding-cosine near-dup with sign-LSH bucket blocking ----
   // 8 sign bits → 256 buckets, so the within-bucket pair count is
   // ~(n/256)²·256 = n²/256 instead of n²; norms are precomputed ONCE per
-  // vector (not per pair — that would triple the per-pair flops). At
-  // 100 TB you'd widen to r random hyperplanes + multi-probe; sign
-  // buckets keep the query deterministic for the oracle.
-  private val embedDup: Q = (s, d) => {
+  // vector (not per pair — that would triple the per-pair flops). Sign
+  // buckets keep the query deterministic for the oracle. Recall gap of
+  // single-probe (a near-dup whose perturbed dim flips one sign bit
+  // lands in a sibling bucket) is closed by `q_dedup_embed_mp` below.
+  private def bucketed(s: SparkSession, d: String): DataFrame = {
     val base = Tables.embeddings(s, d)
       .select(col("vec_id"), toDoubleArr(col("embedding")).as("e"))
     val mut = base.select((col("vec_id") + 100000L).as("vec_id"),
@@ -156,12 +157,37 @@ object DedupQueries {
     val bucket = (1 to 8).map(i =>
       when(element_at(col("e"), i) > 0, lit(1 << (8 - i))).otherwise(lit(0)))
       .reduce(_ + _)
-    val all = base.unionAll(mut)
+    base.unionAll(mut)
       .withColumn("nrm", norm2(col("e")))
       .withColumn("bucket", bucket)
       .persist() // both sides of the self-join; avoids recomputing norms
+  }
+
+  private val embedDup: Q = (s, d) => {
+    val all = bucketed(s, d)
     all.as("a").join(all.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(dotNative(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .filter(col("cos") >= 0.98)
+  }
+
+  // ---- multi-probe sign-LSH: probe own bucket + all 8 Hamming-1 ----
+  // The standard recall fix for sign-LSH blocking: a vector near a
+  // hyperplane can flip one sign bit under a tiny perturbation, so the
+  // pair lands in sibling buckets and single-probe misses it. Each
+  // vector probes its own bucket and the 8 one-bit-flipped neighbors —
+  // STILL an equi-join (explode to 9 (vec, probe_bucket) rows, shuffle
+  // on the bucket key), cost ×9 candidates, never n². A pair at
+  // Hamming ≤ 1 is found exactly once from the lower-id side (the probe
+  // relation is symmetric), so no post-join distinct is needed.
+  private val embedDupMp: Q = (s, d) => {
+    val all = bucketed(s, d)
+    val masks = 0 +: (0 to 7).map(1 << _)
+    val probes = all.select(col("vec_id"), col("e"), col("nrm"),
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("pbucket"))
+    probes.as("a").join(all.as("b"),
+        col("a.pbucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(dotNative(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
       .filter(col("cos") >= 0.98)
@@ -172,7 +198,8 @@ object DedupQueries {
     "q_dedup_minhash" -> minhash,
     "q_dedup_simhash" -> simhash,
     "q_dedup_jaccard" -> jaccard,
-    "q_dedup_embed" -> embedDup)
+    "q_dedup_embed" -> embedDup,
+    "q_dedup_embed_mp" -> embedDupMp)
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -234,6 +261,26 @@ object DedupQueries {
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |         round(${dotSql("a.e", "b.e")} / (a.nrm * b.nrm), 6) AS cos
          |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |WHERE cos >= 0.98""".stripMargin
+    },
+    "q_dedup_embed_mp" -> {
+      val e = s"(SELECT vec_id, ${toDoubleArrSql("embedding")} AS e FROM embeddings)"
+      val bucket = (1 to 8).map(i =>
+        s"CASE WHEN e[$i] > 0 THEN ${1 << (8 - i)} ELSE 0 END").mkString(" + ")
+      val masks = (0 +: (0 to 7).map(1 << _)).map(m => s"xor(bucket, $m)").mkString(", ")
+      s"""WITH base AS (
+         |  SELECT vec_id, e FROM $e
+         |  UNION ALL
+         |  SELECT vec_id+100000 AS vec_id, list_concat([e[1]+0.05], e[2:64]) AS e FROM $e),
+         |bk AS (
+         |  SELECT vec_id, e, ${norm2Sql("e")} AS nrm, ($bucket) AS bucket
+         |  FROM base),
+         |probes AS (
+         |  SELECT vec_id, e, nrm, unnest([$masks]) AS pbucket FROM bk)
+         |SELECT vec_a, vec_b, cos FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         round(${dotSql("a.e", "b.e")} / (a.nrm * b.nrm), 6) AS cos
+         |  FROM probes a JOIN bk b ON a.pbucket = b.bucket AND a.vec_id < b.vec_id)
          |WHERE cos >= 0.98""".stripMargin
     })
 }

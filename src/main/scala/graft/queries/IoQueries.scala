@@ -93,10 +93,11 @@ object IoQueries {
 
   /** O-7 JDBC sink + scan round trip (graph_repo.py:53-89 persistence,
     * minus the serial-id dance o07 replaces): write nation through
-    * `df.write.jdbc` into embedded Derby, read it back with
-    * `spark.read.jdbc`, prove values survived. Derby is in-process here;
-    * against a real server only the URL changes — partitioned reads
-    * would add (partitionColumn, numPartitions) bounds.
+    * `df.write.jdbc` into embedded Derby, read it back PARTITIONED on the
+    * key — `(partitionColumn, lowerBound, upperBound, numPartitions)`
+    * splits the table into 4 concurrent range queries, the scale shape
+    * for bulk JDBC ingest (Derby is in-process here; against a real
+    * server only the URL changes).
     */
   private val jdbc: Q = (s, d) => {
     val url = "jdbc:derby:" + Paths.get(sys.props("java.io.tmpdir"),
@@ -105,7 +106,9 @@ object IoQueries {
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
     Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
       .write.mode("overwrite").jdbc(url, "nation_t", props)
-    s.read.jdbc(url, "nation_t", props)
+    s.read.jdbc(url, "nation_t",
+        columnName = "n_nationkey", lowerBound = 0L, upperBound = 25L,
+        numPartitions = 4, connectionProperties = props)
       .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
         col("n_regionkey").cast("long").as("n_regionkey"))
   }

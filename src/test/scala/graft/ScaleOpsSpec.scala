@@ -106,6 +106,23 @@ class ScaleOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("multi-probe embed dedup: superset of single-probe, catches sign-flip pairs") {
+    val sf = "/root/testdata/sf0.001"
+    def pairs(q: String): Set[(Long, Long)] =
+      SparkEntry.queries(q)(spark, sf)
+        .select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs("q_dedup_embed")
+    val multi = pairs("q_dedup_embed_mp")
+    assert(single.subsetOf(multi),
+      "multi-probe must never lose a single-probe pair")
+    // the planted mutation (+0.05 on dim 1) flips sign bit 1 for vectors
+    // with e[1] in (-0.05, 0] — exactly the pairs single-probe misses;
+    // the corpus is large enough that some exist
+    assert(multi.size > single.size,
+      s"multi-probe found no extra pairs (single=${single.size}, multi=${multi.size})")
+  }
+
   test("checkpointed dedup survives a stop/restart: offsets and key state carry") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft_resume_").toString
