@@ -46,5 +46,6 @@ object SparkEntry {
     GraphQueries.clearCache()
     VectorQueries.clearCache()
     IoQueries.clearCache()
+    DedupQueries.clearCache()
   }
 }

@@ -16,9 +16,16 @@ import org.apache.spark.sql.functions._
   * bit for bit while staying in primitive whole-stage codegen.
   *
   * Headroom: |Σ x·1e4| must stay < 2⁶³ (values ≤1e6 → ~9e8 rows per
-  * group at worst); beyond that fall back to the decimal form. Both
-  * engine and oracle twins MUST use the same formula — the division is
-  * one IEEE op so lockstep twins are bit-identical.
+  * group at worst); beyond that fall back to the decimal form. SQUARED
+  * columns burn headroom quadratically — x ≈ 1e4 gives 1e12 per row and
+  * overflows at ~9e6 rows per group, so global aggregates of squares
+  * (o50) and full-precision metrics (softmax features in ActFeatures,
+  * which also need >4 dp) use DECIMAL(28,8) instead; ssum4 on squares is
+  * reserved for small bounded values like l_quantity (o35). Overflow is
+  * SILENT divergence (Spark sum(long) wraps, DuckDB promotes to
+  * HUGEINT) — pick the form by worst-case group size, not testdata.
+  * Both engine and oracle twins MUST use the same formula — the division
+  * is one IEEE op so lockstep twins are bit-identical.
   */
 object ExactAgg {
   /** Exact Σx for a ≤4-dp column, as DOUBLE (= decimal-sum cast double). */

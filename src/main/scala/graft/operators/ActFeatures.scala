@@ -66,11 +66,14 @@ object ActFeatures {
         count(when(col("_act") === a, lit(1))), roundTo)
       .as(s"${m}_act$a")
     val stdCols: Seq[Column] = metrics.map { m =>
-      // closed form over exact Σx / Σx² (same reasoning as the act
-      // means; metrics are ≤2 dp so squares are ≤4 dp, exact at 1e4);
+      // closed form over exact Σx (scaled BIGINT, quantized to 4 dp like
+      // the previous DECIMAL(18,4) cast) and Σx² (DECIMAL(28,8): callers
+      // pass full-precision metrics — E1 feeds raw softmax probabilities —
+      // so squares must keep 8 dp, and decimal also keeps the headroom
+      // rule for large-magnitude metrics like l_extendedprice);
       // groups have >= numActs >= 2 rows so n-1 >= 1
       val sx = ssum4(col(m))
-      val sxx = ssum4(col(m) * col(m))
+      val sxx = sum((col(m) * col(m)).cast("decimal(28,8)")).cast("double")
       val n = count(lit(1)).cast("double")
       round(sqrt(greatest((sxx - sx * sx / n) / (n - 1), lit(0.0))), roundTo).as(s"${m}_std")
     }
@@ -94,7 +97,7 @@ object ActFeatures {
       s" / count(CASE WHEN _act = $a THEN 1 END), $roundTo) AS ${m}_act$a"
     val stdCols = metrics.map { m =>
       val sx = ssum4Sql(m)
-      val sxx = ssum4Sql(s"$m * $m")
+      val sxx = s"CAST(sum(CAST($m * $m AS DECIMAL(28,8))) AS DOUBLE)"
       val n = "CAST(count(*) AS DOUBLE)"
       s"round(sqrt(greatest(($sxx - $sx*$sx/$n) / ($n - 1), 0.0)), $roundTo) AS ${m}_std"
     }

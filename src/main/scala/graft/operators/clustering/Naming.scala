@@ -61,10 +61,16 @@ object Naming {
     while (attempt < maxAttempts) {
       try {
         val names = namer.propose(parentName, groups, attempt)
+        // uniqueness is checked on the NORMALIZED forms: "Dark Comedy"
+        // and "Dark_Comedy" would otherwise pass raw-distinctness and
+        // collide into identical sibling names after normalization (the
+        // reference checks set(raw) — utils.py:118 — a latent collision
+        // this deliberately tightens)
+        val normalized = names.map(_.trim.replace(' ', '_'))
         if (names.size == groups.size &&
-            names.distinct.size == groups.size &&
+            normalized.distinct.size == groups.size &&
             names.forall(validName))
-          return names.map(_.trim.replace(' ', '_'))
+          return normalized
       } catch { case scala.util.control.NonFatal(_) => () }
       attempt += 1
     }

@@ -149,19 +149,32 @@ object DedupQueries {
   // buckets keep the query deterministic for the oracle. Recall gap of
   // single-probe (a near-dup whose perturbed dim flips one sign bit
   // lands in a sibling bucket) is closed by `q_dedup_embed_mp` below.
-  private def bucketed(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.embeddings(s, d)
-      .select(col("vec_id"), toDoubleArr(col("embedding")).as("e"))
-    val mut = base.select((col("vec_id") + 100000L).as("vec_id"),
-      concat(array(element_at(col("e"), 1) + lit(0.05)), slice(col("e"), 2, 63)).as("e"))
-    val bucket = (1 to 8).map(i =>
-      when(element_at(col("e"), i) > 0, lit(1 << (8 - i))).otherwise(lit(0)))
-      .reduce(_ + _)
-    base.unionAll(mut)
-      .withColumn("nrm", norm2(col("e")))
-      .withColumn("bucket", bucket)
-      .persist() // both sides of the self-join; avoids recomputing norms
+  // memoized per (session, dir): q_dedup_embed and q_dedup_embed_mp share
+  // ONE persisted copy of the normed+bucketed vectors instead of each
+  // caching their own (same pattern as GraphQueries.builtCache)
+  private val bucketedCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Drop memoized artifacts (bench cold-timing hook). */
+  def clearCache(): Unit = {
+    bucketedCache.values.foreach(df => df.unpersist())
+    bucketedCache.clear()
   }
+
+  private def bucketed(s: SparkSession, d: String): DataFrame =
+    bucketedCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d", {
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), toDoubleArr(col("embedding")).as("e"))
+      val mut = base.select((col("vec_id") + 100000L).as("vec_id"),
+        concat(array(element_at(col("e"), 1) + lit(0.05)), slice(col("e"), 2, 63)).as("e"))
+      val bucket = (1 to 8).map(i =>
+        when(element_at(col("e"), i) > 0, lit(1 << (8 - i))).otherwise(lit(0)))
+        .reduce(_ + _)
+      base.unionAll(mut)
+        .withColumn("nrm", norm2(col("e")))
+        .withColumn("bucket", bucket)
+        .persist() // both sides of both self-joins; avoids recomputing norms
+    })
 
   private val embedDup: Q = (s, d) => {
     val all = bucketed(s, d)

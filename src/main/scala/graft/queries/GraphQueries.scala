@@ -129,8 +129,11 @@ object GraphQueries {
     builtCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d",
       GraphBuild.build(Tables.embeddings(s, d), "vec_id", "embedding"))
 
-  /** Drop memoized build artifacts (bench cold-timing hook). */
-  def clearCache(): Unit = builtCache.clear()
+  /** Drop memoized build artifacts (bench cold-timing hook) — includes
+    * the depth-partitioned table memo so every bench rep pays the full
+    * build+write, keeping the every-rep-is-cold invariant.
+    */
+  def clearCache(): Unit = { builtCache.clear(); depthTblCache.clear() }
 
   /** O-52+O-53: the full KMeans→Ward→rebalance→flatten build (rows-only;
     * invariants — depth ≤ 5, member conservation, rollup counts — are

@@ -101,6 +101,8 @@ object RelationalQueries {
     */
   private val o35: Q = (s, d) => {
     val sx = ssum4(col("l_quantity"))
+    // squares via ssum4 are safe HERE: l_quantity is an integer ≤ 50, so
+    // x²·1e4 ≤ 2.5e7 per row → BIGINT holds ~3e11 rows per group
     val sxx = ssum4(col("l_quantity") * col("l_quantity"))
     val n = count(lit(1)).cast("double")
     Tables.lineitem(s, d).groupBy("l_returnflag").agg(
@@ -254,10 +256,13 @@ object RelationalQueries {
   private val o50: Q = (s, d) => {
     val c = Tables.customer(s, d)
     val sx = ssum4(col("c_acctbal"))
-    val sxx = ssum4(col("c_acctbal") * col("c_acctbal"))
+    // squares stay DECIMAL: c_acctbal² ≈ 1e8 → 1e12 per row at 1e4 scale,
+    // which overflows a BIGINT sum at ~9e6 rows in this GLOBAL aggregate —
+    // exactly the case ExactAgg's headroom rule sends to the decimal form
+    val sxx = sum((col("c_acctbal") * col("c_acctbal")).cast("decimal(28,8)")).cast("double")
     val n = count(lit(1)).cast("double")
-    // μ and σ_pop from exact scaled-BIGINT sums (same closed form as o35)
-    // so the broadcast stats are bit-identical across engines
+    // μ and σ_pop from exact order-independent sums (same closed form as
+    // o35) so the broadcast stats are bit-identical across engines
     val stats = c.agg((sx / n).as("mu"), sqrt(greatest((sxx - sx * sx / n) / n, lit(0.0))).as("sigma"))
     c.crossJoin(broadcast(stats))
       .select(col("c_custkey"),
@@ -453,7 +458,7 @@ object RelationalQueries {
         |  SELECT sx/n AS mu, sqrt(greatest((sxx - sx*sx/n) / n, 0.0)) AS sigma
         |  FROM (
         |    SELECT ${ssum4Sql("c_acctbal")} AS sx,
-        |           ${ssum4Sql("c_acctbal * c_acctbal")} AS sxx,
+        |           CAST(sum(CAST(c_acctbal * c_acctbal AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
         |           CAST(count(*) AS DOUBLE) AS n
         |    FROM customer))""".stripMargin,
     "q_sessionize" ->

@@ -30,6 +30,13 @@ object TextFiles {
     * its own local disk. The key is sanitized to `[A-Za-z0-9._-]` — a `/`
     * or other separator in a raw key would both break the write path and
     * defeat the `doc_(\d+)__([^/]+)` recovery regex on read.
+    *
+    * The sanitization is LOSSY BY DESIGN, mirroring the reference's own
+    * `Title_Year.txt` slugging (scraper.py `_save`: spaces → `_`): keys
+    * differing only in unsafe characters collide, and a read-back
+    * recovers the slug, not the original. The lossless round-trip
+    * contract (o02) therefore requires filename-safe keys; keys that
+    * need exact recovery belong in a columnar sink, not filenames.
     */
   def writeTextFiles(df: DataFrame, idCol: String, keyCol: String,
       textCol: String, outDir: String): Unit = {

@@ -104,12 +104,18 @@ private[ingest] class IngestScanBuilder(options: CaseInsensitiveStringMap)
     required = StructType(PagedIngestSource.fullSchema
       .filter(f => requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = IngestScan(
-    startPage = options.getLong("startPage", 1L),
-    endPage = options.getLong("endPage", 10L),
-    perPage = options.getLong("perPage", 20L),
-    numPartitions = options.getInt("numPartitions", 4),
-    required)
+  override def build(): Scan = {
+    val numPartitions = options.getInt("numPartitions", 4)
+    val perPage = options.getLong("perPage", 20L)
+    require(numPartitions > 0, s"numPartitions must be positive, got $numPartitions")
+    require(perPage > 0, s"perPage must be positive, got $perPage")
+    IngestScan(
+      startPage = options.getLong("startPage", 1L),
+      endPage = options.getLong("endPage", 10L),
+      perPage = perPage,
+      numPartitions = numPartitions,
+      required)
+  }
 }
 
 private[ingest] case class IngestScan(startPage: Long, endPage: Long,

@@ -116,11 +116,28 @@ class ScaleOpsSpec extends SparkSpec {
     val multi = pairs("q_dedup_embed_mp")
     assert(single.subsetOf(multi),
       "multi-probe must never lose a single-probe pair")
-    // the planted mutation (+0.05 on dim 1) flips sign bit 1 for vectors
-    // with e[1] in (-0.05, 0] — exactly the pairs single-probe misses;
-    // the corpus is large enough that some exist
-    assert(multi.size > single.size,
-      s"multi-probe found no extra pairs (single=${single.size}, multi=${multi.size})")
+    // derive the expected misses from the data rather than corpus luck:
+    // the planted +0.05 mutation flips sign bit 1 exactly for vectors
+    // with e[1] in (-0.05, 0]; each such (vec, vec+100000) pair that
+    // still clears the (rounded) cosine threshold lands in sibling
+    // buckets — invisible to single-probe, found by Hamming-1 probing
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorOps
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("e"))
+      .withColumn("m",
+        concat(array(element_at(col("e"), 1) + lit(0.05)), slice(col("e"), 2, 63)))
+      .withColumn("cos", round(
+        VectorOps.dot(col("e"), col("m")) / (VectorOps.norm2(col("e")) * VectorOps.norm2(col("m"))), 6))
+    val expectedMisses = e
+      .filter(element_at(col("e"), 1) > -0.05 && element_at(col("e"), 1) <= 0 &&
+        col("cos") >= 0.98)
+      .select("vec_id").collect().map(r => (r.getLong(0), r.getLong(0) + 100000L)).toSet
+    assert(expectedMisses.nonEmpty, "corpus has no boundary pairs — test is vacuous")
+    expectedMisses.foreach { p =>
+      assert(!single.contains(p), s"single-probe unexpectedly found sibling-bucket pair $p")
+      assert(multi.contains(p), s"multi-probe missed Hamming-1 pair $p")
+    }
   }
 
   test("checkpointed dedup survives a stop/restart: offsets and key state carry") {
