@@ -206,13 +206,42 @@ object DedupQueries {
       .filter(col("cos") >= 0.98)
   }
 
+  // ---- duplicate-GROUP resolution: pairs → components → keeper ----
+  // Pairwise dedup output (exact/minhash/jaccard/embed above) is only
+  // half the operator a training-data pipeline needs: keep-one-per-group
+  // requires the transitive closure of the pair relation (A~B, B~C ⇒
+  // {A,B,C} is ONE group with one keeper). That is connected components —
+  // run with GraphX Pregel, the scale-correct form (iterative label
+  // propagation over partitioned edges; nothing driver-side). The
+  // declared query runs CC over a deterministic chain relation
+  // (doc_id → doc_id+1 within runs of 10, ~10 Pregel supersteps) so the
+  // DuckDB oracle can replay the closure with a recursive CTE; in
+  // production the edge input is any pair generator above.
+  private val ccGroups: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val edges = docs.filter(pmod(col("doc_id"), lit(10)) =!= 9)
+      .select(col("doc_id").as("src"), (col("doc_id") + 1L).as("dst"))
+      .join(docs.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst"))
+    val vRDD = docs.as[Long].rdd.map(id => (id, ()))
+    val eRDD = edges.as[(Long, Long)].rdd
+      .map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
+    val g = org.apache.spark.graphx.Graph(vRDD, eRDD, ())
+    // GraphX CC labels every vertex with the smallest vertex id reachable
+    // — exactly the deterministic "keeper = min doc_id in group" rule
+    g.connectedComponents().vertices.toDF("doc_id", "keeper")
+      .select(col("doc_id"), col("keeper").cast("long").as("keeper"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> exact,
     "q_dedup_minhash" -> minhash,
     "q_dedup_simhash" -> simhash,
     "q_dedup_jaccard" -> jaccard,
     "q_dedup_embed" -> embedDup,
-    "q_dedup_embed_mp" -> embedDupMp)
+    "q_dedup_embed_mp" -> embedDupMp,
+    "q_dedup_cc" -> ccGroups)
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -295,5 +324,18 @@ object DedupQueries {
          |         round(${dotSql("a.e", "b.e")} / (a.nrm * b.nrm), 6) AS cos
          |  FROM probes a JOIN bk b ON a.pbucket = b.bucket AND a.vec_id < b.vec_id)
          |WHERE cos >= 0.98""".stripMargin
-    })
+    },
+    "q_dedup_cc" ->
+      """WITH RECURSIVE und AS (
+        |  SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+        |  WHERE doc_id % 10 <> 9 AND doc_id + 1 IN (SELECT doc_id FROM documents)
+        |  UNION
+        |  SELECT doc_id + 1 AS a, doc_id AS b FROM documents
+        |  WHERE doc_id % 10 <> 9 AND doc_id + 1 IN (SELECT doc_id FROM documents)),
+        |reach(a, b) AS (
+        |  SELECT doc_id AS a, doc_id AS b FROM documents
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+        |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS keeper
+        |FROM reach GROUP BY a""".stripMargin)
 }
