@@ -118,7 +118,28 @@ object ExtendedQueries {
         sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total"))
   }
 
+  /** Exact per-group DISCRETE quantiles (p50/p90/p99): the row at ordinal
+    * ceil(p·n) in (value, event_id) order — pure integer index semantics,
+    * so unlike interpolated percentile_cont (engine-specific FP
+    * interpolation) the result is a real data value and hash-stable
+    * cross-engine. Scale: one partitioned window per group (no global
+    * window) + a broadcast 3-row quantile frame; the approximate
+    * alternative at 100 TB is percentile_approx, traded here for
+    * exactness the oracle can check.
+    */
+  private val quantQ: Q = (s, d) => {
+    import s.implicits._
+    val byType = Window.partitionBy("event_type")
+    val e = Tables.events(s, d)
+      .withColumn("rn", row_number().over(byType.orderBy(col("value"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(byType))
+    e.crossJoin(broadcast(Seq(50L, 90L, 99L).toDF("p_bp")))
+      .filter(expr("rn = (p_bp * n + 99) DIV 100"))
+      .select(col("event_type"), col("p_bp"), col("value").as("q_value"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_quantiles" -> quantQ,
     "q_rollup" -> rollupQ,
     "q_cube" -> cubeQ,
     "q_moving_avg" -> movingQ,
@@ -127,6 +148,15 @@ object ExtendedQueries {
     "q_bucketed_join" -> bucketedQ)
 
   val oracle: Map[String, String] = Map(
+    "q_quantiles" ->
+      """WITH r AS (
+        |  SELECT event_type, value, event_id,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, CAST(p_bp AS BIGINT) AS p_bp, value AS q_value
+        |FROM r CROSS JOIN (SELECT unnest([50, 90, 99]) AS p_bp) p
+        |WHERE rn = (p_bp * n + 99) // 100""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type,
         |       coalesce(bucket, -1) AS bucket, n, sum_value
