@@ -94,13 +94,33 @@ object TextAnalyticsQueries {
         i => md5(concat_ws(" ", slice(toks, i, lit(3)))))).as("min_shingle"))
   }
 
+  // ---- deterministic train/val/test split (80/10/10) ----
+  // Every training pipeline needs a reproducible split that is stable
+  // under re-partitioning, re-ordering, and incremental arrival — so the
+  // assignment must be a pure function of the KEY, never rand() or
+  // row position. Bucket = Knuth multiplicative hash (doc_id·2654435761
+  // mod 2³²) mod 100 — pure integer arithmetic, identical in any engine,
+  // embarrassingly parallel, and a stateless per-row expression at
+  // 100 TB. Emitted as per-(source, split) counts + id range so the
+  // oracle checks the whole assignment, not a sample.
+  private val splitQ: Q = (s, d) => {
+    val bucket = pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(100))
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "o31_char_chunks" -> o31,
     "o32_token_windows" -> o32,
     "q_token_count" -> tokCount,
     "q_lang_id" -> langIdQ,
     "q_quality_score" -> quality,
-    "q_fingerprint" -> fingerprint)
+    "q_fingerprint" -> fingerprint,
+    "q_data_split" -> splitQ)
 
   val oracle: Map[String, String] = Map(
     "o31_char_chunks" ->
@@ -156,5 +176,15 @@ object TextAnalyticsQueries {
         |       list_min(list_transform(
         |         generate_series(1, greatest(len(string_split(text, ' '))-2, 1)),
         |         i -> md5(array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS min_shingle
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "q_data_split" ->
+      """SELECT source, split, count(*) AS n,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM (
+        |  SELECT source, doc_id,
+        |         CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+        |              WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents)
+        |GROUP BY source, split""".stripMargin)
 }
