@@ -113,7 +113,37 @@ object TextAnalyticsQueries {
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
   }
 
+  // ---- PII scrubbing: redact emails / URLs / phones / IPv4s ----
+  // A standard pre-training cleaning step: replace each PII class with a
+  // typed token and count what was removed (the counts feed corpus
+  // audits). Stateless per-row regex chain — same scale shape as the
+  // subtitle cleaners; patterns stay in the RE2 ∩ java.util.regex
+  // subset. The word-soup corpus has no PII, so the input is decorated
+  // with deterministic doc_id-derived PII in BOTH engines (the
+  // TextQueries convention) — the redaction genuinely fires on every row.
+  private val urlPat = "https?://[^\\s]+"
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phonePat = "\\+\\d[\\d -]{6,}\\d"
+  private val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  private val pii: Q = (s, d) => {
+    val raw = concat(col("text"),
+      lit(" Contact user"), col("doc_id"), lit("@example.com or https://example.org/doc/"),
+      col("doc_id"), lit(" tel +1 555-867-5309 ip 10.0."),
+      pmod(col("doc_id"), lit(256)), lit(".7"))
+    def cnt(pat: String) =
+      size(regexp_extract_all(raw, lit(pat), lit(0))).cast("long")
+    // URL first: an email-shaped substring inside a URL must scrub as URL
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      raw, urlPat, "<URL>"), emailPat, "<EMAIL>"), phonePat, "<PHONE>"), ipPat, "<IP>")
+    Tables.documents(s, d).select(
+      col("doc_id"), cnt(urlPat).as("n_urls"), cnt(emailPat).as("n_emails"),
+      cnt(phonePat).as("n_phones"), cnt(ipPat).as("n_ips"),
+      scrubbed.as("scrubbed"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_pii_scrub" -> pii,
     "o31_char_chunks" -> o31,
     "o32_token_windows" -> o32,
     "q_token_count" -> tokCount,
@@ -177,6 +207,21 @@ object TextAnalyticsQueries {
         |         generate_series(1, greatest(len(string_split(text, ' '))-2, 1)),
         |         i -> md5(array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS min_shingle
         |FROM documents""".stripMargin,
+    "q_pii_scrub" -> {
+      val raw = "(text || ' Contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com or https://example.org/doc/' || CAST(doc_id AS VARCHAR) || " +
+        "' tel +1 555-867-5309 ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7')"
+      def cnt(pat: String) =
+        s"CAST(len(regexp_extract_all($raw, '$pat')) AS BIGINT)"
+      val scrubbed =
+        s"regexp_replace(regexp_replace(regexp_replace(regexp_replace($raw, " +
+          s"'$urlPat', '<URL>', 'g'), '$emailPat', '<EMAIL>', 'g'), " +
+          s"'$phonePat', '<PHONE>', 'g'), '$ipPat', '<IP>', 'g')"
+      s"""SELECT doc_id, ${cnt(urlPat)} AS n_urls, ${cnt(emailPat)} AS n_emails,
+         |       ${cnt(phonePat)} AS n_phones, ${cnt(ipPat)} AS n_ips,
+         |       $scrubbed AS scrubbed
+         |FROM documents""".stripMargin
+    },
     "q_data_split" ->
       """SELECT source, split, count(*) AS n,
         |       min(doc_id) AS min_id, max(doc_id) AS max_id
