@@ -142,7 +142,26 @@ object TextAnalyticsQueries {
       scrubbed.as("scrubbed"))
   }
 
+  // ---- repetition ratio (Gopher/C4-style quality filter) ----
+  // Repeated n-grams are the classic low-quality signal ("the the the",
+  // boilerplate loops): rep_bp = (trigrams − distinct trigrams)·1e4 /
+  // trigrams, integer basis points. Stateless per-row expression over
+  // the same 3-gram construction the dedup pack uses.
+  private val repetition: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    val grams = transform(
+      sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(3))))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(grams).cast("long").as("n_grams"),
+      size(array_distinct(grams)).cast("long").as("n_distinct"))
+      .withColumn("rep_bp",
+        expr("((n_grams - n_distinct) * 10000) DIV greatest(n_grams, 1)"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_repetition" -> repetition,
     "q_pii_scrub" -> pii,
     "o31_char_chunks" -> o31,
     "o32_token_windows" -> o32,
@@ -207,6 +226,19 @@ object TextAnalyticsQueries {
         |         generate_series(1, greatest(len(string_split(text, ' '))-2, 1)),
         |         i -> md5(array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS min_shingle
         |FROM documents""".stripMargin,
+    "q_repetition" ->
+      """SELECT doc_id, n_grams, n_distinct,
+        |       ((n_grams - n_distinct) * 10000) // greatest(n_grams, 1) AS rep_bp
+        |FROM (
+        |  SELECT doc_id,
+        |         CAST(len(grams) AS BIGINT) AS n_grams,
+        |         CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct
+        |  FROM (
+        |    SELECT doc_id,
+        |           list_transform(
+        |             generate_series(1, greatest(len(string_split(text, ' '))-2, 1)),
+        |             i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')) AS grams
+        |    FROM documents))""".stripMargin,
     "q_pii_scrub" -> {
       val raw = "(text || ' Contact user' || CAST(doc_id AS VARCHAR) || " +
         "'@example.com or https://example.org/doc/' || CAST(doc_id AS VARCHAR) || " +
