@@ -20,6 +20,7 @@ object SparkEntry {
       (TextAnalyticsQueries.queries, TextAnalyticsQueries.oracle),
       (VectorQueries.queries, VectorQueries.oracle),
       (DedupQueries.queries, DedupQueries.oracle),
+      (CorpusQueries.queries, CorpusQueries.oracle),
       (GraphQueries.queries, GraphQueries.oracle),
       (IoQueries.queries, IoQueries.oracle),
       (ExtendedQueries.queries, ExtendedQueries.oracle))

@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-curation operators for the training-data pipeline (builder
+  * brief, round 5): train/test decontamination, balanced per-group
+  * sampling, distinctive-term extraction (integer TF-IDF), and int8
+  * embedding quantization. All oracle-checked.
+  *
+  * Scale designs:
+  *  - decontamination is the Jaccard inverted-index shape (shuffle on
+  *    shingle, df-capped — never n², no hot keys), restricted to
+  *    train×test pairs;
+  *  - sampling and quantization are stateless per-row expressions (the
+  *    sample rank is a per-group window, partitioned by the group key);
+  *  - TF-IDF is two map-side-combined aggregations + an equi-join on
+  *    term + a WindowGroupLimit top-k.
+  */
+object CorpusQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // Knuth multiplicative key hash — the same deterministic assignment
+  // q_data_split uses: stable under repartitioning/reordering, pure
+  // integer arithmetic, identical in any engine.
+  private def knuth(c: org.apache.spark.sql.Column) =
+    pmod(c * lit(2654435761L), lit(4294967296L))
+
+  // ---- train/test decontamination via rare-shingle overlap ----
+  // The standard pre-training hygiene step: a training document that
+  // shares rare n-grams with an eval/test document leaks the benchmark.
+  // Corpus = documents ∪ deterministic mutated copies (the DedupQueries
+  // convention — the word-soup corpus has no natural near-dups, so the
+  // planted copies give the overlap join real cross-split pairs to
+  // find). Split assignment is the q_data_split bucket; candidates come
+  // from a df-capped shingle inverted index (df ≤ 10 drops the
+  // non-discriminative hot keys that both blow up the join and carry no
+  // contamination signal — same rationale as q_dedup_jaccard).
+  private val decontaminate: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val corpus = docs.unionAll(Tables.documents(s, d).select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      expr("substring(text, instr(text, ' ')+1)").as("text")))
+    val bucket = pmod(knuth(col("doc_id")), lit(100))
+    val toks = split(col("text"), " ")
+    // persisted: the capped shingle table feeds df stats AND both sides
+    // of the train×test join; its explode+3-gram lineage dominates.
+    val allSh = corpus
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .select(col("doc_id"), col("split"),
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+          i => concat_ws(" ", slice(toks, i, lit(3)))))).as("sh"))
+      .persist()
+    val rare = allSh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 10).select("sh")
+    val sh = allSh.join(rare, Seq("sh")).persist()
+    sh.filter(col("split") === "train").as("a")
+      .join(sh.filter(col("split") === "test").as("b"), col("a.sh") === col("b.sh"))
+      .groupBy(col("a.doc_id").as("doc_id"))
+      .agg(countDistinct(col("a.sh")).as("n_shared"),
+        countDistinct(col("b.doc_id")).as("n_test_docs"))
+  }
+
+  // ---- balanced per-group sampling (cap each source at K docs) ----
+  // Corpus balancing: over-represented sources are down-sampled to a
+  // cap, deterministically — rank docs inside each source by the key
+  // hash (not rand(), not arrival order) and keep the first K. The rank
+  // is a PARTITIONED window (one shuffle on source), and membership is
+  // reproducible under re-partitioning and incremental arrival.
+  private val SampleCap = 20
+
+  private val sampleBalanced: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        row_number().over(
+          Window.partitionBy("source").orderBy(knuth(col("doc_id")), col("doc_id")))
+          .cast("long").as("rk"))
+      .filter(col("rk") <= SampleCap)
+
+  // ---- distinctive terms per source (integer TF-IDF top-10) ----
+  // score = tf·1e4 DIV df (integer basis points — ln-based idf would be
+  // a last-ulp libm lottery across engines; the integer surrogate ranks
+  // identically for fixed corpus size). Two aggregations over one
+  // persisted token table, equi-join on term, WindowGroupLimit top-k.
+  private val tfidfTerms: Q = (s, d) => {
+    // persisted: consumed by both the tf and df aggregations
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("tok"))
+      .persist()
+    val tf = toks.groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(df, Seq("tok"))
+      .withColumn("score_bp", expr("(tf*10000) DIV df"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("score_bp").desc, col("tok")))
+        .cast("long"))
+      .filter(col("rk") <= 10)
+      .select("source", "tok", "tf", "df", "score_bp", "rk")
+  }
+
+  // ---- int8 embedding quantization ----
+  // Training pipelines ship embeddings quantized (4× smaller, cheaper
+  // ANN): per-vector absmax scaling, q_i = round(x_i·127 / maxabs).
+  // Stateless per-row expression; the quantized vector is emitted as a
+  // comma-joined string so the oracle compare is exact-integer (both
+  // engines format INT identically). Every float→double widening is
+  // exact and the scalar ops are parenthesized identically in the twin,
+  // so the doubles agree bit-for-bit before the round.
+  private val embedQuantize: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("maxabs", array_max(transform(col("e"), x => abs(x))))
+      .filter(col("maxabs") > 0)
+      .select(col("vec_id"),
+        (round(col("maxabs"), 6) + 0.0).as("maxabs_r"),
+        concat_ws(",", transform(col("e"),
+          x => round((x * lit(127.0)) / col("maxabs"), 0).cast("int").cast("string"))).as("q8"))
+
+  val queries: Map[String, Q] = Map(
+    "q_decontaminate" -> decontaminate,
+    "q_sample_balanced" -> sampleBalanced,
+    "q_tfidf_terms" -> tfidfTerms,
+    "q_embed_quantize" -> embedQuantize)
+
+  val oracle: Map[String, String] = Map(
+    "q_decontaminate" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id+100000 AS doc_id, substr(text, instr(text, ' ')+1) AS text FROM documents),
+        |split AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+        |              WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM corpus),
+        |allsh AS (
+        |  SELECT doc_id, split,
+        |         unnest(list_distinct(list_transform(
+        |           generate_series(1, greatest(len(string_split(text, ' '))-2, 1)),
+        |           i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS sh
+        |  FROM split),
+        |rare AS (SELECT sh FROM allsh GROUP BY sh HAVING count(*) <= 10),
+        |sh AS (SELECT a.* FROM allsh a JOIN rare USING (sh))
+        |SELECT a.doc_id AS doc_id, count(DISTINCT a.sh) AS n_shared,
+        |       count(DISTINCT b.doc_id) AS n_test_docs
+        |FROM sh a JOIN sh b ON a.sh = b.sh AND a.split = 'train' AND b.split = 'test'
+        |GROUP BY a.doc_id""".stripMargin,
+    "q_sample_balanced" ->
+      s"""SELECT doc_id, source, rk FROM (
+         |  SELECT doc_id, source,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY source
+         |           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS BIGINT) AS rk
+         |  FROM documents)
+         |WHERE rk <= $SampleCap""".stripMargin,
+    "q_tfidf_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT source, tok, count(*) AS tf FROM toks GROUP BY source, tok),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok)
+        |SELECT source, tok, tf, df, score_bp, rk FROM (
+        |  SELECT source, tok, tf, df, (tf*10000) // df AS score_bp,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY source
+        |           ORDER BY (tf*10000) // df DESC, tok) AS BIGINT) AS rk
+        |  FROM tf JOIN df USING (tok))
+        |WHERE rk <= 10""".stripMargin,
+    "q_embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS maxabs FROM e)
+        |SELECT vec_id, round(maxabs, 6) + 0.0 AS maxabs_r,
+        |       array_to_string(list_transform(e,
+        |         x -> CAST(round((x * 127.0) / maxabs) AS INT)), ',') AS q8
+        |FROM m WHERE maxabs > 0""".stripMargin)
+}
