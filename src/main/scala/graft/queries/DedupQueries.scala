@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.VectorOps._
+import graft.operators.Chunker
 
 /** Deduplication pack for the training-data pipeline (builder brief):
   * exact, MinHash-LSH, SimHash, n-gram Jaccard, and embedding-cosine
@@ -206,6 +207,36 @@ object DedupQueries {
       .filter(col("cos") >= 0.98)
   }
 
+  // ---- chunk-level (paragraph) dedup / boilerplate-span mining ----
+  // C4-style sub-document dedup: documents are chunked (the O-31
+  // chunker), each span hashed, and spans whose hash recurs across the
+  // corpus are flagged — the operator that catches repeated boilerplate
+  // a whole-document hash never sees. Planted signal (word-soup corpus
+  // has none): a fixed 64-char boilerplate header on every doc (lands
+  // exactly on the first chunk boundary) + exact copies of every 5th
+  // doc. Scale shape: chunk → hash → ONE groupBy on the hash (map-side
+  // combined) → equi-join back; per-doc stats never leave the doc's
+  // partition group. No n² anywhere.
+  private val BoilerplateHdr =
+    "=== BOILERPLATE: subscribe to our newsletter for daily updates ="
+
+  private val chunkDup: Q = (s, d) => {
+    val withHdr = concat(lit(BoilerplateHdr), col("text")).as("text")
+    val docs = Tables.documents(s, d).select(col("doc_id"), withHdr)
+    val copies = Tables.documents(s, d).filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"), withHdr)
+    // persisted: the hashed-chunk table feeds the global hash counts AND
+    // the join back; its Generate lineage is the expensive part
+    val chunks = Chunker.chunkChars(docs.unionAll(copies), "text", 64, Seq("doc_id"))
+      .select(col("doc_id"), md5(col("chunk")).as("h")).persist()
+    val cnt = chunks.groupBy("h").agg(count(lit(1)).as("c"))
+    chunks.join(cnt, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_bp", expr("(n_dup * 10000) DIV n_chunks"))
+  }
+
   // ---- duplicate-GROUP resolution: pairs → components → keeper ----
   // Pairwise dedup output (exact/minhash/jaccard/embed above) is only
   // half the operator a training-data pipeline needs: keep-one-per-group
@@ -241,7 +272,8 @@ object DedupQueries {
     "q_dedup_jaccard" -> jaccard,
     "q_dedup_embed" -> embedDup,
     "q_dedup_embed_mp" -> embedDupMp,
-    "q_dedup_cc" -> ccGroups)
+    "q_dedup_cc" -> ccGroups,
+    "q_dedup_chunks" -> chunkDup)
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -325,6 +357,24 @@ object DedupQueries {
          |  FROM probes a JOIN bk b ON a.pbucket = b.bucket AND a.vec_id < b.vec_id)
          |WHERE cos >= 0.98""".stripMargin
     },
+    "q_dedup_chunks" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, '$BoilerplateHdr' || text AS text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id+200000 AS doc_id, '$BoilerplateHdr' || text AS text
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |chunks AS (
+         |  SELECT doc_id, md5(substr(text, CAST(chunk_id*64+1 AS INT), 64)) AS h FROM (
+         |    SELECT doc_id, text,
+         |           unnest(generate_series(0, CAST(greatest(ceil(length(text)/64.0), 1) AS BIGINT)-1)) AS chunk_id
+         |    FROM corpus)),
+         |cnt AS (SELECT h, CAST(count(*) AS BIGINT) AS c FROM chunks GROUP BY h)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |       (CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+         |         // CAST(count(*) AS BIGINT) AS dup_bp
+         |FROM chunks JOIN cnt USING (h)
+         |GROUP BY doc_id""".stripMargin,
     "q_dedup_cc" ->
       """WITH RECURSIVE und AS (
         |  SELECT doc_id AS a, doc_id + 1 AS b FROM documents

@@ -160,7 +160,33 @@ object TextAnalyticsQueries {
         expr("((n_grams - n_distinct) * 10000) DIV greatest(n_grams, 1)"))
   }
 
+  // ---- Gopher-style rule-based quality filter ----
+  // The classic pre-training document filter as a single stateless
+  // per-row expression: four rules, each an integer measure (basis /
+  // centi points — the ratio convention above), a fail BITMASK naming
+  // which rules rejected the doc (corpus audits need the why, not just
+  // the keep bit), and the keep flag. Rules (Gopher §A1.1 shapes, test
+  // thresholds): ≥5 tokens; mean word length 3–10 chars; symbol ratio
+  // ≤10%; ≥2 stopword hits.
+  private val gopher: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("nch", length(col("text")).cast("long"))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("nalpha", length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .withColumn("nsym", length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("long"))
+      .withColumn("n_stop", size(regexp_extract_all(col("text"), lit(stopPat), lit(0))).cast("long"))
+      .withColumn("mwl_cp", expr("(nalpha * 100) DIV greatest(n_tokens, 1)"))
+      .withColumn("sym_bp", expr("(nsym * 10000) DIV greatest(nch, 1)"))
+      .withColumn("fail_mask",
+        when(col("n_tokens") < 5, 1L).otherwise(0L)
+          + when(col("mwl_cp") < 300 || col("mwl_cp") > 1000, 2L).otherwise(0L)
+          + when(col("sym_bp") > 1000, 4L).otherwise(0L)
+          + when(col("n_stop") < 2, 8L).otherwise(0L))
+      .withColumn("keep", (col("fail_mask") === 0L).cast("int"))
+      .select("doc_id", "n_tokens", "mwl_cp", "sym_bp", "n_stop", "fail_mask", "keep")
+
   val queries: Map[String, Q] = Map(
+    "q_gopher_filter" -> gopher,
     "q_repetition" -> repetition,
     "q_pii_scrub" -> pii,
     "o31_char_chunks" -> o31,
@@ -172,6 +198,28 @@ object TextAnalyticsQueries {
     "q_data_split" -> splitQ)
 
   val oracle: Map[String, String] = Map(
+    "q_gopher_filter" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |         CAST(length(text) AS BIGINT) AS nch,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS nalpha,
+         |         CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS nsym,
+         |         CAST(len(regexp_extract_all(text, '$stopPat')) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, n_tokens, n_stop,
+         |         (nalpha * 100) // greatest(n_tokens, 1) AS mwl_cp,
+         |         (nsym * 10000) // greatest(nch, 1) AS sym_bp
+         |  FROM base)
+         |SELECT doc_id, n_tokens, mwl_cp, sym_bp, n_stop,
+         |       CAST(CASE WHEN n_tokens < 5 THEN 1 ELSE 0 END
+         |            + CASE WHEN mwl_cp < 300 OR mwl_cp > 1000 THEN 2 ELSE 0 END
+         |            + CASE WHEN sym_bp > 1000 THEN 4 ELSE 0 END
+         |            + CASE WHEN n_stop < 2 THEN 8 ELSE 0 END AS BIGINT) AS fail_mask,
+         |       CAST(CASE WHEN n_tokens >= 5 AND mwl_cp BETWEEN 300 AND 1000
+         |                  AND sym_bp <= 1000 AND n_stop >= 2 THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM m""".stripMargin,
     "o31_char_chunks" ->
       s"""SELECT doc_id, chunk_id, substr(text, CAST(chunk_id*$ChunkSize+1 AS INT), $ChunkSize) AS chunk FROM (
          |  SELECT doc_id, text,

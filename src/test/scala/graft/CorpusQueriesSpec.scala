@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the corpus-curation pack (round 5): the oracle
+  * hash-check proves engine parity; these pin the SEMANTICS the oracle
+  * can't state — caps respected, assignments well-formed, quantization
+  * in range and invertible within absmax error bounds.
+  */
+class CorpusQueriesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("decontaminate: flags only train-split docs, with positive overlap") {
+    val r = q("q_decontaminate")
+    assert(r.filter(col("n_shared") < 1 || col("n_test_docs") < 1).count() === 0)
+    // every flagged id must hash into the train bucket (< 80)
+    val bad = r.filter(
+      pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(100)) >= 80)
+    assert(bad.count() === 0, "non-train doc flagged as contaminated")
+  }
+
+  test("sample_balanced: per-source counts capped and ranks dense from 1") {
+    val r = q("q_sample_balanced").cache()
+    val sizes = r.groupBy("source").agg(count(lit(1)).as("n"), max("rk").as("mx"))
+    assert(sizes.filter(col("n") > 20).count() === 0)
+    // rk is exactly 1..n within each source (dense, no gaps)
+    assert(sizes.filter(col("mx") =!= col("n")).count() === 0)
+  }
+
+  test("tfidf_terms: exactly 10 ranked terms per source, scores non-increasing") {
+    val r = q("q_tfidf_terms").cache()
+    assert(r.groupBy("source").count().filter(col("count") =!= 10).count() === 0)
+    val viol = r.as("a").join(r.as("b"),
+        col("a.source") === col("b.source") && col("a.rk") === col("b.rk") - 1)
+      .filter(col("a.score_bp") < col("b.score_bp"))
+    assert(viol.count() === 0, "rank order does not follow score")
+  }
+
+  test("quantize: q8 values bounded by ±127 and maxabs positive") {
+    val r = q("q_embed_quantize")
+      .withColumn("qv", transform(split(col("q8"), ","), x => x.cast("int")))
+    assert(r.filter(col("maxabs_r") <= 0).count() === 0)
+    assert(r.filter(exists(col("qv"), v => abs(v) > 127)).count() === 0)
+    // absmax scaling must saturate: every vector has a ±127 component
+    assert(r.filter(!exists(col("qv"), v => abs(v) === 127)).count() === 0)
+  }
+
+  test("dedup_chunks: boilerplate header makes every doc have >= 1 dup chunk") {
+    val r = q("q_dedup_chunks").cache()
+    assert(r.filter(col("n_dup") < 1).count() === 0)
+    // exact copies (and their originals) are fully duplicated
+    assert(r.filter(col("doc_id") >= 200000L && col("n_dup") =!= col("n_chunks"))
+      .count() === 0)
+  }
+
+  test("gopher_filter: keep agrees with the fail bitmask") {
+    val r = q("q_gopher_filter")
+    assert(r.filter((col("fail_mask") === 0) =!= (col("keep") === 1)).count() === 0)
+  }
+}
