@@ -138,7 +138,45 @@ object ExtendedQueries {
       .select(col("event_type"), col("p_bp"), col("value").as("q_value"))
   }
 
+  /** RANGE (interval-containment) join: events × derived campaign
+    * periods, `ts BETWEEN start AND end`. A naive range join is a
+    * BroadcastNestedLoop/cartesian at scale; the scale-correct Spark
+    * shape is BUCKET + RESIDUAL: explode each period into the hour
+    * buckets it covers (bounded fan-out = interval length / bucket
+    * width), equi-join events on their hour bucket (hash-partitionable),
+    * then apply the exact bounds as a residual filter. The oracle is
+    * DuckDB's native BETWEEN join, so the bucket routing + residual must
+    * reproduce exact containment semantics.
+    *
+    * Timestamps: parquet TIMESTAMP(NANOS) → compare at µs (the asofQ
+    * rule — DuckDB truncates to µs on read); pmod-first floor division.
+    */
+  private val rangeQ: Q = (s, d) => {
+    val HrUs = 3600000000L
+    val ev = Tables.events(s, d)
+      .withColumn("ts_us", expr("(ts - pmod(ts, 1000L)) DIV 1000L"))
+      .withColumn("hb", expr(s"(ts_us - pmod(ts_us, ${HrUs}L)) DIV ${HrUs}L"))
+    val minHr = ev.agg(min(expr(s"ts_us - pmod(ts_us, ${HrUs}L)")).as("min_hr_us"))
+    // 10 deterministic 2.5-hour campaign periods, one every 5 hours,
+    // offset 30 min into the hour so the bucket bounds are NOT aligned —
+    // the residual predicate genuinely filters rows, proving the bucket
+    // join alone is not doing the work.
+    val periods = s.range(10).toDF("period_id")
+      .crossJoin(broadcast(minHr))
+      .withColumn("start_us", col("min_hr_us") + col("period_id") * (5 * HrUs) + lit(1800000000L))
+      .withColumn("end_us", col("start_us") + lit(9000000000L))
+      .withColumn("hb", explode(sequence(
+        expr(s"start_us DIV ${HrUs}L"), expr(s"end_us DIV ${HrUs}L"))))
+      .select("period_id", "start_us", "end_us", "hb")
+    ev.join(broadcast(periods), Seq("hb"))
+      .filter(col("ts_us") >= col("start_us") && col("ts_us") <= col("end_us"))
+      .groupBy("period_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_range_join" -> rangeQ,
     "q_quantiles" -> quantQ,
     "q_rollup" -> rollupQ,
     "q_cube" -> cubeQ,
@@ -148,6 +186,19 @@ object ExtendedQueries {
     "q_bucketed_join" -> bucketedQ)
 
   val oracle: Map[String, String] = Map(
+    "q_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+        |mn AS (SELECT min(ts_us - ts_us % 3600000000) AS min_hr_us FROM e),
+        |periods AS (
+        |  SELECT k AS period_id,
+        |         min_hr_us + k*5*3600000000 + 1800000000 AS start_us,
+        |         min_hr_us + k*5*3600000000 + 1800000000 + 9000000000 AS end_us
+        |  FROM (SELECT unnest(generate_series(0, 9)) AS k) CROSS JOIN mn)
+        |SELECT CAST(period_id AS BIGINT) AS period_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM periods p JOIN e ON e.ts_us BETWEEN p.start_us AND p.end_us
+        |GROUP BY period_id""".stripMargin,
     "q_quantiles" ->
       """WITH r AS (
         |  SELECT event_type, value, event_id,
