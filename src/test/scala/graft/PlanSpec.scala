@@ -78,4 +78,28 @@ class PlanSpec extends SparkSpec {
     val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
     assert(exchanges <= 2, s"expected <=2 exchanges, plan:\n${p.take(1200)}")
   }
+
+  test("q_tfidf_terms: top-k per source runs as WindowGroupLimit") {
+    assert(plan("q_tfidf_terms").contains("WindowGroupLimit"))
+  }
+
+  test("q_range_join: containment joins as a hash join on the bucket + residual") {
+    val p = plan("q_range_join")
+    // the whole point of the bucket + residual shape: the events-side
+    // containment join must be an EQUI (hash) join on the hour bucket
+    // carrying the exact bounds as its residual condition — a
+    // nested-loop over the events side would be the naive range-join
+    // scale bug. (The 1-row min-ts stats crossJoin planning as a
+    // BroadcastNestedLoop over 10 rows is the accepted stats-frame
+    // pattern, same as the other probe frames.)
+    val hashJoinWithResidual = p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin [hb") && l.contains("ts_us"))
+    assert(hashJoinWithResidual, p.take(1500))
+  }
+
+  test("q_decontaminate: candidate generation is an equi-join on the shingle") {
+    val p = plan("q_decontaminate")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "decontamination degraded to an all-pairs join")
+  }
 }
