@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.SkewJoin
 
 /** Extended relational surface (SURVEY §2.5/§2.6 "come free from Spark
   * built-ins"): rollup, anti join, and an as-of join — the ops the
@@ -175,7 +176,25 @@ object ExtendedQueries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Salted skew join, declared: events (fact) × event-type dim through
+    * [[SkewJoin.saltedJoin]] — the manual remedy for a hot key when the
+    * build side can't broadcast and AQE's runtime skew split doesn't
+    * apply (it only rewrites sort-merge joins). The salt spreads each
+    * key over 8 (key, salt) tasks; the oracle is the PLAIN join, so the
+    * hash check proves salting is result-invariant.
+    */
+  private val skewQ: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("event_type"), col("event_id"))
+    val dim = ev.select("event_type").distinct()
+      .withColumn("wt", length(col("event_type")).cast("long"))
+    SkewJoin.saltedJoin(ev, dim, "event_type", salts = 8,
+      Seq("event_type", "event_id"), Seq("wt"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), max(col("wt")).as("wt"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_skew_join" -> skewQ,
     "q_range_join" -> rangeQ,
     "q_quantiles" -> quantQ,
     "q_rollup" -> rollupQ,
@@ -186,6 +205,13 @@ object ExtendedQueries {
     "q_bucketed_join" -> bucketedQ)
 
   val oracle: Map[String, String] = Map(
+    "q_skew_join" ->
+      """SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(max(length(e.event_type)) AS BIGINT) AS wt
+        |FROM events e
+        |JOIN (SELECT DISTINCT event_type FROM events) d
+        |  ON e.event_type = d.event_type
+        |GROUP BY e.event_type""".stripMargin,
     "q_range_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
         |mn AS (SELECT min(ts_us - ts_us % 3600000000) AS min_hr_us FROM e),
