@@ -121,13 +121,74 @@ object CorpusQueries {
         concat_ws(",", transform(col("e"),
           x => round((x * lit(127.0)) / col("maxabs"), 0).cast("int").cast("string"))).as("q8"))
 
+  // ---- end-to-end curation pipeline (the curation E1) ----
+  // The full pre-training intake as ONE declared dataflow: quality
+  // filter (q_gopher_filter's rules) → exact dedup (keeper = min id)
+  // → deterministic split (q_data_split's bucket) → per-split audit
+  // counts. Each stage is the already-verified operator; this query
+  // proves they COMPOSE into a single Catalyst plan (no staging tables,
+  // no driver round-trips) — the shape a 100 TB intake job actually
+  // runs. One scan, two shuffles (dedup groupBy, split groupBy).
+  private val StopPat = "\\b(the|a|and|of|to|in)\\b"
+
+  private val curationPipeline: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .withColumn("nch", length(col("text")).cast("long"))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("nalpha", length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .withColumn("nsym", length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("long"))
+      .withColumn("n_stop",
+        size(regexp_extract_all(col("text"), lit(StopPat), lit(0))).cast("long"))
+    val kept = base.filter(
+      col("n_tokens") >= 5 &&
+        expr("(nalpha * 100) DIV greatest(n_tokens, 1)").between(300, 1000) &&
+        expr("(nsym * 10000) DIV greatest(nch, 1)") <= 1000 &&
+        col("n_stop") >= 2)
+    val deduped = kept.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("n_tokens"), col("doc_id")).as("n_tokens"))
+    val bucket = pmod(knuth(col("doc_id")), lit(100))
+    deduped
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_curation_pipeline" -> curationPipeline,
     "q_decontaminate" -> decontaminate,
     "q_sample_balanced" -> sampleBalanced,
     "q_tfidf_terms" -> tfidfTerms,
     "q_embed_quantize" -> embedQuantize)
 
   val oracle: Map[String, String] = Map(
+    "q_curation_pipeline" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |         CAST(length(text) AS BIGINT) AS nch,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS nalpha,
+         |         CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS nsym,
+         |         CAST(len(regexp_extract_all(text, '$StopPat')) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |kept AS (
+         |  SELECT doc_id, text, n_tokens FROM base
+         |  WHERE n_tokens >= 5
+         |    AND (nalpha * 100) // greatest(n_tokens, 1) BETWEEN 300 AND 1000
+         |    AND (nsym * 10000) // greatest(nch, 1) <= 1000
+         |    AND n_stop >= 2),
+         |deduped AS (
+         |  SELECT min(doc_id) AS doc_id, min_by(n_tokens, doc_id) AS n_tokens
+         |  FROM kept GROUP BY md5(text))
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM (
+         |  SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+         |              WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+         |              ELSE 'test' END AS split, n_tokens
+         |  FROM deduped)
+         |GROUP BY split""".stripMargin,
     "q_decontaminate" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
