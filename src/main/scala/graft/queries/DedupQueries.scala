@@ -71,11 +71,17 @@ object DedupQueries {
   // All 8 minhashes are computed as 8 min() aggregates in ONE pass over
   // the shingle table (map-side partial min, one shuffle on doc_id) —
   // exploding a seed column would multiply the shuffle volume ×8 for no
-  // reason. Bands then unpivot from the 8 signature columns (4 rows/doc).
+  // reason. The 8 hash views derive from ONE md5 per shingle (8 hex
+  // windows at stride 3 — md5's bits are uniformly mixed, so distinct
+  // windows order the shingle set near-independently): hashing was the
+  // dominant cost, and 8 separate seeded md5s bought nothing the
+  // windows don't (planted-pair recall stays 100%, tested). Bands then
+  // unpivot from the 8 signature columns (4 rows/doc).
   private val minhash: Q = (s, d) => {
     val seedAggs = (0 to 7).map(k =>
-      min(md5(concat(lit(s"${k}_"), col("sh")))).as(s"mh$k"))
-    val sig = shingles(corpus(s, d)).groupBy("doc_id")
+      min(substring(col("h"), 3 * k + 1, 8)).as(s"mh$k"))
+    val sig = shingles(corpus(s, d)).withColumn("h", md5(col("sh")))
+      .groupBy("doc_id")
       .agg(seedAggs.head, seedAggs.tail: _*)
     val bandCols = (0 to 3).map(b =>
       struct(lit(b.toLong).as("band"),
@@ -282,7 +288,7 @@ object DedupQueries {
         |      UNION ALL SELECT doc_id+200000 AS doc_id, text FROM documents)
         |GROUP BY md5(text)""".stripMargin,
     "q_dedup_minhash" -> {
-      val mins = (0 to 7).map(k => s"min(md5('${k}_' || sh)) AS mh$k").mkString(", ")
+      val mins = (0 to 7).map(k => s"min(substr(md5(sh), ${3 * k + 1}, 8)) AS mh$k").mkString(", ")
       val bandRows = (0 to 3).map(b =>
         s"SELECT doc_id, CAST($b AS BIGINT) AS band, " +
           s"md5(least(mh${2 * b}, mh${2 * b + 1}) || '|' || greatest(mh${2 * b}, mh${2 * b + 1})) AS bkey FROM sig")
