@@ -193,7 +193,42 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n_events"), max(col("wt")).as("wt"))
   }
 
+  /** PIVOT: per-user-bucket event counts, one column per event type.
+    * The value list is EXPLICIT (`pivot(col, values)`) — the two-pass
+    * "discover distinct values on the driver" form is a collect() the
+    * 100 TB path doesn't need when the domain is known. Missing
+    * (bucket, type) combos surface as null → coalesced to 0, matching
+    * the oracle's FILTERed counts.
+    */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private def pivoted(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("bucket", pmod(col("user_id"), lit(10)))
+      .groupBy("bucket")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+
+  private val pivotQ: Q = (s, d) => {
+    val p = pivoted(s, d)
+    p.select(col("bucket") +:
+      EventTypes.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+  }
+
+  /** UNPIVOT (melt): the pivot output folded back to long form —
+    * `unpivot` is the Spark 3.4+ built-in (a Catalyst Expand, per-row,
+    * no shuffle). The oracle is the PLAIN groupBy count, so the
+    * pivot→unpivot round-trip is proven lossless by hash equality.
+    */
+  private val unpivotQ: Q = (s, d) =>
+    pivoted(s, d)
+      .unpivot(Array(col("bucket")), EventTypes.map(col).toArray, "event_type", "n")
+      .filter(col("n").isNotNull && col("n") > 0)
+      .select(col("bucket"), col("event_type"), col("n"))
+
   val queries: Map[String, Q] = Map(
+    "q_pivot" -> pivotQ,
+    "q_unpivot" -> unpivotQ,
     "q_skew_join" -> skewQ,
     "q_range_join" -> rangeQ,
     "q_quantiles" -> quantQ,
@@ -205,6 +240,14 @@ object ExtendedQueries {
     "q_bucketed_join" -> bucketedQ)
 
   val oracle: Map[String, String] = Map(
+    "q_pivot" -> {
+      val cols = EventTypes.map(t =>
+        s"CAST(count(*) FILTER (event_type = '$t') AS BIGINT) AS n_$t").mkString(", ")
+      s"SELECT user_id % 10 AS bucket, $cols FROM events GROUP BY user_id % 10"
+    },
+    "q_unpivot" ->
+      """SELECT user_id % 10 AS bucket, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY user_id % 10, event_type""".stripMargin,
     "q_skew_join" ->
       """SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(max(length(e.event_type)) AS BIGINT) AS wt
