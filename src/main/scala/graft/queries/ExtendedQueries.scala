@@ -226,7 +226,32 @@ object ExtendedQueries {
       .filter(col("n").isNotNull && col("n") > 0)
       .select(col("bucket"), col("event_type"), col("n"))
 
+  /** Set operations: INTERSECT / EXCEPT (distinct semantics) — engine
+    * API surface the relational pack didn't cover. Spark plans both as
+    * aggregate + hash join (left-semi / left-anti over distinct), so
+    * they inherit the same shuffle shape as the joins. Converters
+    * buyers-and-clickers / clickers-never-buying, with a unique-key
+    * ORDER-independent output (plain user_id set).
+    */
+  private val intersectQ: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    ev.filter(col("event_type") === "click").select("user_id")
+      .intersect(ev.filter(col("event_type") === "purchase").select("user_id"))
+  }
+
+  private val exceptQ: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    // right side restricted to HIGH-VALUE purchasers — the unrestricted
+    // set contains every clicker in this data, which would make EXCEPT
+    // vacuously empty (a hash check that can't fail proves nothing)
+    ev.filter(col("event_type") === "click").select("user_id")
+      .except(ev.filter(col("event_type") === "purchase" && col("value") > 95)
+        .select("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_intersect" -> intersectQ,
+    "q_except" -> exceptQ,
     "q_pivot" -> pivotQ,
     "q_unpivot" -> unpivotQ,
     "q_skew_join" -> skewQ,
@@ -240,6 +265,14 @@ object ExtendedQueries {
     "q_bucketed_join" -> bucketedQ)
 
   val oracle: Map[String, String] = Map(
+    "q_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "q_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 95""".stripMargin,
     "q_pivot" -> {
       val cols = EventTypes.map(t =>
         s"CAST(count(*) FILTER (event_type = '$t') AS BIGINT) AS n_$t").mkString(", ")

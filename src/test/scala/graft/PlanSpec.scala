@@ -97,6 +97,14 @@ class PlanSpec extends SparkSpec {
     assert(hashJoinWithResidual, p.take(1500))
   }
 
+  test("q_curation_pipeline: one scan, bounded shuffles (composed, not staged)") {
+    val p = plan("q_curation_pipeline")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected a single documents scan, got $scans")
+    val exchanges = p.linesIterator.count(_.trim.contains("Exchange"))
+    assert(exchanges <= 4, s"expected <=4 exchanges (dedup + split aggs), got $exchanges")
+  }
+
   test("q_decontaminate: candidate generation is an equi-join on the shingle") {
     val p = plan("q_decontaminate")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
