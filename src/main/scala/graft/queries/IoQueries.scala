@@ -212,7 +212,27 @@ object IoQueries {
         col("decoded.height").as("height"), col("decoded.n_frames").as("n_frames"),
         col("decoded.n_sampled").as("n_sampled"))
 
+  /** Parquet sink + small-file compaction round trip: the engine's own
+    * storage format was the one sink without a declared write path. The
+    * write coalesces to 2 files — the compaction shape for the
+    * small-files problem (coalesce = no shuffle; at 100 TB you pick
+    * target_file_count = bytes / 128 MB per partition range). The
+    * read-back aggregate proves the compaction is content-lossless
+    * against the ORIGINAL table's oracle.
+    */
+  private val parquetCompact: Q = (s, d) => {
+    val out = Paths.get(sys.props("java.io.tmpdir"),
+      "graft_pqc_" + d.replaceAll("[^a-zA-Z0-9.]", "_")).toString
+    Tables.documents(s, d).coalesce(2).write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(length(col("text")).cast("long")).as("total_len"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_parquet_compact" -> parquetCompact,
     "o01_ingest_scrape" -> ingest,
     "q_e1_pipeline" -> e1,
     "q_multimodal_decode" -> mmDecode,
@@ -230,6 +250,11 @@ object IoQueries {
     "q_graphx_depth" -> graphxDepth)
 
   val oracle: Map[String, String] = Map(
+    "q_parquet_compact" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(sum(length(text)) AS BIGINT) AS total_len
+        |FROM documents GROUP BY source""".stripMargin,
     "o01_ingest_scrape" ->
       """SELECT page, slot, (page-1)*25 + slot AS movie_id,
         |       'Movie ' || CAST((page-1)*25 + slot AS VARCHAR) AS title,
