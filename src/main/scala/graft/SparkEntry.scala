@@ -23,7 +23,8 @@ object SparkEntry {
       (CorpusQueries.queries, CorpusQueries.oracle),
       (GraphQueries.queries, GraphQueries.oracle),
       (IoQueries.queries, IoQueries.oracle),
-      (ExtendedQueries.queries, ExtendedQueries.oracle))
+      (ExtendedQueries.queries, ExtendedQueries.oracle),
+      (IncrementalQueries.queries, IncrementalQueries.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Incremental-maintenance + ranking + sketch surface: the operations a
+  * corpus that is continuously REFRESHED (not rebuilt) needs — CDC-style
+  * merge, consecutive-row deltas, rank families, and mergeable
+  * cardinality sketches. The reference rebuilds its corpus from scratch
+  * per run (`src/backend/preprocessing/preprocessing_agent.py` batch
+  * loop); at 100 TB a rebuild is off the table and these are the
+  * operators that replace it.
+  */
+object IncrementalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** CDC MERGE (upsert): a deterministic changeset — status updates for
+    * keys ≡0 (mod 7), brand-new rows (negated keys) for keys ≡0
+    * (mod 13) — merged into the base via ONE full-outer hash/sort-merge
+    * join on the key + coalesce, the scale shape for merge-on-read: one
+    * shuffle each side, no driver state, and with both sides bucketed by
+    * the key (q_bucketed_join's layout) the Exchange disappears
+    * entirely. The oracle builds the same merged state as
+    * changes ∪ (base ⟕̸ changes), so hash equality proves the join+
+    * coalesce reproduces upsert semantics exactly.
+    */
+  private val mergeQ: Q = (s, d) => {
+    val base = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val updates = base.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit("U").as("u_status"),
+        col("o_totalprice").as("u_price"))
+    val inserts = base.filter(col("o_orderkey") % 13 === 0)
+      .select(negate(col("o_orderkey")).as("o_orderkey"),
+        lit("I").as("u_status"), col("o_totalprice").as("u_price"))
+    base.join(updates.unionByName(inserts), Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        coalesce(col("u_status"), col("o_orderstatus")).as("o_orderstatus"),
+        coalesce(col("u_price"), col("o_totalprice")).as("o_totalprice"))
+  }
+
+  /** LAG: per-user inter-event gap — the consecutive-row delta every
+    * sessionizer/funnel builds on, as a partitioned (never global)
+    * window. Compared at µs (the asof rule: DuckDB truncates the parquet
+    * TIMESTAMP(NANOS) to µs on read), pmod-first floor division, pure
+    * integer output.
+    */
+  private val gapsQ: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(s, d)
+      .withColumn("ts_us", expr("(ts - pmod(ts, 1000L)) DIV 1000L"))
+      .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(w))
+      .select("event_id", "user_id", "gap_us")
+  }
+
+  /** Rank family: top-100 users per event type by exact spend —
+    * rank/dense_rank/percent_rank over a partitioned window. The sort
+    * key is the scaled-BIGINT exact sum (ssum4 convention, undivided) so
+    * the ORDER ITSELF is cross-engine exact; rank values are functions
+    * of the key alone (no tie-break needed — ties share a rank, and the
+    * rnk≤100 cut keeps whole tie groups, a deterministic set).
+    * percent_rank is emitted in integer basis points ((rnk−1)·10⁴ DIV
+    * (n−1), all operands positive) instead of its native FP form.
+    */
+  private val rankQ: Q = (s, d) => {
+    val spend = Tables.events(s, d)
+      .groupBy("event_type", "user_id")
+      .agg(sum(round(col("value") * 10000).cast("long")).as("v4"))
+    val byType = Window.partitionBy("event_type")
+    val w = byType.orderBy(col("v4").desc)
+    spend
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(byType))
+      .filter(col("rnk") <= 100)
+      .select(col("event_type"), col("user_id"), col("v4"), col("rnk"),
+        col("drnk"),
+        expr("(rnk - 1) * 10000 DIV greatest(n - 1, 1)").as("pct_rank_bp"))
+  }
+
+  /** HLL cardinality sketch: approx_count_distinct (HyperLogLog++,
+    * rsd 2%) per group, checked against the exact count. At 100 TB the
+    * exact distinct is the expensive path (a second shuffle on the
+    * distinct key); the HLL sketch is one pass, mergeable across
+    * partitions, and constant-size. The estimator is engine-specific so
+    * the oracle pins the CONTRACT, not the estimate: the exact count
+    * hash-matches and `hll_ok` asserts the estimate landed within ±5%
+    * (2.5× the configured rsd).
+    */
+  private val approxQ: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("hll_ok"))
+
+  val queries: Map[String, Q] = Map(
+    "q_merge_upsert" -> mergeQ,
+    "q_event_gaps" -> gapsQ,
+    "q_rank_users" -> rankQ,
+    "q_approx_distinct" -> approxQ)
+
+  val oracle: Map[String, String] = Map(
+    "q_merge_upsert" ->
+      """WITH changes AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT -o_orderkey, 'I' AS o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 13 = 0)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM changes
+        |UNION ALL
+        |SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM changes c
+        |                  WHERE c.o_orderkey = o.o_orderkey)""".stripMargin,
+    "q_event_gaps" ->
+      """SELECT event_id, user_id,
+        |       epoch_us(ts) - lag(epoch_us(ts))
+        |         OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+        |FROM events""".stripMargin,
+    "q_rank_users" ->
+      """WITH s AS (
+        |  SELECT event_type, user_id,
+        |         sum(CAST(round(value * 10000) AS BIGINT)) AS v4
+        |  FROM events GROUP BY event_type, user_id),
+        |r AS (
+        |  SELECT event_type, user_id, CAST(v4 AS BIGINT) AS v4,
+        |         rank() OVER (PARTITION BY event_type ORDER BY v4 DESC) AS rnk,
+        |         dense_rank() OVER (PARTITION BY event_type ORDER BY v4 DESC) AS drnk,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM s)
+        |SELECT event_type, user_id, v4, CAST(rnk AS BIGINT) AS rnk,
+        |       CAST(drnk AS BIGINT) AS drnk,
+        |       CAST((rnk - 1) * 10000 // greatest(n - 1, 1) AS BIGINT) AS pct_rank_bp
+        |FROM r WHERE rnk <= 100""".stripMargin,
+    "q_approx_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       TRUE AS hll_ok
+        |FROM events GROUP BY event_type""".stripMargin)
+}

@@ -132,6 +132,7 @@ object IoQueries {
   private val streamHourly: Q = (s, d) => StreamingTwins.hourlyAgg(s, d)
   private val streamDedup: Q = (s, d) => StreamingTwins.dedupUsers(s, d)
   private val streamSess: Q = (s, d) => StreamingTwins.sessionize(s, d)
+  private val streamJoin: Q = (s, d) => StreamingTwins.clickPurchaseJoin(s, d)
 
   /** O-55: windowed text → per-partition model handle → emotion probs.
     * Rows-only (the stub model is deterministic but not SQL); invariants
@@ -245,6 +246,7 @@ object IoQueries {
     "q_stream_hourly" -> streamHourly,
     "q_stream_dedup" -> streamDedup,
     "q_stream_sessionize" -> streamSess,
+    "q_stream_join" -> streamJoin,
     "o55_nn_inference" -> infer,
     "q_multimodal_meta" -> multimodal,
     "q_graphx_depth" -> graphxDepth)
@@ -293,6 +295,14 @@ object IoQueries {
     "q_stream_hourly" -> RelationalQueries.oracle("q_hourly_agg"),
     "q_stream_dedup" -> "SELECT DISTINCT user_id FROM events",
     "q_stream_sessionize" -> RelationalQueries.oracle("q_sessionize"),
+    "q_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        |FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |      FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |      FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts_us > c.ts_us
+        | AND p.ts_us <= c.ts_us + 3600000000""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       md5(text) AS content_md5,

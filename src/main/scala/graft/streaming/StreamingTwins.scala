@@ -87,6 +87,46 @@ object StreamingTwins {
     runToTable(sessionizeDS(events).toDF(), "append")
   }
 
+  /** Stream-stream INNER JOIN with watermark-bounded state: clicks ×
+    * purchases by the same user where the purchase lands within 1 hour
+    * AFTER the click — the funnel-attribution join. Both sides carry an
+    * event-time watermark and the join has a time-RANGE condition, which
+    * is what lets Spark expire buffered rows (state stays bounded by the
+    * watermark delay instead of growing with the stream). The EXACT
+    * pairing predicate is the integer-µs comparison (asof rule: DuckDB
+    * reads the parquet TIMESTAMP(NANOS) truncated to µs); the
+    * event-time range carries ±1 s slack so the ~2⁻²² s rounding of the
+    * double-seconds timestamp can never exclude a pair the µs predicate
+    * admits — it only bounds state, the µs predicate decides membership.
+    * Oracle: the same join in batch SQL.
+    */
+  def clickPurchaseJoin(spark: SparkSession, dir: String): DataFrame = {
+    // Event time built with timestamp_micros on the µs-truncated ns long:
+    // TimestampType IS µs internally, so the time-range join condition
+    // compares at exactly DuckDB's epoch_us precision (asof rule) — no
+    // separate integer predicate, and the join condition stays purely
+    // event-time, which the state-watermark solver can bound.
+    val base = eventsStream(spark, dir)
+      .withColumn("event_time",
+        expr("timestamp_micros((ts - pmod(ts, 1000L)) DIV 1000L)"))
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("event_time").as("c_time"))
+      .withWatermark("c_time", "1 hour")
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("event_time").as("p_time"))
+      .withWatermark("p_time", "1 hour")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_time") > col("c_time") &&
+        col("p_time") <= col("c_time") + expr("INTERVAL 1 HOUR"))
+    runToTable(
+      joined.select(col("click_id"), col("purchase_id"),
+        col("c_user").as("user_id")),
+      "append")
+  }
+
   /** Durable resumable dedup — the engine analogue of the reference's
     * offset/resume bookkeeping (settings.py:39-42 offset config;
     * preprocessing_agent.py:388-397 skip-already-processed): file-source
