@@ -130,6 +130,7 @@ object IoQueries {
 
   /** Streaming twins — share the batch oracles (results must be equal). */
   private val streamHourly: Q = (s, d) => StreamingTwins.hourlyAgg(s, d)
+  private val streamHourlyAppend: Q = (s, d) => StreamingTwins.hourlyAggAppend(s, d)
   private val streamDedup: Q = (s, d) => StreamingTwins.dedupUsers(s, d)
   private val streamSess: Q = (s, d) => StreamingTwins.sessionize(s, d)
   private val streamJoin: Q = (s, d) => StreamingTwins.clickPurchaseJoin(s, d)
@@ -244,6 +245,7 @@ object IoQueries {
     "o07_jdbc_roundtrip" -> jdbc,
     "o06_json_tree" -> jsonTree,
     "q_stream_hourly" -> streamHourly,
+    "q_stream_hourly_append" -> streamHourlyAppend,
     "q_stream_dedup" -> streamDedup,
     "q_stream_sessionize" -> streamSess,
     "q_stream_join" -> streamJoin,
@@ -293,6 +295,13 @@ object IoQueries {
         |  FROM nation JOIN region ON n_regionkey = r_regionkey
         |  GROUP BY r_regionkey, r_name)""".stripMargin,
     "q_stream_hourly" -> RelationalQueries.oracle("q_hourly_agg"),
+    // Closed windows only: window end ≤ final watermark = max event time
+    // (ms precision, µs-truncated input — asof rule) minus the 1 h delay.
+    "q_stream_hourly_append" ->
+      s"""WITH h AS (${RelationalQueries.oracle("q_hourly_agg")}),
+         |wm AS (SELECT ((max(epoch_us(ts)) // 1000) - 3600000) * 1000 AS wm_us FROM events)
+         |SELECT hour_epoch, event_type, n, sum_value FROM h, wm
+         |WHERE (hour_epoch + 3600) * 1000000 <= wm_us""".stripMargin,
     "q_stream_dedup" -> "SELECT DISTINCT user_id FROM events",
     "q_stream_sessionize" -> RelationalQueries.oracle("q_sessionize"),
     "q_stream_join" ->

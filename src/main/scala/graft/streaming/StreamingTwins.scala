@@ -25,16 +25,56 @@ object StreamingTwins {
 
   private val runId = new AtomicInteger(0)
 
+  /** State-store partition count for the streaming twins. Stateful
+    * streaming cost here is NOT data volume but per-partition state-store
+    * commit overhead: every micro-batch commits a delta per state store
+    * per partition (a stream-stream join carries FOUR stores per
+    * partition), so at the session default of 32 shuffle partitions a
+    * single join micro-batch commits 128 stores. 8 partitions cuts that
+    * 4× while still exercising parallel state. On a real cluster this is
+    * the same sizing call — state partitions ≈ state volume / target
+    * store size, not the relational shuffle default.
+    */
+  private val StreamShufflePartitions = "8"
+
+  /** Runs `body` with streaming-tuned session confs (fewer state
+    * partitions + RocksDB state store), restoring the caller's values
+    * after. Safe because every twin runs its query synchronously inside
+    * (`awaitTermination` before return) and the harness runs queries
+    * sequentially. The number of state partitions is pinned into the
+    * checkpoint at first batch, so it must be set BEFORE `start()`.
+    */
+  private def withStreamConf[T](spark: SparkSession)(body: => T): T = {
+    val conf = spark.conf
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldParts = conf.get("spark.sql.shuffle.partitions")
+    val oldProv = conf.getOption(provKey)
+    conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    // RocksDB keeps state off-heap with changelog-style commits — the
+    // scale-correct store for large state, and cheaper per-commit than
+    // the HDFS-backed provider's per-batch snapshot files here.
+    conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally {
+      conf.set("spark.sql.shuffle.partitions", oldParts)
+      oldProv match {
+        case Some(p) => conf.set(provKey, p)
+        case None    => conf.unset(provKey)
+      }
+    }
+  }
+
   /** Runs a streaming frame to completion into a uniquely-named memory
     * sink and returns the materialized table.
     */
-  private def runToTable(df: DataFrame, mode: String): DataFrame = {
-    val name = s"graft_stream_${runId.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
-  }
+  private def runToTable(df: DataFrame, mode: String): DataFrame =
+    withStreamConf(df.sparkSession) {
+      val name = s"graft_stream_${runId.incrementAndGet()}"
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      df.sparkSession.table(name)
+    }
 
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
@@ -59,6 +99,36 @@ object StreamingTwins {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
     runToTable(agg, "complete")
+  }
+
+  /** The UNBOUNDED-stream shape of the hourly aggregate: append output
+    * mode, where a window is emitted exactly once — when the event-time
+    * watermark passes its end — and its state is evicted. This is the
+    * mode a 24/7 ingest actually runs (complete mode re-emits everything
+    * and never evicts); the complete-mode twin above stays as the
+    * all-windows oracle check.
+    *
+    * What the sink receives is therefore only the CLOSED windows: with
+    * `AvailableNow` draining static data, the final watermark is
+    * max(event_time) − 1 h (ms precision — Spark tracks event-time stats
+    * in milliseconds), so the oracle is the batch hourly aggregate
+    * restricted to windows whose end ≤ that watermark. The trailing
+    * open window(s) stay in state — exactly the eviction semantics this
+    * query exists to prove.
+    */
+  def hourlyAggAppend(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      // µs-truncated event time (asof rule): TimestampType is µs
+      // internally, so batch/stream/oracle all bucket identical instants
+      .withColumn("event_time",
+        expr("timestamp_micros((ts - pmod(ts, 1000L)) DIV 1000L)"))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("n"), col("sum_value"))
+    runToTable(agg, "append")
   }
 
   /** Streaming stateful dedup (dropDuplicates state store), projected to
