@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{CosineSimilarityExpr, DotProductExpr, L2DistanceExpr}
+import graft.functions.expressions.{CosineSimilarityExpr, DotProductExpr, L2DistanceExpr, TokenShinglesExpr}
 
 /** Session extension registering the engine's native expressions as SQL
   * functions (`cosine_similarity`, `l2_distance`) — enable with
@@ -30,5 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("l2_distance"),
       new ExpressionInfo(classOf[L2DistanceExpr].getName, "l2_distance"),
       (children: Seq[Expression]) => L2DistanceExpr(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("token_shingles"),
+      new ExpressionInfo(classOf[TokenShinglesExpr].getName, "token_shingles"),
+      (children: Seq[Expression]) => TokenShinglesExpr(children(0), children(1))))
   }
 }

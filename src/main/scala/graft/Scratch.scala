@@ -1,0 +1,59 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Scoped registry for per-query scratch persists.
+  *
+  * Several queries cache an expensive intermediate that is consumed more
+  * than once inside ONE result plan (MinHash band table, df-capped
+  * shingle index, decontamination candidates, TF-IDF token table). A raw
+  * `.persist()` there is correct for a single run but leaks an
+  * `InMemoryRelation` per call in a long-lived session — the cache is
+  * useless the moment the query's action finishes (VERDICT r5 "What's
+  * wrong" #3).
+  *
+  * Queries therefore register such frames here instead. Release points:
+  *  - [[Verify]] releases after each query's dump (the served-deployment
+  *    protocol: consume the result, then `Scratch.release(spark)`);
+  *  - [[Bench]] releases between reps via [[SparkEntry.clearCaches]];
+  *  - long-lived embedders call either of the above after each action.
+  *
+  * Unpersisting is always safe: a later action on the same result frame
+  * just recomputes the intermediate (slower, never wrong). The memoized
+  * BUILD artifacts (graph build, IVF index, LSH bucket table) are
+  * deliberately NOT scratch — they are reused across queries and have
+  * their own keyed caches with `clearCache()` hooks.
+  */
+object Scratch {
+
+  private val reg = TrieMap.empty[Int, List[DataFrame]]
+
+  private def key(s: SparkSession): Int = System.identityHashCode(s)
+
+  /** Persist `df` (MEMORY_AND_DISK) and register it for scoped release. */
+  def persist(df: DataFrame): DataFrame = {
+    df.persist()
+    reg.synchronized {
+      val k = key(df.sparkSession)
+      reg.update(k, df :: reg.getOrElse(k, Nil))
+    }
+    df
+  }
+
+  /** Unpersist every scratch frame registered for `spark`. */
+  def release(spark: SparkSession): Unit =
+    reg.synchronized { reg.remove(key(spark)) }
+      .foreach(_.foreach(_.unpersist()))
+
+  /** Unpersist every scratch frame in every session (bench hook). */
+  def releaseAll(): Unit = {
+    val all = reg.synchronized { val vs = reg.values.toList; reg.clear(); vs }
+    all.foreach(_.foreach(_.unpersist()))
+  }
+
+  /** Number of live scratch frames for `spark` (test hook). */
+  def activeCount(spark: SparkSession): Int =
+    reg.getOrElse(key(spark), Nil).size
+}

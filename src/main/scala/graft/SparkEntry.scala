@@ -49,5 +49,6 @@ object SparkEntry {
     VectorQueries.clearCache()
     IoQueries.clearCache()
     DedupQueries.clearCache()
+    Scratch.releaseAll()
   }
 }

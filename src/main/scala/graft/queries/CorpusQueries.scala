@@ -45,25 +45,38 @@ object CorpusQueries {
       (col("doc_id") + 100000L).as("doc_id"),
       expr("substring(text, instr(text, ' ')+1)").as("text")))
     val bucket = pmod(knuth(col("doc_id")), lit(100))
-    val toks = split(col("text"), " ")
-    // persisted: the capped shingle table feeds df stats AND both sides
-    // of the train×test join; its explode+3-gram lineage dominates.
-    val allSh = corpus
+    // scratch-persisted: the capped shingle table feeds df stats AND both
+    // sides of the train×test join. Shingles come from the native
+    // token_shingles kernel (ShingleExpressions.scala) — profiling showed
+    // the interpreted HOF chain was ~85% of this query's time.
+    val allSh = graft.Scratch.persist(corpus
       .withColumn("split",
         when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
       .select(col("doc_id"), col("split"),
-        explode(array_distinct(transform(
-          sequence(lit(1), greatest(size(toks) - 2, lit(1))),
-          i => concat_ws(" ", slice(toks, i, lit(3)))))).as("sh"))
-      .persist()
+        explode(call_function("token_shingles", col("text"), lit(3))).as("sh")))
     val rare = allSh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= 10).select("sh")
-    val sh = allSh.join(rare, Seq("sh")).persist()
-    sh.filter(col("split") === "train").as("a")
-      .join(sh.filter(col("split") === "test").as("b"), col("a.sh") === col("b.sh"))
-      .groupBy(col("a.doc_id").as("doc_id"))
-      .agg(countDistinct(col("a.sh")).as("n_shared"),
-        countDistinct(col("b.doc_id")).as("n_test_docs"))
+    val sh = graft.Scratch.persist(allSh.join(rare, Seq("sh")))
+    // The r5 shape joined train×test postings row-per-pair and counted
+    // two distinct keys in one aggregate — an Expand (×2 of the whole
+    // join output) through the final exchange. Instead, collapse the
+    // test side FIRST: one row per rare shingle carrying its ≤ df-cap
+    // test docs as an array (the groupBy reuses the shingle partitioning
+    // the df-cap join already established — no extra exchange). The
+    // train join then emits one row per (train doc, shared shingle) —
+    // never a pair expansion — and the final agg is a single exchange on
+    // doc_id with NO distinct anywhere: (doc_id, sh) is unique by
+    // construction (shingles are array_distinct per doc), so n_shared is
+    // a plain count, and n_test_docs is the size of the union of the
+    // bounded test-doc arrays.
+    val testPerSh = sh.filter(col("split") === "test")
+      .groupBy("sh").agg(collect_set(col("doc_id")).as("tdocs"))
+    sh.filter(col("split") === "train")
+      .join(testPerSh, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"),
+        size(array_distinct(flatten(collect_list(col("tdocs")))))
+          .cast("long").as("n_test_docs"))
   }
 
   // ---- balanced per-group sampling (cap each source at K docs) ----
@@ -88,10 +101,9 @@ object CorpusQueries {
   // identically for fixed corpus size). Two aggregations over one
   // persisted token table, equi-join on term, WindowGroupLimit top-k.
   private val tfidfTerms: Q = (s, d) => {
-    // persisted: consumed by both the tf and df aggregations
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("tok"))
-      .persist()
+    // scratch-persisted: consumed by both the tf and df aggregations
+    val toks = graft.Scratch.persist(Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("tok")))
     val tf = toks.groupBy("source", "tok").agg(count(lit(1)).as("tf"))
     val df = toks.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
     tf.join(df, Seq("tok"))

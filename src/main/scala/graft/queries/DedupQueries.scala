@@ -44,13 +44,14 @@ object DedupQueries {
     "(SELECT doc_id, text FROM documents UNION ALL " +
       "SELECT doc_id+100000 AS doc_id, substr(text, instr(text, ' ')+1) AS text FROM documents)"
 
-  private def shingles(c: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
+  // native token_shingles expression (ShingleExpressions.scala): one
+  // substring pass instead of the interpreted split→transform→slice→
+  // concat_ws chain, which profiling showed was the dominant cost of
+  // every shingle query at sf0.1. Parity with the HOF form is asserted
+  // in ShingleSpec; the DuckDB oracles keep the list-transform twin.
+  private def shingles(c: DataFrame): DataFrame =
     c.select(col("doc_id"),
-      explode(array_distinct(transform(
-        sequence(lit(1), greatest(size(toks) - 2, lit(1))),
-        i => concat_ws(" ", slice(toks, i, lit(3)))))).as("sh"))
-  }
+      explode(call_function("token_shingles", col("text"), lit(3))).as("sh"))
   private val shinglesSql =
     s"""(SELECT doc_id,
        |        unnest(list_distinct(list_transform(
@@ -87,12 +88,12 @@ object DedupQueries {
       struct(lit(b.toLong).as("band"),
         md5(concat_ws("|", array_sort(array(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))))
           .as("bkey")))
-    // persisted: the band table feeds BOTH sides of the self-join, and
-    // its lineage (shingle generation + 8-way min agg) is the expensive
-    // part — without this Spark recomputes it per side.
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-      .persist()
+    // scratch-persisted: the band table feeds BOTH sides of the
+    // self-join, and its lineage (shingle generation + 8-way min agg) is
+    // the expensive part — without this Spark recomputes it per side.
+    val bands = graft.Scratch.persist(
+      sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey")))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -128,14 +129,15 @@ object DedupQueries {
   private val DfCap = 10
 
   private val jaccard: Q = (s, d) => {
-    // persisted: the shingle table is consumed 3× (df stats, both sides
-    // of the inverted-index self-join) and its generation (explode +
-    // 3-gram construction) dominates the query — the .explain without
-    // the persist shows SIX full recomputes of the Generate subtree.
-    val all = shingles(corpus(s, d)).persist()
+    // scratch-persisted: the shingle table is consumed 3× (df stats,
+    // both sides of the inverted-index self-join) and its generation
+    // (explode + 3-gram construction) dominates the query — the .explain
+    // without the persist shows SIX full recomputes of the Generate
+    // subtree.
+    val all = graft.Scratch.persist(shingles(corpus(s, d)))
     val rare = all.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select("sh")
-    val sh = all.join(rare, Seq("sh")).persist()
+    val sh = graft.Scratch.persist(all.join(rare, Seq("sh")))
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val shared = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -231,10 +233,11 @@ object DedupQueries {
     val docs = Tables.documents(s, d).select(col("doc_id"), withHdr)
     val copies = Tables.documents(s, d).filter(pmod(col("doc_id"), lit(5)) === 0)
       .select((col("doc_id") + 200000L).as("doc_id"), withHdr)
-    // persisted: the hashed-chunk table feeds the global hash counts AND
-    // the join back; its Generate lineage is the expensive part
-    val chunks = Chunker.chunkChars(docs.unionAll(copies), "text", 64, Seq("doc_id"))
-      .select(col("doc_id"), md5(col("chunk")).as("h")).persist()
+    // scratch-persisted: the hashed-chunk table feeds the global hash
+    // counts AND the join back; its Generate lineage is the expensive part
+    val chunks = graft.Scratch.persist(
+      Chunker.chunkChars(docs.unionAll(copies), "text", 64, Seq("doc_id"))
+        .select(col("doc_id"), md5(col("chunk")).as("h")))
     val cnt = chunks.groupBy("h").agg(count(lit(1)).as("c"))
     chunks.join(cnt, Seq("h"))
       .groupBy("doc_id")
