@@ -116,10 +116,90 @@ object VectorQueries {
     graft.operators.AnnIvf.topK(index, probes, "pid", "embedding", k = 10, nProbe = 4)
   }
 
+  // ---- ANN recall@10 as a declared, oracle-checked metric ----
+  // Recall of the sign-LSH bucketed ANN (the q_dedup_embed blocking
+  // scheme) against the exact brute-force top-10, per probe, for both
+  // single-probe and multi-probe (own + 8 Hamming-1 buckets). The LSH
+  // bucket assignment is pure arithmetic, so BOTH sides replay in DuckDB
+  // and the recall numbers themselves are hash-checked — the IVF twin
+  // below covers the KMeans-built index that SQL cannot replay.
+  private val RecallProbes = 50
+  private val RecallK = 10
+
+  private def signBucket = (1 to 8).map(i =>
+    when(element_at(col("e"), i) > 0, lit(1 << (8 - i))).otherwise(lit(0)))
+    .reduce(_ + _)
+
+  /** Exact cosine top-k ids per probe over (probe_id, pv) × (vec_id, e). */
+  private def exactTopK(vecs: DataFrame, probes: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("vec_id"),
+        (round(cosineSimilarityNative(col("e"), col("pv")), 6) + lit(0.0)).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= RecallK)
+      .select("probe_id", "vec_id")
+
+  private val annRecall: Q = (s, d) => {
+    val bk = emb(s, d).select(col("vec_id"), col("e"))
+      .withColumn("bucket", signBucket)
+    val probes = bk.filter(col("vec_id") < RecallProbes)
+      .select(col("vec_id").as("probe_id"), col("e").as("pv"), col("bucket").as("pb"))
+    val exact = exactTopK(bk.select("vec_id", "e"),
+      probes.select("probe_id", "pv"))
+    // candidate join stays an equi-join on the bucket key at any scale;
+    // distinct XOR masks mean a candidate matches at most one probe row
+    def lshTop(masks: Seq[Int], mode: String): DataFrame = {
+      val pr = probes.select(col("probe_id"), col("pv"),
+        explode(array(masks.map(m => col("pb").bitwiseXOR(lit(m))): _*)).as("pbucket"))
+      broadcast(pr).join(bk, col("pbucket") === col("bucket"))
+        .select(col("probe_id"), col("vec_id"),
+          (round(cosineSimilarityNative(col("e"), col("pv")), 6) + lit(0.0)).as("cos"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rk") <= RecallK)
+        .select(lit(mode).as("mode"), col("probe_id"), col("vec_id"))
+    }
+    val lsh = lshTop(Seq(0), "lsh1")
+      .unionAll(lshTop(0 +: (0 to 7).map(1 << _), "lsh9"))
+    // self always hits (own bucket, cos=1 top-1), so no probe row drops
+    lsh.join(exact, Seq("probe_id", "vec_id"))
+      .groupBy("mode", "probe_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("recall_bp", expr(s"(n_hits * 10000) DIV $RecallK"))
+  }
+
+  /** IVF recall@10 vs exact, nProbe ∈ {4, 16} over the nList=16 index
+    * (rows-only: the KMeans coarse quantizer is not SQL-replayable;
+    * nProbe == nList ⇒ recall == 10000 bp exactly is asserted in
+    * ScalaTest, plus a floor on the nProbe=4 mean).
+    */
+  private val ivfRecall: Q = (s, d) => {
+    val embT = Tables.embeddings(s, d)
+    val index = ivfCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d",
+      graft.operators.AnnIvf.buildIndex(embT, "vec_id", "embedding", nList = 16))
+    val probes = embT.filter(col("vec_id") < RecallProbes)
+      .select(col("vec_id").as("pid"), col("embedding"))
+    val exact = exactTopK(emb(s, d).select(col("vec_id"), col("e")),
+      emb(s, d).filter(col("vec_id") < RecallProbes)
+        .select(col("vec_id").as("probe_id"), col("e").as("pv")))
+    def rec(nProbe: Int): DataFrame =
+      graft.operators.AnnIvf.topK(index, probes, "pid", "embedding", RecallK, nProbe)
+        .select(lit(nProbe).cast("long").as("n_probe"),
+          col("probe_id"), col("vec_id"))
+    rec(4).unionAll(rec(16))
+      .join(exact, Seq("probe_id", "vec_id"))
+      .groupBy("n_probe", "probe_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("recall_bp", expr(s"(n_hits * 10000) DIV $RecallK"))
+  }
+
   val queries: Map[String, Q] = Map(
     "o54_vec_distance" -> o54,
     "o56_ann_topk" -> o56,
     "q_ann_ivf" -> ivf,
+    "q_ann_recall" -> annRecall,
+    "q_ann_recall_ivf" -> ivfRecall,
     "o37_cluster_centroids" -> o37,
     "o12_array_overlap" -> o12,
     "o41_f1_eval" -> o41)
@@ -147,6 +227,41 @@ object VectorQueries {
         |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
         |  FROM embeddings)
         |GROUP BY label, dim""".stripMargin,
+    "q_ann_recall" -> {
+      val bucket = (1 to 8).map(i =>
+        s"CASE WHEN e[$i] > 0 THEN ${1 << (8 - i)} ELSE 0 END").mkString(" + ")
+      val masks9 = (0 +: (0 to 7).map(1 << _)).map(m => s"xor(pb, $m)").mkString(", ")
+      s"""WITH bk AS (
+         |  SELECT vec_id, e, ($bucket) AS bucket FROM $embSql),
+         |probes AS (
+         |  SELECT vec_id AS probe_id, e AS pv, bucket AS pb FROM bk WHERE vec_id < $RecallProbes),
+         |exact AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT p.probe_id, a.vec_id,
+         |           row_number() OVER (PARTITION BY p.probe_id
+         |             ORDER BY round(${cosineSimilaritySql("a.e", "p.pv")}, 6) + 0.0 DESC, a.vec_id) AS rk
+         |    FROM bk a CROSS JOIN probes p)
+         |  WHERE rk <= $RecallK),
+         |lsh AS (
+         |  SELECT 'lsh1' AS mode, probe_id, vec_id FROM (
+         |    SELECT p.probe_id, b.vec_id,
+         |           row_number() OVER (PARTITION BY p.probe_id
+         |             ORDER BY round(${cosineSimilaritySql("b.e", "p.pv")}, 6) + 0.0 DESC, b.vec_id) AS rk
+         |    FROM probes p JOIN bk b ON p.pb = b.bucket)
+         |  WHERE rk <= $RecallK
+         |  UNION ALL
+         |  SELECT 'lsh9' AS mode, probe_id, vec_id FROM (
+         |    SELECT p.probe_id, b.vec_id,
+         |           row_number() OVER (PARTITION BY p.probe_id
+         |             ORDER BY round(${cosineSimilaritySql("b.e", "p.pv")}, 6) + 0.0 DESC, b.vec_id) AS rk
+         |    FROM (SELECT probe_id, pv, unnest([$masks9]) AS pbucket FROM probes) p
+         |    JOIN bk b ON p.pbucket = b.bucket)
+         |  WHERE rk <= $RecallK)
+         |SELECT mode, probe_id, count(*) AS n_hits,
+         |       (count(*) * 10000) // $RecallK AS recall_bp
+         |FROM lsh JOIN exact USING (probe_id, vec_id)
+         |GROUP BY mode, probe_id""".stripMargin
+    },
     "o12_array_overlap" ->
       """SELECT doc_id, array_to_string(string_split(text, ' ')[1:5], ' ') AS labs
         |FROM documents
