@@ -84,15 +84,15 @@ object TextAnalyticsQueries {
       .select("doc_id", "n_tokens", "stop_bp", "alpha_bp", "quality_bp")
 
   // ---- document fingerprinting (md5 + min-shingle rolling hash) ----
-  private val fingerprint: Q = (s, d) => {
-    val toks = split(col("text"), " ")
-    val nSh = greatest(size(toks) - 2, lit(1))
+  // min over md5 of all trigrams == min over the DISTINCT trigram set,
+  // so the native token_shingles kernel applies (one md5 per distinct
+  // window instead of the interpreted per-position HOF chain)
+  private val fingerprint: Q = (s, d) =>
     Tables.documents(s, d).select(
       col("doc_id"),
       substring(md5(col("text")), 1, 16).as("fp"),
-      array_min(transform(sequence(lit(1), nSh),
-        i => md5(concat_ws(" ", slice(toks, i, lit(3)))))).as("min_shingle"))
-  }
+      array_min(transform(call_function("token_shingles", col("text"), lit(3)),
+        x => md5(x))).as("min_shingle"))
 
   // ---- deterministic train/val/test split (80/10/10) ----
   // Every training pipeline needs a reproducible split that is stable
@@ -148,14 +148,16 @@ object TextAnalyticsQueries {
   // trigrams, integer basis points. Stateless per-row expression over
   // the same 3-gram construction the dedup pack uses.
   private val repetition: Q = (s, d) => {
+    // n_grams is the window count greatest(n_tok−2, 1) (arithmetic, no
+    // gram materialization); the distinct count is the size of the
+    // native token_shingles set — the multiset itself never needs to
+    // exist
     val toks = split(col("text"), " ")
-    val grams = transform(
-      sequence(lit(1), greatest(size(toks) - 2, lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(3))))
     Tables.documents(s, d).select(
       col("doc_id"),
-      size(grams).cast("long").as("n_grams"),
-      size(array_distinct(grams)).cast("long").as("n_distinct"))
+      greatest(size(toks) - 2, lit(1)).cast("long").as("n_grams"),
+      size(call_function("token_shingles", col("text"), lit(3)))
+        .cast("long").as("n_distinct"))
       .withColumn("rep_bp",
         expr("((n_grams - n_distinct) * 10000) DIV greatest(n_grams, 1)"))
   }
