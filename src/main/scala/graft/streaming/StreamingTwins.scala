@@ -116,8 +116,17 @@ object StreamingTwins {
     * open window(s) stay in state — exactly the eviction semantics this
     * query exists to prove.
     */
-  def hourlyAggAppend(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(spark, dir)
+  def hourlyAggAppend(spark: SparkSession, dir: String): DataFrame =
+    runToTable(hourlyAppendPlan(eventsStream(spark, dir)), "append")
+
+  /** The append-mode plan over ANY streaming events frame (ts ns LONG,
+    * event_type, value) — factored out so tests can drive it from a
+    * MemoryStream and pin the watermark-eviction boundary semantics the
+    * oracle depends on (a window is emitted once watermark ≥ window
+    * end — `WatermarkBoundarySpec`).
+    */
+  def hourlyAppendPlan(events: DataFrame): DataFrame =
+    events
       // µs-truncated event time (asof rule): TimestampType is µs
       // internally, so batch/stream/oracle all bucket identical instants
       .withColumn("event_time",
@@ -128,8 +137,6 @@ object StreamingTwins {
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("hour_epoch"),
         col("event_type"), col("n"), col("sum_value"))
-    runToTable(agg, "append")
-  }
 
   /** Streaming stateful dedup (dropDuplicates state store), projected to
     * the key set so the result is order-independent and oracle-checkable

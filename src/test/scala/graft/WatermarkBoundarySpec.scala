@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamingTwins
+
+/** Event for the boundary harness: ts is the ns-epoch LONG the parquet
+  * events table carries.
+  */
+final case class WmEvent(ts: Long, event_type: String, value: Double)
+
+/** Pins the watermark-eviction boundary the q_stream_hourly_append
+  * oracle encodes: a window is emitted (and its state evicted) once the
+  * watermark REACHES the window end — `window_end ≤ watermark`, watermark
+  * = max(event time seen, ms precision) − delay. If a Spark upgrade ever
+  * flipped this to a strict inequality, the oracle's `<=` would silently
+  * diverge on boundary-aligned data; this suite fails instead.
+  */
+class WatermarkBoundarySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val HourNs = 3600L * 1000000000L
+
+  /** Drive the real append plan over two micro-batches; second batch
+    * advances the watermark to exactly `wmTarget`.
+    */
+  private def emittedHours(firstBatch: Seq[WmEvent], advanceTo: Long): Seq[Long] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[WmEvent]
+    val q = StreamingTwins.hourlyAppendPlan(input.toDF())
+      .writeStream.format("memory")
+      .queryName("wm_boundary_" + System.nanoTime())
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(firstBatch: _*)
+      q.processAllAvailable()
+      input.addData(WmEvent(advanceTo, "probe", 0.0))
+      q.processAllAvailable()
+      spark.table(q.name).collect().map(_.getLong(0)).toSeq.sorted
+    } finally q.stop()
+  }
+
+  test("watermark == window end emits the window (the oracle's <= rule)") {
+    // window [0, 1h) closed by watermark exactly 1h: max event = 2h
+    val out = emittedHours(
+      Seq(WmEvent(0L, "click", 1.0), WmEvent(HourNs / 2, "click", 2.0)),
+      advanceTo = 2 * HourNs)
+    assert(out == Seq(0L), s"expected exactly the [0,1h) window, got $out")
+  }
+
+  test("watermark one ms short of window end holds the window in state") {
+    val out = emittedHours(
+      Seq(WmEvent(0L, "click", 1.0)),
+      advanceTo = 2 * HourNs - 1000000L) // watermark = 1h − 1ms
+    assert(out.isEmpty, s"window emitted early: $out")
+  }
+
+  test("sub-ms event-time precision does not advance the watermark") {
+    // max event = 2h + 999µs: ms-truncated stats keep watermark at 1h,
+    // still ≥ window end, so [0,1h) emits; [2h,3h) stays open
+    val out = emittedHours(
+      Seq(WmEvent(0L, "click", 1.0)),
+      advanceTo = 2 * HourNs + 999000L)
+    assert(out == Seq(0L), s"got $out")
+  }
+}
