@@ -132,6 +132,7 @@ object IoQueries {
   private val streamHourly: Q = (s, d) => StreamingTwins.hourlyAgg(s, d)
   private val streamHourlyAppend: Q = (s, d) => StreamingTwins.hourlyAggAppend(s, d)
   private val streamDedup: Q = (s, d) => StreamingTwins.dedupUsers(s, d)
+  private val streamDedupWm: Q = (s, d) => StreamingTwins.dedupUsersWatermarked(s, d)
   private val streamSess: Q = (s, d) => StreamingTwins.sessionize(s, d)
   private val streamJoin: Q = (s, d) => StreamingTwins.clickPurchaseJoin(s, d)
 
@@ -247,6 +248,7 @@ object IoQueries {
     "q_stream_hourly" -> streamHourly,
     "q_stream_hourly_append" -> streamHourlyAppend,
     "q_stream_dedup" -> streamDedup,
+    "q_stream_dedup_wm" -> streamDedupWm,
     "q_stream_sessionize" -> streamSess,
     "q_stream_join" -> streamJoin,
     "o55_nn_inference" -> infer,
@@ -303,6 +305,7 @@ object IoQueries {
          |SELECT hour_epoch, event_type, n, sum_value FROM h, wm
          |WHERE (hour_epoch + 3600) * 1000000 <= wm_us""".stripMargin,
     "q_stream_dedup" -> "SELECT DISTINCT user_id FROM events",
+    "q_stream_dedup_wm" -> "SELECT DISTINCT user_id FROM events",
     "q_stream_sessionize" -> RelationalQueries.oracle("q_sessionize"),
     "q_stream_join" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id

@@ -147,6 +147,28 @@ object StreamingTwins {
       eventsStream(spark, dir).select(col("user_id")).dropDuplicates("user_id"),
       "append")
 
+  /** The STATE-BOUNDED streaming dedup (`dropDuplicatesWithinWatermark`):
+    * plain `dropDuplicates` keeps every key ever seen — state grows with
+    * the stream, the same unbounded-state smell as complete-mode
+    * aggregation. Here a key's state is evicted once the watermark
+    * passes its event time + delay, so state is bounded by the delay
+    * window; the trade (a key recurring AFTER eviction is emitted again)
+    * is pinned in `WatermarkBoundarySpec`. On the static replay all rows
+    * land in one micro-batch, so the result is hash-equal to
+    * `SELECT DISTINCT user_id` — which is how it is oracle-checked.
+    */
+  def dedupUsersWatermarked(spark: SparkSession, dir: String): DataFrame =
+    runToTable(dedupWithinWatermarkPlan(eventsStream(spark, dir)), "append")
+
+  /** The bounded-dedup plan over any streaming events frame (test hook). */
+  def dedupWithinWatermarkPlan(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_time",
+        expr("timestamp_micros((ts - pmod(ts, 1000L)) DIV 1000L)"))
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id")
+      .select(col("user_id"))
+
   /** Streaming twin of q_sessionize via `flatMapGroupsWithState` — the
     * KeyValueGroupedDataset custom-state operator (builder brief §2.9):
     * per-user state carries (last event ts, last session id) so session

@@ -105,6 +105,15 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 4, s"expected <=4 exchanges (dedup + split aggs), got $exchanges")
   }
 
+  test("q_ann_recall: LSH candidates equi-join on the bucket; top-k is WindowGroupLimit") {
+    val p = plan("q_ann_recall")
+    // the exact side is an intentional broadcast cross (50-probe frame);
+    // the LSH side must stay a hash join on the bucket key
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.contains("WindowGroupLimit"), "top-k degraded to a full sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_decontaminate: candidate generation is an equi-join on the shingle") {
     val p = plan("q_decontaminate")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

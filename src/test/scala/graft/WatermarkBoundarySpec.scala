@@ -10,6 +10,9 @@ import graft.streaming.StreamingTwins
   */
 final case class WmEvent(ts: Long, event_type: String, value: Double)
 
+/** Keyed event for the bounded-dedup harness. */
+final case class WmUserEvent(user_id: Long, ts: Long)
+
 /** Pins the watermark-eviction boundary the q_stream_hourly_append
   * oracle encodes: a window is emitted (and its state evicted) once the
   * watermark REACHES the window end — `window_end ≤ watermark`, watermark
@@ -63,5 +66,32 @@ class WatermarkBoundarySpec extends SparkSpec {
       Seq(WmEvent(0L, "click", 1.0)),
       advanceTo = 2 * HourNs + 999000L)
     assert(out == Seq(0L), s"got $out")
+  }
+
+  test("dropDuplicatesWithinWatermark: dupes dropped in-window, state evicted after") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[WmUserEvent]
+    val q = StreamingTwins.dedupWithinWatermarkPlan(input.toDF())
+      .writeStream.format("memory")
+      .queryName("wm_dedup_" + System.nanoTime())
+      .outputMode(OutputMode.Append).start()
+    def users = spark.table(q.name).collect().map(_.getLong(0)).toSeq
+    try {
+      // batch 1: user 1 twice in-batch → emitted once
+      input.addData(WmUserEvent(1L, 0L), WmUserEvent(1L, HourNs / 4))
+      q.processAllAvailable()
+      assert(users == Seq(1L), s"got $users")
+      // batch 2: user 1 again within the 1h delay → dropped; user 99 at
+      // 3h advances the watermark to 2h, past user 1's expiry (t0 + 1h)
+      input.addData(WmUserEvent(1L, HourNs / 2), WmUserEvent(99L, 3 * HourNs))
+      q.processAllAvailable()
+      assert(users.sorted == Seq(1L, 99L), s"got $users")
+      // batch 3: user 1 recurs AFTER eviction → emitted again. This is
+      // the bounded-state trade the operator makes; the q_stream_dedup_wm
+      // oracle is unaffected (static replay = one batch, no eviction).
+      input.addData(WmUserEvent(1L, 3 * HourNs))
+      q.processAllAvailable()
+      assert(users.sorted == Seq(1L, 1L, 99L), s"got $users")
+    } finally q.stop()
   }
 }
