@@ -134,6 +134,7 @@ object IoQueries {
   private val streamDedup: Q = (s, d) => StreamingTwins.dedupUsers(s, d)
   private val streamDedupWm: Q = (s, d) => StreamingTwins.dedupUsersWatermarked(s, d)
   private val streamSess: Q = (s, d) => StreamingTwins.sessionize(s, d)
+  private val streamSessWm: Q = (s, d) => StreamingTwins.sessionizeBounded(s, d)
   private val streamJoin: Q = (s, d) => StreamingTwins.clickPurchaseJoin(s, d)
 
   /** O-55: windowed text → per-partition model handle → emotion probs.
@@ -250,6 +251,7 @@ object IoQueries {
     "q_stream_dedup" -> streamDedup,
     "q_stream_dedup_wm" -> streamDedupWm,
     "q_stream_sessionize" -> streamSess,
+    "q_stream_sessionize_wm" -> streamSessWm,
     "q_stream_join" -> streamJoin,
     "o55_nn_inference" -> infer,
     "q_multimodal_meta" -> multimodal,
@@ -307,6 +309,7 @@ object IoQueries {
     "q_stream_dedup" -> "SELECT DISTINCT user_id FROM events",
     "q_stream_dedup_wm" -> "SELECT DISTINCT user_id FROM events",
     "q_stream_sessionize" -> RelationalQueries.oracle("q_sessionize"),
+    "q_stream_sessionize_wm" -> RelationalQueries.oracle("q_sessionize"),
     "q_stream_join" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
         |FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us

@@ -11,6 +11,12 @@ final case class SessEvent(user_id: Long, event_id: Long, ts: Long)
 final case class SessState(lastTs: Long, lastSession: Long)
 final case class SessOut(user_id: Long, event_id: Long, session_id: Long)
 
+/** SessEvent + the watermarked event-time column (EventTimeTimeout needs
+  * the watermark column to survive into the grouped Dataset).
+  */
+final case class SessEventW(user_id: Long, event_id: Long, ts: Long,
+    event_time: java.sql.Timestamp)
+
 /** Structured Streaming twins (SURVEY.md §2.9) of the batch event
   * queries: the same parquet data replayed through `readStream` with
   * `Trigger.AvailableNow`, so batch and stream results must be
@@ -253,6 +259,63 @@ object StreamingTwins {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** BOUNDED-STATE sessionizer: same per-user incremental numbering, but
+    * idle users are EVICTED via `EventTimeTimeout` once the watermark
+    * passes their last event + gap — per-user state no longer grows with
+    * the all-time user count, which is what an unbounded stream needs
+    * (the q_stream_dedup_wm story for custom state). The trade: a user
+    * recurring after eviction restarts at session 1 — but the gap rule
+    * would have opened a new session anyway; only the absolute numbering
+    * resets (pinned in `WatermarkBoundarySpec`). On the static replay all
+    * events land in one micro-batch (no timeouts fire), so the result is
+    * hash-equal to the batch `q_sessionize` oracle.
+    */
+  def sessionizeBounded(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    runToTable(sessionizeBoundedDS(events).toDF(), "append")
+  }
+
+  /** The bounded-state core over any streaming (user_id, event_id, ts ns)
+    * frame; the watermark column is added and declared here.
+    */
+  def sessionizeBoundedDS(events: DataFrame,
+      gapNs: Long = 1800000000000L): org.apache.spark.sql.Dataset[SessOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapNs / 1000000L
+    events
+      .withColumn("event_time",
+        expr("timestamp_micros((ts - pmod(ts, 1000L)) DIV 1000L)"))
+      .withWatermark("event_time", "1 hour")
+      .as[SessEventW]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[SessEventW], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            // idle past the gap at the current watermark: the session is
+            // closed and the user's state is dropped — THE bounded-state
+            // point; rows were already emitted when the events arrived
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(SessState(Long.MinValue, 0L))
+            var lastTs = prev.lastTs
+            var session = prev.lastSession
+            val outRows = batch.toSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
+              if (lastTs == Long.MinValue || e.ts - lastTs > gapNs) session += 1
+              lastTs = e.ts
+              SessOut(uid, e.event_id, session)
+            }
+            state.update(SessState(lastTs, session))
+            // evict once the watermark passes last event + gap
+            state.setTimeoutTimestamp(lastTs / 1000000L + gapMs)
+            outRows.iterator
+          }
+      }
   }
 
   /** The stateful core, reusable over any streaming Dataset[SessEvent]

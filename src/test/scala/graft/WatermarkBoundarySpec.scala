@@ -94,4 +94,37 @@ class WatermarkBoundarySpec extends SparkSpec {
       assert(users.sorted == Seq(1L, 1L, 99L), s"got $users")
     } finally q.stop()
   }
+
+  test("bounded sessionizer: idle users evicted, numbering restarts after eviction") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[graft.streaming.SessEvent]
+    val q = StreamingTwins.sessionizeBoundedDS(input.toDF()).toDF()
+      .writeStream.format("memory")
+      .queryName("wm_sess_" + System.nanoTime())
+      .outputMode(OutputMode.Append).start()
+    def out = spark.table(q.name).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val gapNs = 1800000000000L // 30 min
+    // keep all event times strictly above the initial (epoch-0) watermark
+    // — an event AT the watermark is dropped as late in this operator
+    val base = 100 * HourNs
+    try {
+      import graft.streaming.SessEvent
+      // two sessions for user 1 within one batch (gap rule fires in-state)
+      input.addData(SessEvent(1, 100, base), SessEvent(1, 101, base + gapNs * 3))
+      q.processAllAvailable()
+      assert(out == Seq((100L, 1L), (101L, 2L)), s"got $out")
+      // user 99 10h later advances the watermark 9h past user 1's
+      // timeout (last event + 30min) → user 1's state is evicted
+      input.addData(SessEvent(99, 200, base + 20 * gapNs))
+      q.processAllAvailable()
+      // user 1 recurs: state was dropped, numbering restarts at 1 — the
+      // bounded-state trade (the gap rule would open a new session anyway;
+      // only the ABSOLUTE numbering resets)
+      input.addData(SessEvent(1, 102, base + 21 * gapNs))
+      q.processAllAvailable()
+      assert(out == Seq((100L, 1L), (101L, 2L), (102L, 1L), (200L, 1L)),
+        s"got $out")
+    } finally q.stop()
+  }
 }
