@@ -50,7 +50,18 @@ object GraphBuild {
       maxMicro: Int = 800): (DataFrame, Array[Array[Double]]) = {
     val n = features.count()
     val k = math.max(2, math.min(n, math.min(maxMicro, math.max(100, n / 50))).toInt)
-    val vecs = features.withColumn("_fv", array_to_vector(col(featCol)))
+    // Size partitions to the DATA, not the session default: every Lloyd
+    // iteration schedules one task per partition, so a small feature
+    // frame inheriting a wide parallelism pays ~iterations × partitions
+    // of empty-task overhead (profiling: this was most of the E1 tail at
+    // sf0.1 — 2.7k rows on 32 partitions). ~50k rows/partition keeps a
+    // 100 TB input at thousands of partitions while a thousand-row frame
+    // collapses to a few; coalesce on the (persisted) input is a narrow
+    // dependency, no shuffle.
+    val curParts = features.rdd.getNumPartitions
+    val target = math.max(1, math.min(curParts, math.ceil(n / 50000.0).toInt))
+    val sized = if (target < curParts) features.coalesce(target) else features
+    val vecs = sized.withColumn("_fv", array_to_vector(col(featCol)))
     val model = new KMeans().setK(k).setSeed(42)
       .setFeaturesCol("_fv").setPredictionCol("cluster").fit(vecs)
     val labels = model.transform(vecs)
