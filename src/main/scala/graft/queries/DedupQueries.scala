@@ -274,7 +274,29 @@ object DedupQueries {
       .select(col("doc_id"), col("keeper").cast("long").as("keeper"))
   }
 
+  // ---- the dedup ENDGAME on the real pair generator ----
+  // q_dedup_cc proves the closure machinery on deterministic chain
+  // edges; this runs it on the actual MinHash-LSH candidate pairs:
+  // pairs → undirected closure → keeper = min doc_id per group — the
+  // keep-one-per-group decision a training-data pipeline actually
+  // ships. Spark side is GraphX connected components over the band-join
+  // output (iterative label propagation, nothing driver-side); the
+  // oracle replays the SAME pair SQL through a recursive CTE, so the
+  // whole pipeline pairs-included is hash-checked.
+  private val minhashGroups: Q = (s, d) => {
+    import s.implicits._
+    val pairs = minhash(s, d)
+    val docs = corpus(s, d).select(col("doc_id"))
+    val vRDD = docs.as[Long].rdd.map(id => (id, ()))
+    val eRDD = pairs.as[(Long, Long)].rdd
+      .map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
+    val g = org.apache.spark.graphx.Graph(vRDD, eRDD, ())
+    g.connectedComponents().vertices.toDF("doc_id", "keeper")
+      .select(col("doc_id"), col("keeper").cast("long").as("keeper"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_dedup_minhash_groups" -> minhashGroups,
     "q_dedup_exact" -> exact,
     "q_dedup_minhash" -> minhash,
     "q_dedup_simhash" -> simhash,
@@ -284,25 +306,37 @@ object DedupQueries {
     "q_dedup_cc" -> ccGroups,
     "q_dedup_chunks" -> chunkDup)
 
+  private val minhashSql: String = {
+    val mins = (0 to 7).map(k => s"min(substr(md5(sh), ${3 * k + 1}, 8)) AS mh$k").mkString(", ")
+    val bandRows = (0 to 3).map(b =>
+      s"SELECT doc_id, CAST($b AS BIGINT) AS band, " +
+        s"md5(least(mh${2 * b}, mh${2 * b + 1}) || '|' || greatest(mh${2 * b}, mh${2 * b + 1})) AS bkey FROM sig")
+      .mkString(" UNION ALL ")
+    s"""WITH sig AS (
+       |  SELECT doc_id, $mins FROM $shinglesSql s GROUP BY doc_id),
+       |bands AS ($bandRows)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper, count(*) AS n
         |FROM (SELECT doc_id, text FROM documents
         |      UNION ALL SELECT doc_id+200000 AS doc_id, text FROM documents)
         |GROUP BY md5(text)""".stripMargin,
-    "q_dedup_minhash" -> {
-      val mins = (0 to 7).map(k => s"min(substr(md5(sh), ${3 * k + 1}, 8)) AS mh$k").mkString(", ")
-      val bandRows = (0 to 3).map(b =>
-        s"SELECT doc_id, CAST($b AS BIGINT) AS band, " +
-          s"md5(least(mh${2 * b}, mh${2 * b + 1}) || '|' || greatest(mh${2 * b}, mh${2 * b + 1})) AS bkey FROM sig")
-        .mkString(" UNION ALL ")
-      s"""WITH sig AS (
-         |  SELECT doc_id, $mins FROM $shinglesSql s GROUP BY doc_id),
-         |bands AS ($bandRows)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
-    },
+    "q_dedup_minhash" -> minhashSql,
+    "q_dedup_minhash_groups" ->
+      s"""WITH RECURSIVE pairs AS ($minhashSql),
+         |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |        UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id AS a, doc_id AS b FROM $corpusSql
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+         |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS keeper
+         |FROM reach GROUP BY a""".stripMargin,
     "q_dedup_simhash" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
