@@ -52,6 +52,15 @@ object Bench {
     val onlyQ = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // Cumulative JVM GC time — per-rep deltas attribute run-to-run
+    // spread (the r6 driver-vs-builder o41 divergence) to collector
+    // pressure vs real plan cost, directly from bench_out.json.
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    val gcByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => onlyQ.isEmpty || onlyQ.contains(name) }
       .map { case (name, fn) =>
@@ -65,12 +74,16 @@ object Bench {
       val times = (1 to reps).flatMap { _ =>
         SparkEntry.clearCaches()
         spark.catalog.clearCache()
+        val g0 = gcMs()
         val t0 = System.nanoTime()
         try {
           // Force every operator in the plan to actually run and every
           // row to be produced: consume the InternalRow iterators.
           fn(spark, sfDir).queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
-          Some((System.nanoTime() - t0) / 1e9)
+          val dt = (System.nanoTime() - t0) / 1e9
+          gcByQuery(name) = gcByQuery.getOrElse(name, 0L) + (gcMs() - g0)
+          // NaN/Infinity would render as bare words and break the JSON.
+          Some(dt).filter(_.isFinite)
         } catch {
           case e: Throwable =>
             failed += name
@@ -92,7 +105,8 @@ object Bench {
     }
     val stats = results.collect { case (k, ts) if ts.nonEmpty =>
       "\"" + k + "\":{\"min\":" + ts.min + ",\"med\":" + median(ts) +
-        ",\"max\":" + ts.max + ",\"reps\":" + ts.size + "}"
+        ",\"max\":" + ts.max + ",\"reps\":" + ts.size +
+        ",\"gc_ms\":" + gcByQuery.getOrElse(k, 0L) + "}"
     }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = mins.map(_._2).filter(_ >= 0).sum

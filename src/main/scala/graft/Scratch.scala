@@ -18,7 +18,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[Verify]] releases after each query's dump (the served-deployment
   *    protocol: consume the result, then `Scratch.release(spark)`);
   *  - [[Bench]] releases between reps via [[SparkEntry.clearCaches]];
-  *  - long-lived embedders call either of the above after each action.
+  *  - long-lived embedders call either of the above after each action;
+  *  - PLAN-ONLY consumers (anything that builds a query's frame without
+  *    running it, e.g. a PlanSpec-style `.queryExecution` inspection)
+  *    register persists at construction time too, so they carry the SAME
+  *    obligation: call `Scratch.release(spark)` after each plan, or the
+  *    CacheManager keeps InMemoryRelations that substitute into later
+  *    plans (PlanSpec does this; see its `plan()` helper).
   *
   * Unpersisting is always safe: a later action on the same result frame
   * just recomputes the intermediate (slower, never wrong). The memoized
@@ -28,9 +34,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Scratch {
 
-  private val reg = TrieMap.empty[Int, List[DataFrame]]
+  private val reg = TrieMap.empty[String, List[DataFrame]]
 
-  private def key(s: SparkSession): Int = System.identityHashCode(s)
+  private def key(s: SparkSession): String = SessionCache.keyOf(s)
 
   /** Persist `df` (MEMORY_AND_DISK) and register it for scoped release. */
   def persist(df: DataFrame): DataFrame = {

@@ -70,11 +70,18 @@ case class TokenShinglesExpr(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == StringType && right.dataType == IntegerType && right.foldable)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires (STRING, foldable INT), got " +
-        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    if (left.dataType != StringType || right.dataType != IntegerType || !right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (STRING, foldable INT), got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    else right.eval() match {
+      // k is foldable, so enforce the "positive literal" half of the
+      // contract at analysis time — k <= 0 would otherwise surface as an
+      // executor-side ArrayIndexOutOfBoundsException from the kernel.
+      case k: java.lang.Integer if k >= 1 => TypeCheckResult.TypeCheckSuccess
+      case k => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires k >= 1, got $k")
+    }
 
   override def nullSafeEval(text: Any, k: Any): Any =
     TokenShingles.compute(text.asInstanceOf[UTF8String], k.asInstanceOf[Int])

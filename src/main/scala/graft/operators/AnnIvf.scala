@@ -47,6 +47,45 @@ object AnnIvf {
     IvfIndex(doubled.join(labels, idCol).persist(), cents, idCol)
   }
 
+  /** Append new vectors WITHOUT a rebuild (index maintenance for a
+    * continuously refreshed corpus): each new vector is assigned to its
+    * nearest EXISTING centroid — broadcast of the tiny centroid table +
+    * a per-id argmin, no KMeans, no full-corpus pass — and unioned into
+    * the inverted lists with a generation marker. At 100 TB this is the
+    * only affordable ingest path: a rebuild re-clusters the whole
+    * corpus; an append touches only the arriving batch. Recall for
+    * appended vectors degrades as they drift from the frozen centroids —
+    * [[assignDrift]] is the retrain signal.
+    */
+  def appendToIndex(index: IvfIndex, newVecs: DataFrame, arrCol: String): IvfIndex = {
+    val nv = newVecs.select(col(index.idCol),
+      VectorOps.toDoubleArr(col(arrCol)).as("e"))
+    val assignedNew = nv.crossJoin(broadcast(index.centroids))
+      .withColumn("cdist", VectorOps.l2DistanceNative(col("e"), col("centroid")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(index.idCol).orderBy(col("cdist"), col("cluster"))))
+      .filter(col("crk") === 1)
+      .select(col(index.idCol), col("e"), col("cluster"), lit(1).as("gen"))
+    index.copy(assigned = withGen(index.assigned).unionByName(assignedNew))
+  }
+
+  // builds carry no generation column; appended rows are gen=1
+  private def withGen(assigned: DataFrame): DataFrame =
+    if (assigned.columns.contains("gen")) assigned
+    else assigned.withColumn("gen", lit(0))
+
+  /** Staleness metric: per-generation count + mean distance to the
+    * owning centroid. When the appended generation's mean assign
+    * distance drifts above the build generation's, the frozen coarse
+    * quantizer no longer represents the corpus — the retrain trigger a
+    * production deployment would alert on.
+    */
+  def assignDrift(index: IvfIndex): DataFrame =
+    withGen(index.assigned).join(broadcast(index.centroids), Seq("cluster"))
+      .groupBy(col("gen").cast("long").as("gen"))
+      .agg(count(lit(1)).as("n"),
+        avg(VectorOps.l2DistanceNative(col("e"), col("centroid"))).as("mean_dist"))
+
   /** Cosine top-k per probe, scanning only the nProbe nearest lists. */
   def topK(index: IvfIndex, probes: DataFrame, probeId: String,
       probeVec: String, k: Int, nProbe: Int): DataFrame = {

@@ -37,6 +37,15 @@ object Inference {
     def predictBatch(texts: Seq[String]): Seq[Array[Double]]
   }
 
+  /** A model that can additionally emit EXACT integer logits (micro-units,
+    * ×1e6). This is what lets the declared o55 query be oracle-checked:
+    * integer feature basis points × centi-scaled integer weights is
+    * replayable bit-exactly in any engine, with no IEEE/libm lottery.
+    */
+  trait LogitModel extends Model {
+    def logitsE6Batch(texts: Seq[String]): Seq[Array[Long]]
+  }
+
   protected[operators] def softmax(logits: Array[Double]): Array[Double] = {
     val m = logits.max
     val exps = logits.map(x => math.exp(x - m))
@@ -59,35 +68,66 @@ object Inference {
     * features, weights loaded from a classpath resource at handle-init
     * time — the same lifecycle a serialized model file would have.
     * Resource format: 6 lines (one per [[EmotionLabels]] class), each
-    * `w1..w5 bias` whitespace-separated.
+    * `w1..w5 bias` whitespace-separated, values at ≤2 decimal places.
+    *
+    * All arithmetic is EXACT integer: features in basis points (×1e4,
+    * floor division — all operands non-negative so trunc == floor),
+    * weights in centi-units (×1e2), so each logit is an exact ×1e6
+    * BIGINT. Feature classes are ASCII-explicit ([aeiouAEIOU], [0-9],
+    * space, [^A-Za-z0-9 ]) so the same counts fall out of a regex
+    * replay in SQL. Probabilities (the [[Model]] face used by the seam
+    * spec) are softmax of those exact logits.
     */
-  final class LinearModel(resource: String = "/graft/emotion_linear.tsv") extends Model {
-    private val weights: Array[Array[Double]] = {
+  final class LinearModel(resource: String = "/graft/emotion_linear.tsv")
+      extends LogitModel {
+    /** Centi-scaled integer weights: 6 classes × (5 weights + bias). */
+    val centiWeights: Array[Array[Long]] = {
       val in = getClass.getResourceAsStream(resource)
       require(in != null, s"model resource $resource not on classpath")
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.trim.nonEmpty)
-        .map(_.trim.split("\\s+").map(_.toDouble)).toArray
-      finally in.close()
-    }
-    require(weights.length == 6 && weights.forall(_.length == 6),
-      "expected 6 rows of 5 weights + bias")
-
-    private def features(t: String): Array[Double] = {
-      val n = math.max(t.length, 1)
-      Array(
-        math.min(t.length / 100.0, 2.0),
-        t.count(c => "aeiouAEIOU".indexOf(c) >= 0).toDouble / n,
-        t.count(_.isDigit).toDouble / n,
-        t.count(_ == ' ').toDouble / n,
-        t.count(c => !c.isLetterOrDigit && c != ' ').toDouble / n)
+      val raw =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.trim.nonEmpty)
+          .map(_.trim.split("\\s+").map(_.toDouble)).toArray
+        finally in.close()
+      require(raw.length == 6 && raw.forall(_.length == 6),
+        "expected 6 rows of 5 weights + bias")
+      raw.map(_.map(w => math.round(w * 100)))
     }
 
-    override def predictBatch(texts: Seq[String]): Seq[Array[Double]] = texts.map { t =>
-      val f = features(t)
-      softmax(weights.map(w =>
-        w.last + w.iterator.take(5).zip(f.iterator).map { case (a, b) => a * b }.sum))
+    /** Integer basis-point surface features: capped length, vowel /
+      * digit / space / punctuation ratios. ×1e4, floor division.
+      */
+    def featuresBp(t: String): Array[Long] = {
+      val len = t.length.toLong
+      val n = math.max(len, 1L)
+      var vowels = 0L; var digits = 0L; var spaces = 0L; var punct = 0L
+      var i = 0
+      while (i < t.length) {
+        val c = t.charAt(i)
+        if ("aeiouAEIOU".indexOf(c.toInt) >= 0) vowels += 1
+        if (c >= '0' && c <= '9') digits += 1
+        if (c == ' ') spaces += 1
+        else if (!((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+            (c >= '0' && c <= '9'))) punct += 1
+        i += 1
+      }
+      Array(math.min(len * 100, 20000L),
+        vowels * 10000 / n, digits * 10000 / n,
+        spaces * 10000 / n, punct * 10000 / n)
     }
+
+    override def logitsE6Batch(texts: Seq[String]): Seq[Array[Long]] = texts.map { t =>
+      val f = featuresBp(t)
+      centiWeights.map { w =>
+        var acc = w(5) * 10000L // bias: centi × 1e4 = ×1e6
+        var i = 0
+        while (i < 5) { acc += w(i) * f(i); i += 1 }
+        acc
+      }
+    }
+
+    override def predictBatch(texts: Seq[String]): Seq[Array[Double]] =
+      logitsE6Batch(texts).map(ls => softmax(ls.map(_ / 1e6)))
   }
 
   /** Appends the 6 emotion-probability columns to a window frame. The
@@ -106,6 +146,30 @@ object Inference {
       it.grouped(batchSize).flatMap { batch =>
         val probs = model.predictBatch(batch.map(_.getString(textIdx)))
         batch.lazyZip(probs).map { (r, p) => Row.fromSeq(r.toSeq ++ p) }
+      }
+    }
+    windows.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** The exact-logit variant of [[scoreWindows]]: same per-partition
+    * handle + micro-batch shape, but the 6 emotion columns are the
+    * model's ×1e6 integer logits (BIGINT, `<label>_e6`) instead of
+    * softmax probabilities. Because the arithmetic is exact, the
+    * DECLARED o55 query built on this is hash-checkable against a SQL
+    * replay of the same features + matmul — softmax is a stateless
+    * per-row epilogue the caller can add when probabilities are needed.
+    */
+  def scoreWindowsLogits(windows: DataFrame, textCol: String,
+      batchSize: Int = 16,
+      modelFactory: () => LogitModel = () => new LinearModel()): DataFrame = {
+    val schema = StructType(windows.schema.fields ++
+      EmotionLabels.map(l => StructField(l + "_e6", LongType, nullable = false)))
+    val textIdx = windows.schema.fieldIndex(textCol)
+    val rdd = windows.rdd.mapPartitions { it =>
+      val model = modelFactory()
+      it.grouped(batchSize).flatMap { batch =>
+        val logits = model.logitsE6Batch(batch.map(_.getString(textIdx)))
+        batch.lazyZip(logits).map { (r, l) => Row.fromSeq(r.toSeq ++ l) }
       }
     }
     windows.sparkSession.createDataFrame(rdd, schema)

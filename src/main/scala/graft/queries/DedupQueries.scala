@@ -78,27 +78,38 @@ object DedupQueries {
   // dominant cost, and 8 separate seeded md5s bought nothing the
   // windows don't (planted-pair recall stays 100%, tested). Bands then
   // unpivot from the 8 signature columns (4 rows/doc).
-  private val minhash: Q = (s, d) => {
+  /** The LSH band table (doc_id, band, bkey) for any (doc_id, text)
+    * corpus — factored out so the hot-bucket guard can be exercised on an
+    * adversarial corpus in `ScaleOpsSpec` (testdata itself has no hot
+    * bucket; the declared query joins the table uncapped).
+    */
+  private[graft] def minhashBands(c: DataFrame): DataFrame = {
     val seedAggs = (0 to 7).map(k =>
       min(substring(col("h"), 3 * k + 1, 8)).as(s"mh$k"))
-    val sig = shingles(corpus(s, d)).withColumn("h", md5(col("sh")))
+    val sig = shingles(c).withColumn("h", md5(col("sh")))
       .groupBy("doc_id")
       .agg(seedAggs.head, seedAggs.tail: _*)
     val bandCols = (0 to 3).map(b =>
       struct(lit(b.toLong).as("band"),
         md5(concat_ws("|", array_sort(array(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))))
           .as("bkey")))
-    // scratch-persisted: the band table feeds BOTH sides of the
-    // self-join, and its lineage (shingle generation + 8-way min agg) is
-    // the expensive part — without this Spark recomputes it per side.
-    val bands = graft.Scratch.persist(
-      sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey")))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  /** Candidate pairs from a band table: bucket equi-join, a < b. */
+  private[graft] def bandPairs(bands: DataFrame): DataFrame =
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+
+  private val minhash: Q = (s, d) => {
+    // scratch-persisted: the band table feeds BOTH sides of the
+    // self-join, and its lineage (shingle generation + 8-way min agg) is
+    // the expensive part — without this Spark recomputes it per side.
+    bandPairs(graft.Scratch.persist(minhashBands(corpus(s, d))))
   }
 
   // ---- SimHash: 16-bit signature from md5 hex-digit parity ----
@@ -161,17 +172,13 @@ object DedupQueries {
   // memoized per (session, dir): q_dedup_embed and q_dedup_embed_mp share
   // ONE persisted copy of the normed+bucketed vectors instead of each
   // caching their own (same pattern as GraphQueries.builtCache)
-  private val bucketedCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val bucketedCache = new graft.SessionCache[DataFrame]
 
   /** Drop memoized artifacts (bench cold-timing hook). */
-  def clearCache(): Unit = {
-    bucketedCache.values.foreach(df => df.unpersist())
-    bucketedCache.clear()
-  }
+  def clearCache(): Unit = bucketedCache.clearAll().foreach(_.unpersist())
 
   private def bucketed(s: SparkSession, d: String): DataFrame =
-    bucketedCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d", {
+    bucketedCache.getOrElseUpdate(s, d) {
       val base = Tables.embeddings(s, d)
         .select(col("vec_id"), toDoubleArr(col("embedding")).as("e"))
       val mut = base.select((col("vec_id") + 100000L).as("vec_id"),
@@ -183,7 +190,7 @@ object DedupQueries {
         .withColumn("nrm", norm2(col("e")))
         .withColumn("bucket", bucket)
         .persist() // both sides of both self-joins; avoids recomputing norms
-    })
+    }
 
   private val embedDup: Q = (s, d) => {
     val all = bucketed(s, d)

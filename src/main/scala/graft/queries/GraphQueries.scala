@@ -77,15 +77,14 @@ object GraphQueries {
   // filters on depth = parent.depth + 1, which partition-prunes the scan
   // to a single directory regardless of graph size. Memoized like the
   // other build artifacts (an index is built once, queried many times).
-  private val depthTblCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val depthTblCache = new graft.SessionCache[String]
   private def depthTable(s: SparkSession, d: String): String =
-    depthTblCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d", {
+    depthTblCache.getOrElseUpdate(s, d) {
       val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_graph_depth_" + d.replaceAll("[^a-zA-Z0-9.]", "_")).toString
       o07(s, d).write.mode("overwrite").partitionBy("depth").parquet(out)
       out
-    })
+    }
 
   /** E2 served from the depth-partitioned table: the parent is a 1-row
     * point lookup (as in the reference API, api/api.py:35-45), then the
@@ -121,19 +120,18 @@ object GraphQueries {
   // The KMeans→Ward build is deterministic per (session, dir); memoize it
   // so q_graph_build and q_graph_children don't each rerun the clustering
   // (library-level reuse, same as a user holding on to the built tables).
-  private val builtCache =
-    scala.collection.concurrent.TrieMap.empty[String, GraphBuild.GraphTables]
+  private val builtCache = new graft.SessionCache[GraphBuild.GraphTables]
   private def built(s: SparkSession, d: String): GraphBuild.GraphTables =
     // keyed by (session, dir): cached DataFrames are session-bound and
     // must not leak across a session restart in the same JVM
-    builtCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d",
+    builtCache.getOrElseUpdate(s, d)(
       GraphBuild.build(Tables.embeddings(s, d), "vec_id", "embedding"))
 
   /** Drop memoized build artifacts (bench cold-timing hook) — includes
     * the depth-partitioned table memo so every bench rep pays the full
     * build+write, keeping the every-rep-is-cold invariant.
     */
-  def clearCache(): Unit = { builtCache.clear(); depthTblCache.clear() }
+  def clearCache(): Unit = { builtCache.clearAll(); depthTblCache.clearAll() }
 
   /** O-52+O-53: the full KMeans→Ward→rebalance→flatten build (rows-only;
     * invariants — depth ≤ 5, member conservation, rollup counts — are

