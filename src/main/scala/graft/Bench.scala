@@ -61,38 +61,50 @@ object Bench {
         .asScala.map(_.getCollectionTime).sum
     }
     val gcByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => onlyQ.isEmpty || onlyQ.contains(name) }
-      .map { case (name, fn) =>
-      // min over `reps` timed runs — GC/JIT noise at sub-second query
-      // times otherwise dominates the per-query numbers. Every rep is
-      // COLD: memoized build artifacts and cached RDDs are dropped first,
-      // so min-of-reps measures the real work, not a cache lookup.
-      // A rep that throws contributes NO time — time-to-exception must
-      // never win the min. All-reps-failed records -1.0 (and the name in
-      // "errors"), excluded from the total.
-      val times = (1 to reps).flatMap { _ =>
-        SparkEntry.clearCaches()
-        spark.catalog.clearCache()
-        val g0 = gcMs()
-        val t0 = System.nanoTime()
-        try {
-          // Force every operator in the plan to actually run and every
-          // row to be produced: consume the InternalRow iterators.
-          fn(spark, sfDir).queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
-          val dt = (System.nanoTime() - t0) / 1e9
-          gcByQuery(name) = gcByQuery.getOrElse(name, 0L) + (gcMs() - g0)
-          // NaN/Infinity would render as bare words and break the JSON.
-          Some(dt).filter(_.isFinite)
-        } catch {
-          case e: Throwable =>
-            failed += name
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            None
-        }
+    // min over `reps` timed runs — GC/JIT noise at sub-second query
+    // times otherwise dominates the per-query numbers. Every rep is
+    // COLD: memoized build artifacts and cached RDDs are dropped first,
+    // so min-of-reps measures the real work, not a cache lookup.
+    //
+    // Reps are INTERLEAVED (pass 1 of every query, then pass 2, ...),
+    // not consecutive: consecutive reps all sit inside the same local
+    // JVM window, so a transient condition there (a major-GC cycle
+    // seeded by the PREVIOUS queries' garbage, a codegen-cache
+    // compilation storm) inflates every rep at once and min-of-reps
+    // can't reject it — measured at sf0.01, the same query swings
+    // 0.3 s isolated vs 25 s inside one bad sweep window (the r6
+    // driver-vs-builder o41_f1_eval 11x divergence is this effect).
+    // Interleaving spreads a query's reps across the whole run, so its
+    // min is taken over `reps` INDEPENDENT windows.
+    //
+    // A rep that throws contributes NO time — time-to-exception must
+    // never win the min. All-reps-failed records -1.0 (and the name in
+    // "errors"), excluded from the total.
+    val timesByQuery =
+      scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
+    named.foreach { case (name, _) => timesByQuery(name) = Vector.empty }
+    for (_ <- 1 to reps; (name, fn) <- named) {
+      SparkEntry.clearCaches()
+      spark.catalog.clearCache()
+      val g0 = gcMs()
+      val t0 = System.nanoTime()
+      try {
+        // Force every operator in the plan to actually run and every
+        // row to be produced: consume the InternalRow iterators.
+        fn(spark, sfDir).queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
+        val dt = (System.nanoTime() - t0) / 1e9
+        gcByQuery(name) = gcByQuery.getOrElse(name, 0L) + (gcMs() - g0)
+        // NaN/Infinity would render as bare words and break the JSON.
+        if (dt.isFinite) timesByQuery(name) = timesByQuery(name) :+ dt
+      } catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> times
     }
+    val results = named.map { case (name, _) => name -> timesByQuery(name) }
     val mins = results.map { case (k, ts) => k -> (if (ts.nonEmpty) ts.min else -1.0) }
     val qs = mins.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

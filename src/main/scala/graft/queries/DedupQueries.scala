@@ -177,14 +177,20 @@ object DedupQueries {
   /** Drop memoized artifacts (bench cold-timing hook). */
   def clearCache(): Unit = bucketedCache.clearAll().foreach(_.unpersist())
 
-  private def bucketed(s: SparkSession, d: String): DataFrame =
-    bucketedCache.getOrElseUpdate(s, d) {
+  // `bits` is the scale lever: bucket count must GROW with the corpus
+  // (bits ≈ log2(n / target_occupancy)) to keep per-bucket pair work
+  // constant — with bits fixed, candidates grow n²/2^bits and the join
+  // goes quadratic (measured: 16× wall at 10× data with bits=8; ~linear
+  // again at bits=12 — SCALE.md). The DECLARED queries pin bits=8
+  // because the DuckDB twin replays the same 8-bit arithmetic.
+  private def bucketed(s: SparkSession, d: String, bits: Int = 8): DataFrame =
+    bucketedCache.getOrElseUpdate(s, s"$d#b$bits") {
       val base = Tables.embeddings(s, d)
         .select(col("vec_id"), toDoubleArr(col("embedding")).as("e"))
       val mut = base.select((col("vec_id") + 100000L).as("vec_id"),
         concat(array(element_at(col("e"), 1) + lit(0.05)), slice(col("e"), 2, 63)).as("e"))
-      val bucket = (1 to 8).map(i =>
-        when(element_at(col("e"), i) > 0, lit(1 << (8 - i))).otherwise(lit(0)))
+      val bucket = (1 to bits).map(i =>
+        when(element_at(col("e"), i) > 0, lit(1 << (bits - i))).otherwise(lit(0)))
         .reduce(_ + _)
       base.unionAll(mut)
         .withColumn("nrm", norm2(col("e")))
@@ -210,9 +216,13 @@ object DedupQueries {
   // on the bucket key), cost ×9 candidates, never n². A pair at
   // Hamming ≤ 1 is found exactly once from the lower-id side (the probe
   // relation is symmetric), so no post-join distinct is needed.
-  private val embedDupMp: Q = (s, d) => {
-    val all = bucketed(s, d)
-    val masks = 0 +: (0 to 7).map(1 << _)
+  /** Multi-probe pair generation at an arbitrary bit width (the scale
+    * probe in SCALE.md measures bits=8 vs bits=12 at 10× data; declared
+    * query = bits 8 for oracle parity).
+    */
+  private[graft] def embedPairsMp(s: SparkSession, d: String, bits: Int): DataFrame = {
+    val all = bucketed(s, d, bits)
+    val masks = 0 +: (0 until bits).map(1 << _)
     val probes = all.select(col("vec_id"), col("e"), col("nrm"),
       explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("pbucket"))
     probes.as("a").join(all.as("b"),
@@ -221,6 +231,8 @@ object DedupQueries {
         round(dotNative(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
       .filter(col("cos") >= 0.98)
   }
+
+  private val embedDupMp: Q = (s, d) => embedPairsMp(s, d, 8)
 
   // ---- chunk-level (paragraph) dedup / boilerplate-span mining ----
   // C4-style sub-document dedup: documents are chunked (the O-31

@@ -46,6 +46,17 @@ class ShingleSpec extends SparkSpec {
     assertParity(docs.unionAll(mut), 3)
   }
 
+  test("k < 1 is a clean analysis error, not an executor exception") {
+    // ADVICE r6: k is foldable, so the positive-literal half of the
+    // contract is enforced at analysis time (checkInputDataTypes)
+    Seq(0, -3).foreach { k =>
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.range(1).select(native(lit("a b c"), k)).collect()
+      }
+      assert(e.getMessage.contains("k >= 1"), e.getMessage)
+    }
+  }
+
   test("whole-stage codegen keeps the shingle explode compiled") {
     val d = "/root/testdata/sf0.001"
     val plan = Tables.documents(spark, d)

@@ -91,6 +91,19 @@ def main():
   (max−min)/min across the cold reps of this run (per-query min/med/max
   live in `bench_out.json` `stats`).{var_note} Compare ratios across
   rounds only in aggregate, not per query.
+- The r6 driver-vs-builder per-query divergence (o41_f1_eval 0.14 s one
+  run, 1.57 s min-of-5 in another; o43_join_1n 2×) is a JVM-window
+  effect, not a plan change: the same binary at the same SF measured
+  0.30 s for q_range_join isolated vs 25.7 s inside one pathological
+  full-sweep window (sf0.01, single-rep sweep) — a 85× swing on an
+  untouched query. Because reps used to run CONSECUTIVELY, all of a
+  query's reps shared that window and min-of-reps couldn't reject it.
+  Two mitigations now ship in `Bench.scala`: reps are INTERLEAVED
+  round-robin across queries (each query's min is over N independent
+  windows), and every rep records its JVM GC time (`gc_ms` in `stats`)
+  so a spike can be attributed to collector pressure directly from
+  `bench_out.json`. Cross-round per-query deltas under ~2× with high
+  rep spread should be read as window noise.
 - Generated by `tools/benchcmp.py <sfDir> <verifyOutDir>` from
   `bench_out.json` + the oracle SQL.
 """)
