@@ -27,6 +27,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // static conf, default 100 generated classes: a 120-query sweep
+      // evicts everything between a query's interleaved reps, making
+      // every rep pay whole-stage recompilation; size it to the sweep
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup pass at the smallest SF: JIT + codegen compilation otherwise

@@ -49,7 +49,24 @@ object StreamingTwins {
     * (`awaitTermination` before return) and the harness runs queries
     * sequentially. The number of state partitions is pinned into the
     * checkpoint at first batch, so it must be set BEFORE `start()`.
+    *
+    * On exit every loaded state-store provider is UNLOADED
+    * (`StateStore.unloadAll`, reflective — private[sql]): a finished
+    * AvailableNow run otherwise leaves its RocksDB instances (native
+    * memory, open files, maintenance-thread work) loaded in the
+    * executor singleton until the 60 s maintenance tick, and across a
+    * 120-query bench sweep dozens of dead runs' stores accumulate and
+    * contaminate every later query's window. A long-lived embedder
+    * gets the same hygiene for free on each twin call.
     */
+  private lazy val stateStoreUnloadAll: () => Unit = {
+    val m = Class.forName(
+      "org.apache.spark.sql.execution.streaming.state.StateStore$")
+    val module = m.getField("MODULE$").get(null)
+    val meth = m.getMethod("unloadAll")
+    () => meth.invoke(module)
+  }
+
   private def withStreamConf[T](spark: SparkSession)(body: => T): T = {
     val conf = spark.conf
     val provKey = "spark.sql.streaming.stateStore.providerClass"
@@ -67,6 +84,8 @@ object StreamingTwins {
         case Some(p) => conf.set(provKey, p)
         case None    => conf.unset(provKey)
       }
+      try stateStoreUnloadAll()
+      catch { case _: Throwable => () } // hygiene only — never fail a result
     }
   }
 
@@ -94,7 +113,14 @@ object StreamingTwins {
           s"expected [$minDataBatches, ${
             if (maxDataBatches == Int.MaxValue) "∞" else maxDataBatches
           }] — the batch oracle's equivalence assumes this batching")
-      df.sparkSession.table(name)
+      // Detach the result from the memory sink: copy to a LocalRelation
+      // and drop the temp view, so the sink's row buffer doesn't live
+      // for the rest of the session (a bench sweep runs 40+ twins).
+      val sink = df.sparkSession.table(name)
+      val local = df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+      df.sparkSession.catalog.dropTempView(name)
+      local
     }
 
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {

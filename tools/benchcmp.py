@@ -104,6 +104,19 @@ def main():
   so a spike can be attributed to collector pressure directly from
   `bench_out.json`. Cross-round per-query deltas under ~2× with high
   rep spread should be read as window noise.
+- In-sweep contamination is real and measured: the 7 streaming twins
+  benched ALONE total ~12.5 s, inside the 120-query sweep 2–3× that —
+  the sweep's accumulated session state penalizes stateful runs
+  specifically. Three hygiene fixes ship: the whole-stage codegen cache
+  is sized to the sweep (static conf, default 100 entries — a 120-query
+  interleaved sweep otherwise recompiles every rep), every finished
+  twin unloads its state-store providers (`StateStore.unloadAll` — dead
+  RocksDB instances otherwise linger until the 60 s maintenance tick),
+  and twin results detach from their memory sinks (LocalRelation copy,
+  view dropped). Identical back-to-back runs on this box still swing
+  2–4× under external load (measured 45.8 s vs 18.7 s for the same
+  7-query command minutes apart) — totals are comparable across rounds
+  only when the per-query `max/min` spreads are small.
 - Generated by `tools/benchcmp.py <sfDir> <verifyOutDir>` from
   `bench_out.json` + the oracle SQL.
 """)
