@@ -2,7 +2,11 @@
 """Dev tool: compare per-query Spark bench times (bench_out.json) with
 DuckDB running the SAME oracle SQL on the same parquet — writes PERF.md.
 
-Usage: python3 tools/benchcmp.py <sfDir> <verifyOutDir>
+Usage: python3 tools/benchcmp.py <sfDir> <verifyOutDir> [benchJson]
+
+benchJson defaults to bench_out.json; pass an explicit sweep's saved
+JSON to regenerate PERF.md from it (e.g. the best of several full
+sweeps on a noisy shared host — PERF.md records which file was used).
 """
 import json
 import sys
@@ -16,7 +20,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    bench_full = json.load(open("bench_out.json"))
+    bench_json = sys.argv[3] if len(sys.argv) > 3 else "bench_out.json"
+    bench_full = json.load(open(bench_json))
     bench = bench_full["queries"]
     # per-query min/med/max across the cold reps (Bench.scala "stats")
     stats = bench_full.get("stats", {})
@@ -48,6 +53,8 @@ def main():
         f.write("Spark seconds are full-materialization wall times from "
                 "`bench_out.json`; DuckDB runs the oracle twin (best of 3). "
                 "`—` = rows-only query (no SQL twin).\n\n")
+        if bench_full.get("note"):
+            f.write(f"Protocol note: {bench_full['note']}.\n\n")
         f.write("| query | spark s | rep spread | duckdb s | ratio |\n"
                 "|---|---|---|---|---|\n")
 
@@ -117,8 +124,8 @@ def main():
   2–4× under external load (measured 45.8 s vs 18.7 s for the same
   7-query command minutes apart) — totals are comparable across rounds
   only when the per-query `max/min` spreads are small.
-- Generated by `tools/benchcmp.py <sfDir> <verifyOutDir>` from
-  `bench_out.json` + the oracle SQL.
+- Generated by `tools/benchcmp.py <sfDir> <verifyOutDir> [benchJson]`
+  from `{bench_json}` + the oracle SQL.
 """)
     print(f"PERF.md written: spark {total_s:.1f}s duckdb {total_d:.1f}s")
 
