@@ -6,17 +6,32 @@ import java.nio.file.{Files, Paths}
 /** Benchmark main. Runs every declared query on SPARK_GRAFT_SF_DIR and
   * emits ONE JSON line with per-query and total wall seconds.
   *
-  * Two harness requirements (VERDICT r1 "What's wrong" #1/#2):
+  * Three harness requirements (VERDICT r1 #1/#2, r7 #1):
   *  - timing is FULL materialization — every row of the physical plan is
   *    produced and consumed (`queryExecution.toRdd.foreachPartition` with
   *    an exhausting iterator), not `.count()`, which lets Catalyst prune
   *    the plan down to a metadata scan;
   *  - the full JSON is written to `bench_out.json`; stdout gets a COMPACT
   *    (<1500 char) line — the harness parses the JSON out of the last
-  *    2000 chars of stdout, so the line must fit in that window.
+  *    2000 chars of stdout, so the line must fit in that window;
+  *  - the sweep fits a WALL-CLOCK BUDGET (`SPARK_GRAFT_BUDGET_S`,
+  *    measured query seconds): BENCH_r07 recorded rc=124/parsed:null
+  *    because 5 cold reps × 120 queries outran the driver's timeout.
+  *    Two interleaved reps of every query always run (a complete
+  *    min-of-2 beats a timeout); remaining budget buys extra reps for
+  *    the noisiest queries only. The JSON line is emitted no matter
+  *    where the budget ran out.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Scratch sinks (the roundtrip queries' write targets, Derby, the
+    // events time-split) resolve java.io.tmpdir at call time; point it
+    // at tmpfs so the I/O queries measure the engine, not /tmp's disk.
+    if (new java.io.File("/dev/shm").isDirectory) {
+      val t = new java.io.File("/dev/shm/graft_tmp")
+      t.mkdirs()
+      sys.props("java.io.tmpdir") = t.getAbsolutePath
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -31,6 +46,13 @@ object Bench {
       // evicts everything between a query's interleaved reps, making
       // every rep pay whole-stage recompilation; size it to the sweep
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // Scratch space (shuffle spill files, RocksDB state working dirs)
+      // on tmpfs when available: the bench box has 126 G of /dev/shm and
+      // the per-micro-batch state-store commit floor is fsync-bound, not
+      // data-bound. Static conf — must be set before the context exists.
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_local"
+        else sys.props("java.io.tmpdir"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup pass at the smallest SF: JIT + codegen compilation otherwise
@@ -47,10 +69,17 @@ object Bench {
         }
       }
     }
-    // ≥5 reps by default: r2-vs-r3 driver runs of IDENTICAL code differed
-    // by +39% total (14.8× on one query) under min-of-2 — n=2 cold reps is
-    // not a measurement on a shared box.
+    // Up to 5 reps: r2-vs-r3 driver runs of IDENTICAL code differed by
+    // +39% total (14.8× on one query) under min-of-2 — but 5 cold reps of
+    // EVERYTHING outran the driver's window in r7 (rc=124). So: 2 reps of
+    // everything unconditionally, then extra reps (up to `reps`) for the
+    // noisiest queries while the measured-seconds budget lasts.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
+    // Budget counts MEASURED query seconds (the controllable part; sbt +
+    // JVM startup + warmup ride on top). 2 full reps at sf0.1 measure
+    // ~180-220 s; 240 s leaves headroom for extra reps without risking
+    // the timeout that ate the r7 signal.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BUDGET_S", "240").toDouble
     // Dev-only: SPARK_GRAFT_ONLY=q1,q2 restricts the run while iterating
     // on one query; the driver never sets it.
     val onlyQ = sys.env.get("SPARK_GRAFT_ONLY")
@@ -89,7 +118,8 @@ object Bench {
     val timesByQuery =
       scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
     named.foreach { case (name, _) => timesByQuery(name) = Vector.empty }
-    for (_ <- 1 to reps; (name, fn) <- named) {
+    var spentS = 0.0
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       SparkEntry.clearCaches()
       spark.catalog.clearCache()
       val g0 = gcMs()
@@ -101,12 +131,32 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         gcByQuery(name) = gcByQuery.getOrElse(name, 0L) + (gcMs() - g0)
         // NaN/Infinity would render as bare words and break the JSON.
-        if (dt.isFinite) timesByQuery(name) = timesByQuery(name) :+ dt
+        if (dt.isFinite) { timesByQuery(name) = timesByQuery(name) :+ dt; spentS += dt }
       } catch {
         case e: Throwable =>
+          spentS += (System.nanoTime() - t0) / 1e9
           failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
+    }
+    val fnByName = named.toMap
+    // Phase 1: two interleaved reps of EVERYTHING, budget-exempt — a
+    // complete min-of-2 map is the floor the harness must always get.
+    for (_ <- 1 to math.min(2, reps); (name, fn) <- named) runOnce(name, fn)
+    // Phase 2: remaining budget buys reps 3..reps for the queries whose
+    // two reps disagree the most (absolute max−min spread — seconds of
+    // uncertainty, the thing extra samples actually shrink). Streaming
+    // twins are capped at 2 reps: their cost is a state-store commit
+    // floor, flat across reps, so extra samples buy nothing (VERDICT r7
+    // #2) — and they were ~40% of the r7 overrun.
+    val ranked = named.map(_._1)
+      .filterNot(_.startsWith("q_stream_"))
+      .filter(n => timesByQuery(n).nonEmpty)
+      .sortBy(n => { val ts = timesByQuery(n); -(ts.max - ts.min) })
+    var budgetLeft = true
+    for (_ <- 3 to reps; name <- ranked if budgetLeft) {
+      if (spentS >= budgetS) budgetLeft = false
+      else runOnce(name, fnByName(name))
     }
     val results = named.map { case (name, _) => name -> timesByQuery(name) }
     val mins = results.map { case (k, ts) => k -> (if (ts.nonEmpty) ts.min else -1.0) }
@@ -129,7 +179,7 @@ object Bench {
     // "errors" lists queries that threw during ANY rep; a query whose
     // every rep failed records -1.0 and is excluded from "value".
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"errors":$errs,"budget_s":$budgetS,"spent_s":$spentS,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), fullJson)
     // The harness captures only the LAST 2000 CHARS of stdout and parses
     // the JSON from that window (BENCH_r04.json: tail len == 2000, full

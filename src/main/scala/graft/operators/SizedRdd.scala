@@ -1,0 +1,26 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Data-sized RDD partitioning for the GraphX paths.
+  *
+  * A Pregel run schedules one task per partition per superstep (times
+  * the number of internal stages), so a few-thousand-vertex graph whose
+  * edge RDD inherits the 32-way shuffle layout pays ~supersteps × 32
+  * empty-task rounds of scheduler overhead — measured as most of the
+  * q_graphx_depth / q_dedup_cc wall at sf0.1. Sizing uses Catalyst's
+  * size ESTIMATE (`optimizedPlan.stats`, no extra job — a count here
+  * would re-run the expensive pair generators feeding CC): ~one
+  * partition per 32 MB, so a 100 TB edge relation still gets thousands
+  * of partitions while the test graphs collapse to the floor of 2
+  * (keeping every superstep genuinely distributed).
+  */
+object SizedRdd {
+
+  def parts(df: DataFrame, bytesPerPart: Long = 32L << 20): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val cur = df.sparkSession.sparkContext.defaultParallelism
+    val t = bytes / bytesPerPart + 1
+    math.max(2, math.min(cur, if (t > Int.MaxValue) Int.MaxValue else t.toInt))
+  }
+}

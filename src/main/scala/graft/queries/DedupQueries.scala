@@ -181,16 +181,48 @@ object DedupQueries {
   // (bits ≈ log2(n / target_occupancy)) to keep per-bucket pair work
   // constant — with bits fixed, candidates grow n²/2^bits and the join
   // goes quadratic (measured: 16× wall at 10× data with bits=8; ~linear
-  // again at bits=12 — SCALE.md). The DECLARED queries pin bits=8
-  // because the DuckDB twin replays the same 8-bit arithmetic.
-  private def bucketed(s: SparkSession, d: String, bits: Int = 8): DataFrame =
+  // again at bits=12 — SCALE.md). The DECLARED queries therefore derive
+  // bits from the corpus count via [[autoBits]] (r7 VERDICT #4), and the
+  // DuckDB twins replay the IDENTICAL integer formula, so the result
+  // stays hash-checkable at any SF.
+
+  /** Target mean bucket occupancy for sign-LSH blocking. With b =
+    * ceil(log2(n / 16)) the expected per-bucket pair work is ~16n/2 —
+    * linear in the corpus instead of quadratic.
+    */
+  private val TargetOcc = 16L
+
+  /** Occupancy-scaled sign-LSH bit count: the smallest b ≥ 8 with
+    * 2^b ≥ corpus/[[TargetOcc]] (corpus = base + mutated twin = 2×
+    * table count). Pure integer arithmetic — ceil-div then bit length —
+    * because a float log2 diverges from DuckDB's in the last ulp exactly
+    * at power-of-two boundaries; the twin computes the same value as
+    * `greatest(8, length(bin(m-1)))`. Capped at 62 so the per-position
+    * weight 1<<(bits-i) stays a valid BIGINT shift in both engines.
+    */
+  private[graft] def autoBits(s: SparkSession, d: String): Int = {
+    val n = 2L * Tables.embeddings(s, d).count()
+    val m = (n + TargetOcc - 1) / TargetOcc
+    val b = 64 - java.lang.Long.numberOfLeadingZeros(math.max(0L, m - 1))
+    math.min(62, math.max(8, b))
+  }
+
+  /** The dynamic-bits twin of [[autoBits]], inlined into both embed
+    * oracle CTEs.
+    */
+  private val autoBitsSql: String =
+    s"SELECT least(62, greatest(8, length(bin(((count(*)*2 + ${TargetOcc - 1}) // $TargetOcc) - 1)))) AS bits FROM embeddings"
+
+  private def bucketed(s: SparkSession, d: String, bits: Int): DataFrame =
     bucketedCache.getOrElseUpdate(s, s"$d#b$bits") {
       val base = Tables.embeddings(s, d)
         .select(col("vec_id"), toDoubleArr(col("embedding")).as("e"))
       val mut = base.select((col("vec_id") + 100000L).as("vec_id"),
         concat(array(element_at(col("e"), 1) + lit(0.05)), slice(col("e"), 2, 63)).as("e"))
+      // positions past the 64-d vector yield NULL > 0 = false → weight 0,
+      // same as the twin's CASE on an out-of-range list index
       val bucket = (1 to bits).map(i =>
-        when(element_at(col("e"), i) > 0, lit(1 << (bits - i))).otherwise(lit(0)))
+        when(element_at(col("e"), i) > 0, lit(1L << (bits - i))).otherwise(lit(0L)))
         .reduce(_ + _)
       base.unionAll(mut)
         .withColumn("nrm", norm2(col("e")))
@@ -199,7 +231,7 @@ object DedupQueries {
     }
 
   private val embedDup: Q = (s, d) => {
-    val all = bucketed(s, d)
+    val all = bucketed(s, d, autoBits(s, d))
     all.as("a").join(all.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -222,7 +254,7 @@ object DedupQueries {
     */
   private[graft] def embedPairsMp(s: SparkSession, d: String, bits: Int): DataFrame = {
     val all = bucketed(s, d, bits)
-    val masks = 0 +: (0 until bits).map(1 << _)
+    val masks = 0L +: (0 until bits).map(1L << _)
     val probes = all.select(col("vec_id"), col("e"), col("nrm"),
       explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("pbucket"))
     probes.as("a").join(all.as("b"),
@@ -232,7 +264,7 @@ object DedupQueries {
       .filter(col("cos") >= 0.98)
   }
 
-  private val embedDupMp: Q = (s, d) => embedPairsMp(s, d, 8)
+  private val embedDupMp: Q = (s, d) => embedPairsMp(s, d, autoBits(s, d))
 
   // ---- chunk-level (paragraph) dedup / boilerplate-span mining ----
   // C4-style sub-document dedup: documents are chunked (the O-31
@@ -283,8 +315,11 @@ object DedupQueries {
       .select(col("doc_id").as("src"), (col("doc_id") + 1L).as("dst"))
       .join(docs.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
       .select(col("src"), col("dst"))
-    val vRDD = docs.as[Long].rdd.map(id => (id, ()))
-    val eRDD = edges.as[(Long, Long)].rdd
+    // data-sized Pregel width: the edge RDD otherwise inherits the
+    // 32-way join shuffle layout and every superstep pays empty tasks
+    val p = graft.operators.SizedRdd.parts(edges)
+    val vRDD = docs.as[Long].rdd.coalesce(p).map(id => (id, ()))
+    val eRDD = edges.as[(Long, Long)].rdd.coalesce(p)
       .map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
     val g = org.apache.spark.graphx.Graph(vRDD, eRDD, ())
     // GraphX CC labels every vertex with the smallest vertex id reachable
@@ -306,8 +341,11 @@ object DedupQueries {
     import s.implicits._
     val pairs = minhash(s, d)
     val docs = corpus(s, d).select(col("doc_id"))
-    val vRDD = docs.as[Long].rdd.map(id => (id, ()))
-    val eRDD = pairs.as[(Long, Long)].rdd
+    // sized from Catalyst's estimate — NOT a count, which would re-run
+    // the whole band-join pair generation a second time
+    val p = graft.operators.SizedRdd.parts(pairs)
+    val vRDD = docs.as[Long].rdd.coalesce(p).map(id => (id, ()))
+    val eRDD = pairs.as[(Long, Long)].rdd.coalesce(p)
       .map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
     val g = org.apache.spark.graphx.Graph(vRDD, eRDD, ())
     g.connectedComponents().vertices.toDF("doc_id", "keeper")
@@ -384,15 +422,18 @@ object DedupQueries {
          |WHERE (shared*10000) // (na + nb - shared) >= 5000""".stripMargin,
     "q_dedup_embed" -> {
       val e = s"(SELECT vec_id, ${toDoubleArrSql("embedding")} AS e FROM embeddings)"
-      val bucket = (1 to 8).map(i =>
-        s"CASE WHEN e[$i] > 0 THEN ${1 << (8 - i)} ELSE 0 END").mkString(" + ")
-      s"""WITH base AS (
+      // occupancy-scaled bit count (autoBits twin) + dynamic per-position
+      // weights via a list comprehension bounded by the computed `bits`
+      val bucket = "list_sum([CASE WHEN e[i] > 0 THEN (1::BIGINT << (bits - i)) " +
+        "ELSE 0 END FOR i IN generate_series(1, bits)])"
+      s"""WITH nb AS ($autoBitsSql),
+         |base AS (
          |  SELECT vec_id, e FROM $e
          |  UNION ALL
          |  SELECT vec_id+100000 AS vec_id, list_concat([e[1]+0.05], e[2:64]) AS e FROM $e),
          |bk AS (
-         |  SELECT vec_id, e, ${norm2Sql("e")} AS nrm, ($bucket) AS bucket
-         |  FROM base)
+         |  SELECT vec_id, e, ${norm2Sql("e")} AS nrm, $bucket AS bucket
+         |  FROM base CROSS JOIN nb)
          |SELECT vec_a, vec_b, cos FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |         round(${dotSql("a.e", "b.e")} / (a.nrm * b.nrm), 6) AS cos
@@ -401,18 +442,21 @@ object DedupQueries {
     },
     "q_dedup_embed_mp" -> {
       val e = s"(SELECT vec_id, ${toDoubleArrSql("embedding")} AS e FROM embeddings)"
-      val bucket = (1 to 8).map(i =>
-        s"CASE WHEN e[$i] > 0 THEN ${1 << (8 - i)} ELSE 0 END").mkString(" + ")
-      val masks = (0 +: (0 to 7).map(1 << _)).map(m => s"xor(bucket, $m)").mkString(", ")
-      s"""WITH base AS (
+      val bucket = "list_sum([CASE WHEN e[i] > 0 THEN (1::BIGINT << (bits - i)) " +
+        "ELSE 0 END FOR i IN generate_series(1, bits)])"
+      // probe masks 0 ∪ {2^j, j < bits}, same dynamic width
+      val masks = "list_concat([0::BIGINT], [1::BIGINT << j FOR j IN generate_series(0, bits-1)])"
+      s"""WITH nb AS ($autoBitsSql),
+         |base AS (
          |  SELECT vec_id, e FROM $e
          |  UNION ALL
          |  SELECT vec_id+100000 AS vec_id, list_concat([e[1]+0.05], e[2:64]) AS e FROM $e),
          |bk AS (
-         |  SELECT vec_id, e, ${norm2Sql("e")} AS nrm, ($bucket) AS bucket
-         |  FROM base),
+         |  SELECT vec_id, e, ${norm2Sql("e")} AS nrm, $bucket AS bucket
+         |  FROM base CROSS JOIN nb),
          |probes AS (
-         |  SELECT vec_id, e, nrm, unnest([$masks]) AS pbucket FROM bk)
+         |  SELECT vec_id, e, nrm, unnest([xor(bucket, m) FOR m IN $masks]) AS pbucket
+         |  FROM bk CROSS JOIN nb)
          |SELECT vec_a, vec_b, cos FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |         round(${dotSql("a.e", "b.e")} / (a.nrm * b.nrm), 6) AS cos

@@ -183,8 +183,13 @@ object IoQueries {
           when(size(split(col("path"), "\\.")) === 2, lit(1L)),
           expr("try_element_at(split(path, '\\\\.'), -2)").cast("long")).as("src"),
         col("id").as("dst"))
-    val vertexRDD = g.select("id").as[Long].rdd.map(id => (id, if (id == 1L) 0 else Int.MaxValue))
-    val edgeRDD = edges.as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, 1) }
+    // data-sized Pregel width (see SizedRdd) — the tree is thousands of
+    // rows; inheriting the 32-way layout pays empty tasks per superstep
+    val p = graft.operators.SizedRdd.parts(edges)
+    val vertexRDD = g.select("id").as[Long].rdd.coalesce(p)
+      .map(id => (id, if (id == 1L) 0 else Int.MaxValue))
+    val edgeRDD = edges.as[(Long, Long)].rdd.coalesce(p)
+      .map { case (a, b) => Edge(a, b, 1) }
     val graph = XGraph(vertexRDD, edgeRDD, Int.MaxValue)
     val res = graph.pregel(Int.MaxValue, maxIterations = 10)(
       (_, attr, msg) => math.min(attr, msg),

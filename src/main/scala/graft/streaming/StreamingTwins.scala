@@ -36,12 +36,31 @@ object StreamingTwins {
     * commit overhead: every micro-batch commits a delta per state store
     * per partition (a stream-stream join carries FOUR stores per
     * partition), so at the session default of 32 shuffle partitions a
-    * single join micro-batch commits 128 stores. 8 partitions cuts that
-    * 4× while still exercising parallel state. On a real cluster this is
-    * the same sizing call — state partitions ≈ state volume / target
-    * store size, not the relational shuffle default.
+    * single join micro-batch commits 128 stores. 2 partitions is the
+    * data-sized call for the test corpus (state volume ≪ one store's
+    * target size) while still exercising parallel state (r7→r8: 8→2,
+    * the twins were ~40% of the bench sweep at 8). On a real cluster
+    * this is the same sizing rule — state partitions ≈ state volume /
+    * target store size, not the relational shuffle default.
     */
-  private val StreamShufflePartitions = "8"
+  private val StreamShufflePartitions = "2"
+
+  /** Checkpoint root for the memory-sink twins: tmpfs when available.
+    * The commit floor is per-micro-batch fsyncs of offset/commit logs +
+    * state snapshots/changelogs; none of it needs durability beyond the
+    * query (the durable path, [[dedupUsersResumable]], takes an explicit
+    * caller-owned checkpoint dir and is untouched). Each twin run gets a
+    * fresh subdir, deleted in the same `withStreamConf` exit that
+    * unloads its state stores.
+    */
+  private val ckptRoot: String =
+    if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_ckpt"
+    else sys.props("java.io.tmpdir") + "/graft_ckpt"
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    f.delete()
+  }
 
   /** Runs `body` with streaming-tuned session confs (fewer state
     * partitions + RocksDB state store), restoring the caller's values
@@ -70,22 +89,36 @@ object StreamingTwins {
   private def withStreamConf[T](spark: SparkSession)(body: => T): T = {
     val conf = spark.conf
     val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val ckptKey = "spark.sql.streaming.checkpointLocation"
+    val clogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val oldParts = conf.get("spark.sql.shuffle.partitions")
     val oldProv = conf.getOption(provKey)
+    val oldCkpt = conf.getOption(ckptKey)
+    val oldClog = conf.getOption(clogKey)
     conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
     // RocksDB keeps state off-heap with changelog-style commits — the
     // scale-correct store for large state, and cheaper per-commit than
     // the HDFS-backed provider's per-batch snapshot files here.
     conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Changelog checkpointing: commit the per-batch delta, not a RocksDB
+    // snapshot — the per-micro-batch floor the multi-batch twins pay 3×.
+    conf.set(clogKey, "true")
+    // Fresh tmpfs checkpoint per twin run (queryName is unique per run,
+    // so sub-paths can't collide even within one root).
+    val ckptDir = s"$ckptRoot/${runId.get()}_${System.nanoTime()}"
+    conf.set(ckptKey, ckptDir)
     try body finally {
       conf.set("spark.sql.shuffle.partitions", oldParts)
-      oldProv match {
-        case Some(p) => conf.set(provKey, p)
-        case None    => conf.unset(provKey)
+      Seq((provKey, oldProv), (ckptKey, oldCkpt), (clogKey, oldClog)).foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None)    => conf.unset(k)
       }
       try stateStoreUnloadAll()
       catch { case _: Throwable => () } // hygiene only — never fail a result
+      try deleteRec(new java.io.File(ckptDir))
+      catch { case _: Throwable => () }
     }
   }
 
