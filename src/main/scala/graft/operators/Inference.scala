@@ -96,20 +96,28 @@ object Inference {
 
     /** Integer basis-point surface features: capped length, vowel /
       * digit / space / punctuation ratios. ×1e4, floor division.
+      *
+      * Counts CODE POINTS, not UTF-16 units: the DuckDB replay's
+      * `length()`/regex counts are code-point-based, so a supplementary
+      * -plane char (e.g. emoji) must count once here too — a char-loop
+      * would count its surrogate pair twice and flip the oracle hash
+      * (ADVICE r7 #2). A supplementary code point is neither an ASCII
+      * letter/digit/space, so it lands in `punct`, same as the twin's
+      * `[^A-Za-z0-9 ]` class.
       */
     def featuresBp(t: String): Array[Long] = {
-      val len = t.length.toLong
+      val len = t.codePointCount(0, t.length).toLong
       val n = math.max(len, 1L)
       var vowels = 0L; var digits = 0L; var spaces = 0L; var punct = 0L
       var i = 0
       while (i < t.length) {
-        val c = t.charAt(i)
-        if ("aeiouAEIOU".indexOf(c.toInt) >= 0) vowels += 1
-        if (c >= '0' && c <= '9') digits += 1
-        if (c == ' ') spaces += 1
-        else if (!((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
-            (c >= '0' && c <= '9'))) punct += 1
-        i += 1
+        val cp = t.codePointAt(i)
+        if ("aeiouAEIOU".indexOf(cp) >= 0) vowels += 1
+        if (cp >= '0' && cp <= '9') digits += 1
+        if (cp == ' ') spaces += 1
+        else if (!((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+            (cp >= '0' && cp <= '9'))) punct += 1
+        i += Character.charCount(cp)
       }
       Array(math.min(len * 100, 20000L),
         vowels * 10000 / n, digits * 10000 / n,

@@ -176,8 +176,12 @@ object StreamingTwins {
 
   private def timeSplitEvents(spark: SparkSession, dir: String, n: Int): String =
     splitCache.getOrElseUpdate(spark, s"$dir#$n") {
+      // `n` is part of the directory name, not just the memo key: a
+      // second split of the same dir at a different n must get its own
+      // path, or it would overwrite the layout a cached entry points at
+      // (ADVICE r7 #3)
       val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_events_split_" + dir.replaceAll("[^a-zA-Z0-9.]", "_")).toString
+        "graft_events_split_" + dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_n" + n).toString
       spark.read.parquet(s"$dir/events.parquet")
         .repartitionByRange(n, col("ts"), col("event_id"))
         .write.mode("overwrite").parquet(out)

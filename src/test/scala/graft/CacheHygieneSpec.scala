@@ -53,4 +53,19 @@ class CacheHygieneSpec extends SparkSpec {
     SessionCache.evictSession(SessionCache.keyOf(spark))
     assert(cache.activeCount(spark) === 0)
   }
+
+  test("evict/reuse cycles: entries stay evictable after an evict") {
+    // ADVICE r7 #1: evictSession keeps the per-session hook registry
+    // (clearing only its hooks), so a session reused after eviction
+    // re-registers its evictor instead of leaking a dead one — and a
+    // second evict still drops the new entries.
+    val cache = new SessionCache[String]
+    cache.getOrElseUpdate(spark, "dirC")("v1")
+    SessionCache.evictSession(spark)
+    assert(cache.activeCount(spark) === 0)
+    cache.getOrElseUpdate(spark, "dirC")("v2")
+    assert(cache.activeCount(spark) === 1)
+    SessionCache.evictSession(spark)
+    assert(cache.activeCount(spark) === 0)
+  }
 }

@@ -86,19 +86,36 @@ class VectorOpsSpec extends SparkSpec {
       "ordinal order must follow the sort key")
   }
 
-  test("multimodal decode: per-partition codec, deterministic typed features") {
-    val df = Seq((0L, "payload one"), (1L, "payload two"))
-      .toDF("doc_id", "t").select(col("doc_id"), col("t").cast("binary").as("payload"))
-    val out1 = graft.operators.Multimodal.decodeFeatures(df, "payload")
+  test("multimodal codec: gzip'd PPM round-trips geometry, digest, pad") {
+    import graft.operators.Multimodal
+    // one short doc (sub-row, padded), one spanning many pixel rows
+    val big = "x" * 1000
+    val df = Seq((0L, "payload one"), (1L, big)).toDF("doc_id", "text")
+    val out1 = Multimodal.decodeFeatures(
+      Multimodal.encodePayloads(df, "text"), "payload")
       .select("doc_id", "decoded.*").collect().sortBy(_.getLong(0))
-    val out2 = graft.operators.Multimodal.decodeFeatures(df, "payload")
+    val out2 = Multimodal.decodeFeatures(
+      Multimodal.encodePayloads(df, "text"), "payload")
       .select("doc_id", "decoded.*").collect().sortBy(_.getLong(0))
     assert(out1.map(_.toSeq).toSeq == out2.map(_.toSeq).toSeq, "must be deterministic")
-    out1.foreach { r =>
-      assert(r.getAs[Int]("width") >= 320 && r.getAs[Int]("height") >= 240)
-      assert(r.getAs[Int]("n_sampled") ==
-        math.ceil(r.getAs[Int]("n_frames") / 24.0).toInt)
-    }
+    val byId = out1.map(r => r.getLong(0) -> r).toMap
+    // doc 0: 11 bytes → one 48-byte pixel row
+    assert(byId(0L).getAs[Long]("width") == 16 && byId(0L).getAs[Long]("height") == 1)
+    assert(byId(0L).getAs[Long]("n_bytes") == 48)
+    // doc 1: 1000 bytes → ceil(1000/48) = 21 rows, sampled every 24th
+    assert(byId(1L).getAs[Long]("height") == 21)
+    assert(byId(1L).getAs[Long]("n_sampled") == 1)
+    // digest is of the ORIGINAL bytes (pad stripped via the header
+    // comment) — compare against MessageDigest directly
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = md.digest("payload one".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(byId(0L).getAs[String]("content_md5") == expect)
+    // a corrupted payload must throw, not emit garbage features
+    val codec = new Multimodal.PpmGzCodec
+    val bad = codec.encode("abc".getBytes("UTF-8"))
+    bad(bad.length - 1) = (bad(bad.length - 1) ^ 0x7f).toByte
+    intercept[Exception](codec.decode(bad))
   }
 
   test("inference stub: per-window probabilities are a distribution and deterministic") {
