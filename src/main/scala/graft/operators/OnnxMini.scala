@@ -1,0 +1,243 @@
+package graft.operators
+
+/** Minimal ONNX reader + interpreter for small feed-forward graphs.
+  *
+  * The container has no onnxruntime jar (offline resolver), so the
+  * O-55 seam's "real model file" implementation parses the ONNX
+  * serialization itself: ONNX models are protobuf messages (public
+  * schema `onnx/onnx.proto`), and the protobuf wire format is just
+  * varints + length-delimited blocks — small enough to read without a
+  * generated binding. Field numbers below cite onnx.proto.
+  *
+  * Supported graph subset (enough for MLP heads): `Gemm` (transA/transB/
+  * alpha=beta=1), `MatMul`, `Add` (row-broadcast), `Relu`, `Sigmoid`,
+  * `Identity`, float32 initializers in `raw_data` or `float_data`.
+  * Anything else fails loudly — a silent skip would mis-score.
+  *
+  * This is deliberately an INTERPRETER of the public format, not a
+  * re-implementation of onnxruntime: the engine-side contract being
+  * proven is the [[Inference.Model]] seam (per-partition handle, batch
+  * in → probabilities out); swapping this class for a real ORT session
+  * changes nothing upstream (`InferenceSeamSpec`).
+  */
+object OnnxMini {
+
+  final case class Tensor(name: String, dims: Seq[Int], data: Array[Float])
+  final case class Node(opType: String, inputs: Seq[String],
+      outputs: Seq[String], intAttrs: Map[String, Long])
+  final case class Model(nodes: Seq[Node], inits: Map[String, Tensor],
+      inputName: String, outputName: String)
+
+  // ---- protobuf wire-format reader ----
+
+  private final class Reader(val b: Array[Byte], var pos: Int, val end: Int) {
+    def hasNext: Boolean = pos < end
+    def readVarint(): Long = {
+      var shift = 0; var out = 0L
+      while ({
+        val v = b(pos); pos += 1
+        out |= (v & 0x7fL) << shift; shift += 7
+        (v & 0x80) != 0
+      }) ()
+      out
+    }
+    /** Returns (fieldNumber, wireType). */
+    def readTag(): (Int, Int) = {
+      val t = readVarint()
+      ((t >>> 3).toInt, (t & 7).toInt)
+    }
+    /** Length-delimited payload as a sub-reader. */
+    def readSub(): Reader = {
+      val len = readVarint().toInt
+      val r = new Reader(b, pos, pos + len)
+      pos += len
+      r
+    }
+    def readString(): String = {
+      val len = readVarint().toInt
+      val s = new String(b, pos, len, "UTF-8")
+      pos += len
+      s
+    }
+    def skip(wireType: Int): Unit = wireType match {
+      case 0 => readVarint()
+      case 1 => pos += 8
+      case 2 =>
+        // read the length BEFORE adding: `pos += readVarint()` snapshots
+        // the pre-read pos on the left of +=
+        val len = readVarint().toInt
+        pos += len
+      case 5 => pos += 4
+      case w => throw new IllegalArgumentException(
+        s"wire type $w at pos $pos (window $end)")
+    }
+    def readFloatLE(): Float = {
+      val bits = (b(pos) & 0xff) | ((b(pos + 1) & 0xff) << 8) |
+        ((b(pos + 2) & 0xff) << 16) | ((b(pos + 3) & 0xff) << 24)
+      pos += 4
+      java.lang.Float.intBitsToFloat(bits)
+    }
+  }
+
+  // ---- onnx.proto message parsers (field numbers cited) ----
+
+  def parse(bytes: Array[Byte]): Model = {
+    // ModelProto: graph = field 7
+    val r = new Reader(bytes, 0, bytes.length)
+    var graph: Reader = null
+    while (r.hasNext) r.readTag() match {
+      case (7, 2) => graph = r.readSub()
+      case (_, w) => r.skip(w)
+    }
+    require(graph != null, "ModelProto has no graph (field 7)")
+    parseGraph(graph)
+  }
+
+  private def parseGraph(g: Reader): Model = {
+    // GraphProto: node=1, initializer=5, input=11, output=12
+    val nodes = Seq.newBuilder[Node]
+    val inits = Map.newBuilder[String, Tensor]
+    var inputName: String = null
+    var outputName: String = null
+    val initNames = scala.collection.mutable.Set.empty[String]
+    val pending = scala.collection.mutable.ListBuffer.empty[(String, () => Unit)]
+    while (g.hasNext) g.readTag() match {
+      case (1, 2)  => nodes += parseNode(g.readSub())
+      case (5, 2)  =>
+        val t = parseTensor(g.readSub()); inits += t.name -> t; initNames += t.name
+      case (11, 2) =>
+        val n = valueInfoName(g.readSub())
+        // graph `input` lists initializers too in some exporters; the
+        // model input is the one WITHOUT an initializer
+        pending += ((n, () => if (inputName == null && !initNames(n)) inputName = n))
+      case (12, 2) => if (outputName == null) outputName = valueInfoName(g.readSub())
+      case (_, w)  => g.skip(w)
+    }
+    pending.foreach(_._2())
+    require(inputName != null && outputName != null,
+      "graph missing input/output value info")
+    Model(nodes.result(), inits.result(), inputName, outputName)
+  }
+
+  private def parseNode(n: Reader): Node = {
+    // NodeProto: input=1, output=2, op_type=4, attribute=5
+    val ins = Seq.newBuilder[String]; val outs = Seq.newBuilder[String]
+    var op = ""
+    val attrs = Map.newBuilder[String, Long]
+    while (n.hasNext) n.readTag() match {
+      case (1, 2) => ins += n.readString()
+      case (2, 2) => outs += n.readString()
+      case (4, 2) => op = n.readString()
+      case (5, 2) =>
+        // AttributeProto: name=1, i=3 (int attrs only — Gemm trans flags)
+        val a = n.readSub()
+        var name = ""; var i = 0L
+        while (a.hasNext) a.readTag() match {
+          case (1, 2) => name = a.readString()
+          case (3, 0) => i = a.readVarint()
+          case (_, w) => a.skip(w)
+        }
+        if (name.nonEmpty) attrs += name -> i
+      case (_, w) => n.skip(w)
+    }
+    Node(op, ins.result(), outs.result(), attrs.result())
+  }
+
+  private def parseTensor(t: Reader): Tensor = {
+    // TensorProto: dims=1, data_type=2, float_data=4, name=8, raw_data=9
+    val dims = Seq.newBuilder[Int]
+    var dtype = 0L; var name = ""
+    var floats = Array.empty[Float]
+    while (t.hasNext) t.readTag() match {
+      case (1, 0) => dims += t.readVarint().toInt
+      case (1, 2) => // packed dims
+        val s = t.readSub()
+        while (s.hasNext) dims += s.readVarint().toInt
+      case (2, 0) => dtype = t.readVarint()
+      case (4, 2) => // packed float_data
+        val s = t.readSub()
+        val buf = Array.newBuilder[Float]
+        while (s.hasNext) buf += s.readFloatLE()
+        floats = buf.result()
+      case (4, 5) => floats = floats :+ t.readFloatLE() // unpacked
+      case (8, 2) => name = t.readString()
+      case (9, 2) => // raw_data: little-endian float32 per data_type=1
+        val s = t.readSub()
+        val buf = Array.newBuilder[Float]
+        while (s.hasNext) buf += s.readFloatLE()
+        floats = buf.result()
+      case (_, w) => t.skip(w)
+    }
+    require(dtype == 1, s"tensor $name: only FLOAT (1) supported, got $dtype")
+    Tensor(name, dims.result(), floats)
+  }
+
+  private def valueInfoName(v: Reader): String = {
+    // ValueInfoProto: name=1
+    var name = ""
+    while (v.hasNext) v.readTag() match {
+      case (1, 2) => name = v.readString()
+      case (_, w) => v.skip(w)
+    }
+    name
+  }
+
+  // ---- forward evaluation ----
+
+  /** Runs the graph on a [batch, features] input, returning the output
+    * tensor rows. Dense row-major float arrays — these graphs are tiny
+    * heads (the heavy lift at scale is the PARTITIONED map over rows,
+    * not the per-row flops).
+    */
+  def run(m: Model, input: Array[Array[Float]]): Array[Array[Float]] = {
+    val env = scala.collection.mutable.Map[String, Array[Array[Float]]](
+      m.inputName -> input)
+    m.inits.foreach { case (n, t) =>
+      env(n) = t.dims match {
+        case Seq(r, c) => Array.tabulate(r)(i => t.data.slice(i * c, i * c + c))
+        case Seq(c)    => Array(t.data.take(c))
+        case d         => throw new IllegalArgumentException(s"tensor $n rank ${d.size}")
+      }
+    }
+    def get(n: String) = env.getOrElse(n,
+      throw new IllegalArgumentException(s"undefined tensor '$n'"))
+    m.nodes.foreach { node =>
+      val out = node.opType match {
+        case "Gemm" =>
+          val a = get(node.inputs(0)); val b = get(node.inputs(1))
+          require(node.intAttrs.getOrElse("transA", 0L) == 0L, "transA unsupported")
+          val bT = if (node.intAttrs.getOrElse("transB", 0L) == 1L) b.transpose else b
+          val c = if (node.inputs.size > 2) Some(get(node.inputs(2))) else None
+          matmul(a, bT, c)
+        case "MatMul" => matmul(get(node.inputs(0)), get(node.inputs(1)), None)
+        case "Add" =>
+          val a = get(node.inputs(0)); val b = get(node.inputs(1))
+          Array.tabulate(a.length) { i =>
+            val brow = if (b.length == 1) b(0) else b(i)
+            Array.tabulate(a(i).length)(j => a(i)(j) + brow(j))
+          }
+        case "Relu" => get(node.inputs(0)).map(_.map(v => math.max(v, 0f)))
+        case "Sigmoid" =>
+          get(node.inputs(0)).map(_.map(v => (1.0 / (1.0 + math.exp(-v))).toFloat))
+        case "Identity" => get(node.inputs(0))
+        case op => throw new IllegalArgumentException(s"unsupported op $op")
+      }
+      env(node.outputs.head) = out
+    }
+    get(m.outputName)
+  }
+
+  private def matmul(a: Array[Array[Float]], b: Array[Array[Float]],
+      bias: Option[Array[Array[Float]]]): Array[Array[Float]] = {
+    val k = b.length; val mCols = b(0).length
+    a.map { row =>
+      require(row.length == k, s"matmul shape ${row.length} vs $k")
+      Array.tabulate(mCols) { j =>
+        var acc = bias.map(_(0)(j)).getOrElse(0f).toDouble
+        var i = 0
+        while (i < k) { acc += row(i).toDouble * b(i)(j).toDouble; i += 1 }
+        acc.toFloat
+      }
+    }
+  }
+}

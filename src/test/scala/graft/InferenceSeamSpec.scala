@@ -44,4 +44,39 @@ class InferenceSeamSpec extends SparkSpec {
       batchSize = 2, modelFactory = () => new Inference.LinearModel()))
     assert(a === b)
   }
+
+  test("ONNX model file: parse + forward pass matches LinearModel (r7 #6)") {
+    // the checked-in fixture carries LinearModel's weights in unit
+    // space as float32, so probabilities agree to float precision
+    val onnx = new Inference.OnnxModel()
+    val linear = new Inference.LinearModel()
+    val texts = Seq("a calm day by the sea", "sudden loud 3 alarms !!",
+      "", "love and joy and fear", "x" * 500)
+    val po = onnx.predictBatch(texts)
+    val pl = linear.predictBatch(texts)
+    po.lazyZip(pl).foreach { (o, l) =>
+      assert(math.abs(o.sum - 1.0) < 1e-9)
+      o.lazyZip(l).foreach((a, b) => assert(math.abs(a - b) < 1e-5,
+        s"onnx $a vs linear $b"))
+    }
+  }
+
+  test("ONNX model slots into the operator seam unchanged") {
+    val out = Inference.scoreWindows(windows, "win",
+      modelFactory = () => new Inference.OnnxModel())
+    assert(out.schema === Inference.scoreWindows(windows, "win").schema)
+    collectProbs(out).values.foreach { p =>
+      assert(math.abs(p.sum - 1.0) < 1e-9)
+      assert(p.forall(x => x >= 0 && x <= 1))
+    }
+  }
+
+  test("OnnxMini fails loudly on unsupported graphs, not silently") {
+    // an unsupported op must throw at run time — a skipped node would
+    // silently mis-score every row
+    import graft.operators.OnnxMini
+    val m = OnnxMini.parse(OnnxFixture.emotionMlpBytes())
+    val bad = m.copy(nodes = m.nodes.map(_.copy(opType = "Conv")))
+    intercept[IllegalArgumentException](OnnxMini.run(bad, Array(Array.fill(5)(0f))))
+  }
 }
