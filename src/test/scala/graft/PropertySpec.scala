@@ -114,6 +114,32 @@ class PropertySpec extends SparkSpec {
     }, min = 8)
   }
 
+  test("onnx round trip: write → parse → run equals the direct matmul") {
+    // the OnnxMini reader is hand-rolled wire-format code (an eval-order
+    // bug in exactly this kind of code shipped and was caught in r8) —
+    // fuzz it: random Gemm heads through the writer must evaluate to
+    // x·Wᵀ + b within float tolerance for random batches
+    val genCase = for {
+      nIn <- Gen.choose(1, 8)
+      nOut <- Gen.choose(1, 8)
+      nBatch <- Gen.choose(1, 5)
+      w <- Gen.listOfN(nOut, Gen.listOfN(nIn, Gen.choose(-4.0, 4.0).map(_.toFloat)))
+      b <- Gen.listOfN(nOut, Gen.choose(-4.0, 4.0).map(_.toFloat))
+      x <- Gen.listOfN(nBatch, Gen.listOfN(nIn, Gen.choose(-4.0, 4.0).map(_.toFloat)))
+    } yield (w.map(_.toArray).toArray, b.toArray, x.map(_.toArray).toArray)
+    check("onnx", forAll(genCase) { case (w, b, x) =>
+      val bytes = OnnxFixture.gemmModelBytes(w, b)
+      val out = graft.operators.OnnxMini.run(
+        graft.operators.OnnxMini.parse(bytes), x)
+      x.indices.forall { r =>
+        w.indices.forall { o =>
+          val expect = w(o).indices.map(i => w(o)(i).toDouble * x(r)(i)).sum + b(o)
+          math.abs(out(r)(o) - expect) < 1e-3
+        }
+      }
+    })
+  }
+
   private def size_(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.size(c)
 }
