@@ -69,23 +69,26 @@ object SessionCache {
   private def nextHookId(): Long = hookIds.incrementAndGet()
 
   // one eviction hook per (session UUID, cache instance id); the stop
-  // listener is installed AT MOST ONCE per session — the evictors map
-  // entry survives eviction (only its hooks are cleared) so a session
-  // that is evicted and then reused never re-installs a duplicate
-  // listener (ADVICE r7 #1)
-  private val evictors = TrieMap.empty[String, TrieMap[Long, () => Unit]]
+  // listener is installed AT MOST ONCE per LIVE session (ADVICE r7 #1),
+  // and eviction removes BOTH the registry entry and the listener — a
+  // service retiring thousands of sessions in one long-lived context
+  // must not accumulate dead map entries or listener-bus dispatch work
+  private final case class Evictor(ctx: org.apache.spark.SparkContext,
+      listener: SparkListener, hooks: TrieMap[Long, () => Unit])
+
+  private val evictors = TrieMap.empty[String, Evictor]
 
   private def onStop(s: SparkSession, hookId: Long, evict: () => Unit): Unit = {
     val k = keyOf(s)
-    val hooks = evictors.getOrElseUpdate(k, {
-      val fresh = TrieMap.empty[Long, () => Unit]
-      s.sparkContext.addSparkListener(new SparkListener {
-        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
+    val e = evictors.getOrElseUpdate(k, {
+      val listener = new SparkListener {
+        override def onApplicationEnd(ev: SparkListenerApplicationEnd): Unit =
           evictSession(k)
-      })
-      fresh
+      }
+      s.sparkContext.addSparkListener(listener)
+      Evictor(s.sparkContext, listener, TrieMap.empty)
     })
-    hooks.putIfAbsent(hookId, evict)
+    e.hooks.putIfAbsent(hookId, evict)
   }
 
   /** Drop every registered cache's entries for the session with this
@@ -93,13 +96,17 @@ object SessionCache {
     * embedders retiring a session inside a still-live context (Spark
     * exposes no session-stop event to listen for). Callable from tests
     * (the suites share one context, so a real stop can't be exercised
-    * in-JVM). The hooks map entry is kept so the per-session listener
-    * stays installed-at-most-once across evict/reuse cycles.
+    * in-JVM). Removes the registry entry AND unsubscribes the listener;
+    * a session reused after eviction simply re-registers both — still
+    * at-most-once per live session, with nothing left behind for dead
+    * ones.
     */
   private[graft] def evictSession(k: String): Unit =
-    evictors.get(k).foreach { hooks =>
-      hooks.values.foreach(_.apply())
-      hooks.clear()
+    evictors.remove(k).foreach { e =>
+      e.hooks.values.foreach(_.apply())
+      // no-op if the bus is already stopped (context-death path)
+      try e.ctx.removeSparkListener(e.listener)
+      catch { case _: Throwable => () }
     }
 
   /** Public session-level eviction: drop every cache's entries for `s`. */

@@ -24,7 +24,8 @@ object OnnxMini {
 
   final case class Tensor(name: String, dims: Seq[Int], data: Array[Float])
   final case class Node(opType: String, inputs: Seq[String],
-      outputs: Seq[String], intAttrs: Map[String, Long])
+      outputs: Seq[String], intAttrs: Map[String, Long],
+      floatAttrs: Map[String, Float] = Map.empty)
   final case class Model(nodes: Seq[Node], inits: Map[String, Tensor],
       inputName: String, outputName: String)
 
@@ -35,6 +36,7 @@ object OnnxMini {
     def readVarint(): Long = {
       var shift = 0; var out = 0L
       while ({
+        require(pos < end, s"varint runs past window $end")
         val v = b(pos); pos += 1
         out |= (v & 0x7fL) << shift; shift += 7
         (v & 0x80) != 0
@@ -49,12 +51,14 @@ object OnnxMini {
     /** Length-delimited payload as a sub-reader. */
     def readSub(): Reader = {
       val len = readVarint().toInt
+      require(len >= 0 && pos + len <= end, s"submessage len $len past window $end")
       val r = new Reader(b, pos, pos + len)
       pos += len
       r
     }
     def readString(): String = {
       val len = readVarint().toInt
+      require(len >= 0 && pos + len <= end, s"string len $len past window $end")
       val s = new String(b, pos, len, "UTF-8")
       pos += len
       s
@@ -66,12 +70,17 @@ object OnnxMini {
         // read the length BEFORE adding: `pos += readVarint()` snapshots
         // the pre-read pos on the left of +=
         val len = readVarint().toInt
+        require(len >= 0 && pos + len <= end, s"skip len $len past window $end")
         pos += len
       case 5 => pos += 4
       case w => throw new IllegalArgumentException(
         s"wire type $w at pos $pos (window $end)")
     }
     def readFloatLE(): Float = {
+      // bounds-checked against the SUBMESSAGE window: a float payload
+      // whose length is not a multiple of 4 would otherwise silently
+      // read the next field's bytes as a garbage weight
+      require(pos + 4 <= end, s"float32 runs past window $end (pos $pos)")
       val bits = (b(pos) & 0xff) | ((b(pos + 1) & 0xff) << 8) |
         ((b(pos + 2) & 0xff) << 16) | ((b(pos + 3) & 0xff) << 24)
       pos += 4
@@ -124,23 +133,31 @@ object OnnxMini {
     val ins = Seq.newBuilder[String]; val outs = Seq.newBuilder[String]
     var op = ""
     val attrs = Map.newBuilder[String, Long]
+    val fattrs = Map.newBuilder[String, Float]
     while (n.hasNext) n.readTag() match {
       case (1, 2) => ins += n.readString()
       case (2, 2) => outs += n.readString()
       case (4, 2) => op = n.readString()
       case (5, 2) =>
-        // AttributeProto: name=1, i=3 (int attrs only — Gemm trans flags)
+        // AttributeProto: name=1, f=2 (float — Gemm alpha/beta), i=3
+        // (int — Gemm trans flags); float attrs must be CAPTURED, not
+        // skipped, so run() can refuse an alpha/beta it would ignore
         val a = n.readSub()
         var name = ""; var i = 0L
+        var f = Float.NaN
         while (a.hasNext) a.readTag() match {
           case (1, 2) => name = a.readString()
+          case (2, 5) => f = a.readFloatLE()
           case (3, 0) => i = a.readVarint()
           case (_, w) => a.skip(w)
         }
-        if (name.nonEmpty) attrs += name -> i
+        if (name.nonEmpty) {
+          attrs += name -> i
+          if (!f.isNaN) fattrs += name -> f
+        }
       case (_, w) => n.skip(w)
     }
-    Node(op, ins.result(), outs.result(), attrs.result())
+    Node(op, ins.result(), outs.result(), attrs.result(), fattrs.result())
   }
 
   private def parseTensor(t: Reader): Tensor = {
@@ -206,8 +223,16 @@ object OnnxMini {
         case "Gemm" =>
           val a = get(node.inputs(0)); val b = get(node.inputs(1))
           require(node.intAttrs.getOrElse("transA", 0L) == 0L, "transA unsupported")
+          // evaluate only what we implement: a Gemm carrying alpha/beta
+          // scaling would be silently mis-scored if ignored
+          require(node.floatAttrs.getOrElse("alpha", 1.0f) == 1.0f,
+            s"Gemm alpha ${node.floatAttrs("alpha")} unsupported (only 1.0)")
+          require(node.floatAttrs.getOrElse("beta", 1.0f) == 1.0f,
+            s"Gemm beta ${node.floatAttrs("beta")} unsupported (only 1.0)")
           val bT = if (node.intAttrs.getOrElse("transB", 0L) == 1L) b.transpose else b
           val c = if (node.inputs.size > 2) Some(get(node.inputs(2))) else None
+          c.foreach(bias => require(bias.length == 1,
+            s"Gemm C with ${bias.length} rows unsupported (only row-broadcast)"))
           matmul(a, bT, c)
         case "MatMul" => matmul(get(node.inputs(0)), get(node.inputs(1)), None)
         case "Add" =>
