@@ -136,10 +136,14 @@ object StreamingTwins {
   private def runToTable(df: DataFrame, mode: String,
       minDataBatches: Int = 1, maxDataBatches: Int = Int.MaxValue): DataFrame =
     withStreamConf(df.sparkSession) {
+      val debug = sys.env.get("SPARK_GRAFT_STREAM_DEBUG").contains("1")
+      val t0 = System.nanoTime()
       val name = s"graft_stream_${runId.incrementAndGet()}"
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      val t1 = System.nanoTime()
       q.awaitTermination()
+      val t2 = System.nanoTime()
       val dataBatches = q.recentProgress.count(_.numInputRows > 0)
       require(dataBatches >= minDataBatches && dataBatches <= maxDataBatches,
         s"streaming twin drained in $dataBatches data micro-batch(es), " +
@@ -153,6 +157,15 @@ object StreamingTwins {
       val local = df.sparkSession.createDataFrame(
         java.util.Arrays.asList(sink.collect(): _*), sink.schema)
       df.sparkSession.catalog.dropTempView(name)
+      if (debug) {
+        // per-phase attribution for the in-sweep inflation hunt (PERF.md
+        // "in-sweep contamination"): start = plan resolve + thread spawn
+        // + checkpoint init; run = micro-batch execution; drain = sink
+        // collect + LocalRelation copy + view drop
+        val t3 = System.nanoTime()
+        System.err.println(f"[stream-debug] $name start=${(t1 - t0) / 1e9}%.3f " +
+          f"run=${(t2 - t1) / 1e9}%.3f drain=${(t3 - t2) / 1e9}%.3f")
+      }
       local
     }
 

@@ -120,10 +120,21 @@ def main():
   twin unloads its state-store providers (`StateStore.unloadAll` — dead
   RocksDB instances otherwise linger until the 60 s maintenance tick),
   and twin results detach from their memory sinks (LocalRelation copy,
-  view dropped). Identical back-to-back runs on this box still swing
+  view dropped). r8 phase attribution (`SPARK_GRAFT_STREAM_DEBUG=1`
+  prints start/run/drain per twin): the in-sweep penalty sits ENTIRELY
+  inside `awaitTermination` — per-micro-batch incremental re-planning —
+  with query start ~0.1 s and sink drain ~0.02-0.1 s flat; bumping the
+  codegen cache 4096→32768 changed nothing, so it is planner/JIT state,
+  not cache eviction. Identical back-to-back runs on this box still swing
   2–4× under external load (measured 45.8 s vs 18.7 s for the same
   7-query command minutes apart) — totals are comparable across rounds
   only when the per-query `max/min` spreads are small.
+- The DuckDB DENOMINATOR is noisy too: regenerating this file from the
+  identical merged spark json measured DuckDB totals of 16.6-23.3 s
+  across runs on this box (best-of-3 per query cannot reject a global
+  slowdown window). Read the headline ratio with that spread in mind —
+  the spark side of the merge is far more stable (~42 s) than the
+  single-session DuckDB pass.
 - Generated by `tools/benchcmp.py <sfDir> <verifyOutDir> [benchJson]`
   from `{bench_json}` + the oracle SQL.
 """)
