@@ -37,6 +37,10 @@ object OnnxMini {
       var shift = 0; var out = 0L
       while ({
         require(pos < end, s"varint runs past window $end")
+        // Scala's Long << wraps the shift mod 64, so a 10-byte varint
+        // (canonical encoding of a negative int attr from some
+        // exporters) would decode to a silently wrong value — refuse it
+        require(shift < 64, s"varint wider than 64 bits at pos $pos")
         val v = b(pos); pos += 1
         out |= (v & 0x7fL) << shift; shift += 7
         (v & 0x80) != 0

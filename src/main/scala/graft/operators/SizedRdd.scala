@@ -11,9 +11,14 @@ import org.apache.spark.sql.DataFrame
   * q_graphx_depth / q_dedup_cc wall at sf0.1. Sizing uses Catalyst's
   * size ESTIMATE (`optimizedPlan.stats`, no extra job — a count here
   * would re-run the expensive pair generators feeding CC): ~one
-  * partition per 32 MB, so a 100 TB edge relation still gets thousands
-  * of partitions while the test graphs collapse to the floor of 2
-  * (keeping every superstep genuinely distributed).
+  * partition per 32 MB, capped at the current parallelism — every
+  * caller COALESCES an already-wider RDD down to this size, so the cap
+  * is the no-op bound (coalesce can only shrink). At real cluster
+  * scale defaultParallelism is thousands, so a 100 TB edge relation
+  * keeps thousands of partitions; the test graphs collapse to the
+  * floor of 2 (keeping every superstep genuinely distributed). If a
+  * future caller ever uses this with `repartition` to grow, drop the
+  * `min(cur, ...)` cap.
   */
 object SizedRdd {
 

@@ -208,10 +208,13 @@ object DedupQueries {
   }
 
   /** The dynamic-bits twin of [[autoBits]], inlined into both embed
-    * oracle CTEs.
+    * oracle CTEs. The `greatest(..., 0)` inside `bin` mirrors the Scala
+    * side's `max(0, m-1)`: on an empty table m-1 = -1 and DuckDB's
+    * `bin(-1)` is 64 one-bits (length 64 → 62), whereas bin(0) = "0"
+    * (length 1 → floor 8), matching autoBits' empty-corpus answer.
     */
   private val autoBitsSql: String =
-    s"SELECT least(62, greatest(8, length(bin(((count(*)*2 + ${TargetOcc - 1}) // $TargetOcc) - 1)))) AS bits FROM embeddings"
+    s"SELECT least(62, greatest(8, length(bin(greatest(((count(*)*2 + ${TargetOcc - 1}) // $TargetOcc) - 1, 0))))) AS bits FROM embeddings"
 
   private def bucketed(s: SparkSession, d: String, bits: Int): DataFrame =
     bucketedCache.getOrElseUpdate(s, s"$d#b$bits") {
@@ -345,7 +348,12 @@ object DedupQueries {
     // the whole band-join pair generation a second time
     val p = graft.operators.SizedRdd.parts(pairs)
     val vRDD = docs.as[Long].rdd.coalesce(p).map(id => (id, ()))
-    val eRDD = pairs.as[(Long, Long)].rdd.coalesce(p)
+    // edge coalesce must SHUFFLE: a narrow coalesce would pull the
+    // expensive band-join pair generation itself down to p tasks
+    // (floor 2) whenever Catalyst's size estimate undershoots — the
+    // join stays at full shuffle width and only the small pair rows
+    // move. The vertex RDD is a cheap projection, narrow is fine.
+    val eRDD = pairs.as[(Long, Long)].rdd.coalesce(p, shuffle = true)
       .map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
     val g = org.apache.spark.graphx.Graph(vRDD, eRDD, ())
     g.connectedComponents().vertices.toDF("doc_id", "keeper")

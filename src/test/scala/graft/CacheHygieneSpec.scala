@@ -54,6 +54,32 @@ class CacheHygieneSpec extends SparkSpec {
     assert(cache.activeCount(spark) === 0)
   }
 
+  test("retired session inside a live context: entries released automatically") {
+    // VERDICT r8 #7: classic Spark has no per-session stop API or event
+    // (`stop()`/`close()` stop the whole context), so a session retired
+    // inside a shared context ends its life by becoming unreachable.
+    // The bucket is attached to the session itself and held here only
+    // weakly, so session + bucket + cached frames form one cycle the GC
+    // reclaims — no manual evictSession needed.
+    val cache = new SessionCache[org.apache.spark.sql.DataFrame]
+    var s2: org.apache.spark.sql.SparkSession = spark.newSession()
+    val k = SessionCache.keyOf(s2)
+    cache.getOrElseUpdate(s2, "dirD")(s2.range(10).toDF())
+    assert(cache.activeCount(s2) === 1)
+    assert(SessionCache.isLive(k))
+    // the main suite session must survive untouched
+    assert(cache.getOrElseUpdate(spark, "dirMain")(spark.range(1).toDF()) ne null)
+    s2 = null // retire: drop the only strong reference
+    val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+    while (SessionCache.isLive(k) && System.nanoTime < deadline) {
+      System.gc(); Thread.sleep(50)
+    }
+    assert(!SessionCache.isLive(k),
+      "retired session's cache bucket not reclaimed within 30s of GC pressure")
+    assert(new SessionCache[String].activeCount(spark) === 0) // fresh cache, empty sub
+    SessionCache.evictSession(spark) // leave no residue for other tests
+  }
+
   test("evict/reuse cycles: entries stay evictable after an evict") {
     // ADVICE r7 #1: evictSession keeps the per-session hook registry
     // (clearing only its hooks), so a session reused after eviction
