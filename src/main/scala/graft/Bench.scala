@@ -186,10 +186,20 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = mins.map(_._2).filter(_ >= 0).sum
+    // Split the total by verification class (VERDICT r8 #6): the 2×-bar
+    // ratio is computed over the ORACLE-CHECKED queries (each has a
+    // DuckDB twin as denominator); the rows-only remainder is the §5.4
+    // seeded-ML fence (KMeans-built artifacts rebuilt cold every rep —
+    // IVF/NSW/graph/e1), which has no denominator and should not be
+    // folded into the ratio's numerator by a reader of "value".
+    val oracleKeys = SparkEntry.oracleSql.keySet
+    val oracleTotal = mins.collect { case (k, v) if v >= 0 && oracleKeys(k) => v }.sum
+    val rowsOnlyTotal = total - oracleTotal
+    val nOracle = mins.count { case (k, v) => v >= 0 && oracleKeys(k) }
     // "errors" lists queries that threw during ANY rep; a query whose
     // every rep failed records -1.0 and is excluded from "value".
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"errors":$errs,"budget_s":$budgetS,"spent_s":$spentS,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","oracle_checked_s":$oracleTotal,"rows_only_s":$rowsOnlyTotal,"n_oracle":$nOracle,"n_rows_only":${mins.count { case (k, v) => v >= 0 && !oracleKeys(k) }},"queries":$qs,"stats":$stats,"errors":$errs,"budget_s":$budgetS,"spent_s":$spentS,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), fullJson)
     // The harness captures only the LAST 2000 CHARS of stdout and parses
     // the JSON from that window (BENCH_r04.json: tail len == 2000, full
@@ -198,7 +208,7 @@ object Bench {
     // chosen greedily by descending time under a hard 1500-char budget.
     // The complete per-query map is always in bench_out.json.
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":{"""
+    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"oracle_checked_s":${fmt(oracleTotal)},"rows_only_s":${fmt(rowsOnlyTotal)},"queries":{"""
     val suffix = s"""},"errors":$errs,"detail":"bench_out.json","sf":"$sfDir"}"""
     val budget = 1500 - prefix.length - suffix.length
     val entries = mins.filter(_._2 >= 0).sortBy(-_._2)

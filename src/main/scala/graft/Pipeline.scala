@@ -24,18 +24,24 @@ import graft.operators.clustering.GraphBuild
 object Pipeline {
 
   /** Window/act knobs scaled to the testdata (reference: 512/256 tokens,
-    * 3 acts — model.py:26-28, graph_creator.py:44).
+    * 3 acts — model.py:26-28, graph_creator.py:44). `model` selects the
+    * O-55 inference backend for the scoring stage (VERDICT r8 #5: the
+    * seam must compose inside the full-pipeline DAG, not just in
+    * isolation) — e.g. `() => new Inference.OnnxModel()` runs the
+    * checked-in ONNX file through the same per-partition handle.
     */
   def e1(spark: SparkSession, dir: String,
       winSize: Int = 48, stride: Int = 24, numActs: Int = 3,
-      maxMicro: Int = 50): GraphBuild.GraphTables = {
+      maxMicro: Int = 50,
+      model: () => Inference.Model = () => new Inference.StubModel)
+      : GraphBuild.GraphTables = {
     val docs = Tables.documents(spark, dir)
     val cleaned = docs.select(col("doc_id"),
       TextClean.cleanSubtitles(col("text")).as("clean"))
     val windows = Chunker
       .slidingTokenWindows(cleaned, "clean", winSize, stride, Seq("doc_id"))
       .select("doc_id", "window_id", "win")
-    val scored = Inference.scoreWindows(windows, "win")
+    val scored = Inference.scoreWindows(windows, "win", modelFactory = model)
     val feats = ActFeatures.actFeatures(
       scored, "doc_id", Seq("window_id"), Inference.EmotionLabels, numActs)
     val featCols =

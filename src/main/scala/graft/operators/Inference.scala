@@ -149,10 +149,11 @@ object Inference {
     * would replace ONLY this class's `run` call; `scoreWindows` and the
     * partition lifecycle are untouched.
     */
-  final class OnnxModel(resource: String = "/graft/emotion_mlp.onnx")
-      extends Model {
-    private val model = {
-      val in = getClass.getResourceAsStream(resource)
+  final class OnnxModel private (model: OnnxMini.Model) extends Model {
+
+    /** Classpath-resource form — the default O-55 backend file. */
+    def this(resource: String = "/graft/emotion_mlp.onnx") = this {
+      val in = classOf[OnnxModel].getResourceAsStream(resource)
       require(in != null, s"onnx resource $resource not on classpath")
       val bytes = try in.readAllBytes() finally in.close()
       OnnxMini.parse(bytes)
@@ -167,6 +168,16 @@ object Inference {
       OnnxMini.run(model, input).toSeq
         .map(row => softmax(row.map(_.toDouble)))
     }
+  }
+
+  object OnnxModel {
+    /** In-memory model bytes (tests, models shipped via broadcast rather
+      * than classpath). Parsed once here; the parsed graph rides the
+      * factory closure — small arrays, same cost class as the resource
+      * path's per-partition re-read.
+      */
+    def fromBytes(bytes: Array[Byte]): OnnxModel =
+      new OnnxModel(OnnxMini.parse(bytes))
   }
 
   /** Appends the 6 emotion-probability columns to a window frame. The

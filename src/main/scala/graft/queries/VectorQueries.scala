@@ -102,9 +102,13 @@ object VectorQueries {
   // index built once per data dir (an index is a persistent artifact, not
   // per-query work — a user would build it once and query many times)
   private val ivfCache = new graft.SessionCache[graft.operators.AnnIvf.IvfIndex]
+  private val nswCache = new graft.SessionCache[graft.operators.AnnNsw.NswIndex]
 
-  /** Drop the memoized index (bench cold-timing hook). */
-  def clearCache(): Unit = ivfCache.clearAll()
+  /** Drop the memoized indexes (bench cold-timing hook). */
+  def clearCache(): Unit = {
+    ivfCache.clearAll()
+    nswCache.clearAll().foreach(_.graph.unpersist())
+  }
 
   private val ivf: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
@@ -193,6 +197,51 @@ object VectorQueries {
       .withColumn("recall_bp", expr(s"(n_hits * 10000) DIV $RecallK"))
   }
 
+  /** NSW recall@10 (rows-only, §5.4 fence — the graph index sits on the
+    * KMeans coarse quantizer and the walk is not SQL-replayable):
+    * greedy bounded walk over the per-list navigable-small-world graphs
+    * vs (a) the global exact top-10 (`recall_bp` — end-to-end quality,
+    * routing loss included, mirroring `q_ann_recall_ivf`) and (b) the
+    * linear scan of the SAME probed lists (`walk_bp` — isolates what the
+    * bounded walk loses vs an exhaustive in-list scan: the 100 TB
+    * trade, where the walk replaces the scan per shard). Invariants
+    * (exhaustive-walk == scan, degree bound, determinism) in AnnNswSpec.
+    */
+  private val nswRecall: Q = (s, d) => {
+    val embT = Tables.embeddings(s, d)
+    val index = ivfCache.getOrElseUpdate(s, d)(
+      graft.operators.AnnIvf.buildIndex(embT, "vec_id", "embedding", nList = 16))
+    val nsw = nswCache.getOrElseUpdate(s, d)(
+      graft.operators.AnnNsw.buildGraph(index))
+    val probes = embT.filter(col("vec_id") < RecallProbes)
+      .select(col("vec_id").as("pid"), col("embedding"))
+    val exact = exactTopK(emb(s, d).select(col("vec_id"), col("e")),
+      emb(s, d).filter(col("vec_id") < RecallProbes)
+        .select(col("vec_id").as("probe_id"), col("e").as("pv")))
+    def rec(nProbe: Int): DataFrame = {
+      val walked = graft.operators.AnnNsw
+        .topK(nsw, probes, "pid", "embedding", RecallK, nProbe)
+        .select(col("probe_id"), col("vec_id"))
+      val scanned = graft.operators.AnnIvf
+        .topK(index, probes, "pid", "embedding", RecallK, nProbe)
+        .select(col("probe_id"), col("vec_id"))
+      // left joins from the probe list: a probe whose walk found no
+      // exact/scan hits must still appear, at recall 0
+      probes.select(col("pid").cast("long").as("probe_id"))
+        .join(walked.join(exact, Seq("probe_id", "vec_id"))
+          .groupBy("probe_id").agg(count(lit(1)).as("h_exact")),
+          Seq("probe_id"), "left")
+        .join(walked.join(scanned, Seq("probe_id", "vec_id"))
+          .groupBy("probe_id").agg(count(lit(1)).as("h_scan")),
+          Seq("probe_id"), "left")
+        .select(lit(nProbe).cast("long").as("n_probe"), col("probe_id"),
+          coalesce(col("h_exact"), lit(0L)).as("n_hits"),
+          expr(s"(coalesce(h_exact, 0) * 10000) DIV $RecallK").as("recall_bp"),
+          expr(s"(coalesce(h_scan, 0) * 10000) DIV $RecallK").as("walk_bp"))
+    }
+    rec(4).unionAll(rec(16))
+  }
+
   /** IVF index maintenance (rows-only, §5.4 fence — KMeans quantizer):
     * append perturbed copies of the corpus to the EXISTING index via
     * `AnnIvf.appendToIndex` — nearest-centroid assignment, no rebuild —
@@ -225,6 +274,7 @@ object VectorQueries {
     "q_ann_ivf_upsert" -> ivfUpsert,
     "q_ann_recall" -> annRecall,
     "q_ann_recall_ivf" -> ivfRecall,
+    "q_ann_recall_nsw" -> nswRecall,
     "o37_cluster_centroids" -> o37,
     "o12_array_overlap" -> o12,
     "o41_f1_eval" -> o41)

@@ -71,6 +71,46 @@ class InferenceSeamSpec extends SparkSpec {
     }
   }
 
+  test("tiny 2-layer transformer runs through the operator seam (r8 #3)") {
+    // per-text token sequence → transformer encoder → mean-pooled
+    // logits → softmax: the roberta-head shape behind the SAME
+    // per-partition handle. Per-text evaluation keeps the contract
+    // scoreWindows relies on — a row's score must not depend on which
+    // batch/partition it landed in.
+    import graft.operators.OnnxMini
+    val bytes = OnnxFixture.tinyTransformerBytes(pool = true)
+    class TransformerModel extends Inference.Model {
+      private val m = OnnxMini.parse(bytes)
+      private val featurizer = new Inference.LinearModel()
+      override def predictBatch(texts: Seq[String]): Seq[Array[Double]] =
+        texts.map { t =>
+          val toks = t.split("\\s+").filter(_.nonEmpty).take(16)
+          val seqToks = if (toks.isEmpty) Array("") else toks
+          val x = seqToks.map(tok =>
+            featurizer.featuresBp(tok).map(v => (v / 1e4).toFloat))
+          val logits = OnnxMini.run(m, x)(0).map(_.toDouble)
+          val mx = logits.max
+          val ex = logits.map(v => math.exp(v - mx))
+          ex.map(_ / ex.sum)
+        }
+    }
+    val out = Inference.scoreWindows(windows, "win",
+      modelFactory = () => new TransformerModel)
+    assert(out.schema === Inference.scoreWindows(windows, "win").schema)
+    val p1 = collectProbs(out)
+    p1.values.foreach { p =>
+      assert(math.abs(p.sum - 1.0) < 1e-9)
+      assert(p.forall(x => x >= 0 && x <= 1))
+    }
+    // deterministic under repartitioning + batch-size changes
+    val p2 = collectProbs(Inference.scoreWindows(windows.repartition(1), "win",
+      batchSize = 2, modelFactory = () => new TransformerModel))
+    assert(p1 === p2)
+    // the in-memory bytes path is the same class the resource path uses
+    val viaFactory = Inference.OnnxModel.fromBytes(OnnxFixture.emotionMlpBytes())
+    assert(viaFactory.predictBatch(Seq("seam check")).head.sum > 0.99)
+  }
+
   test("OnnxMini fails loudly on unsupported graphs, not silently") {
     // an unsupported op must throw at run time — a skipped node would
     // silently mis-score every row

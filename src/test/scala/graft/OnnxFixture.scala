@@ -36,7 +36,58 @@ object OnnxFixture {
       vs.foreach(bb.putFloat)
       bytes(field, bb.array())
     }
+    def float32(field: Int, v: Float): W = {
+      tag(field, 5)
+      val bb = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putFloat(v)
+      buf.write(bb.array()); this
+    }
+    def packedInts(field: Int, vs: Seq[Long]): W = {
+      val sub = new W; vs.foreach(sub.varint); bytes(field, sub.toBytes)
+    }
     def toBytes: Array[Byte] = buf.toByteArray
+  }
+
+  /** Attribute/node syntax for composing test graphs. */
+  sealed trait Attr { def name: String; def write(a: W): Unit }
+  final case class IntAttr(name: String, v: Long) extends Attr {
+    def write(a: W): Unit = { a.str(1, name); a.int(3, v) }
+  }
+  final case class FloatAttr(name: String, v: Float) extends Attr {
+    def write(a: W): Unit = { a.str(1, name); a.float32(2, v) }
+  }
+  final case class StrAttr(name: String, v: String) extends Attr {
+    def write(a: W): Unit = { a.str(1, name); a.str(4, v) }
+  }
+  final case class IntsAttr(name: String, v: Seq[Long]) extends Attr {
+    def write(a: W): Unit = { a.str(1, name); a.packedInts(8, v) }
+  }
+  final case class N(op: String, inputs: Seq[String], outputs: Seq[String],
+      attrs: Attr*)
+
+  /** ModelProto from an arbitrary node list + named initializers —
+    * the composition path for transformer test graphs.
+    */
+  def modelBytes(nodes: Seq[N], inits: Seq[(String, Seq[Int], Array[Float])],
+      input: String, output: String): Array[Byte] = {
+    val out = new W
+    out.int(1, 8) // ir_version
+    out.msg(8)(op => op.int(2, 17)) // opset_import { version = 17 }
+    out.msg(7) { g =>
+      nodes.foreach { nd =>
+        g.msg(1) { n =>
+          nd.inputs.foreach(n.str(1, _))
+          nd.outputs.foreach(n.str(2, _))
+          n.str(4, nd.op)
+          nd.attrs.foreach(at => n.msg(5)(at.write))
+        }
+      }
+      g.str(2, "test_graph")
+      inits.foreach { case (nm, dims, data) => tensor(g, 5, nm, dims, data) }
+      g.msg(11)(v => v.str(1, input))
+      g.msg(12)(v => v.str(1, output))
+    }
+    out.toBytes
   }
 
   /** TensorProto: dims=1, data_type=2 (1=FLOAT), float_data=4, name=8. */
@@ -69,6 +120,81 @@ object OnnxFixture {
       g.msg(12)(v => v.str(1, "logits")) // ValueInfoProto output
     }
     out.toBytes
+  }
+
+  /** Deterministic tiny transformer encoder, the r8 VERDICT "missing #1"
+    * shape (reference roberta head, `emotion_analysis/model.py:108-141`):
+    * x[seq,nIn] → embed Gemm → layers × { pre-LN multi-head attention
+    * (Q/K/V Gemms → Split per head → QKᵀ MatMul → ÷√dₕ → Softmax → ·V →
+    * Concat → proj Gemm) + residual; pre-LN FFN (Gemm → Gelu → Gemm) +
+    * residual } → final LN → head Gemm → logits[seq,nOut], optionally
+    * mean-pooled over the sequence (ReduceMean axis 0 → [1,nOut]).
+    * No positional encoding, so the unpooled graph is permutation-
+    * EQUIVARIANT and the pooled one permutation-INVARIANT — the wiring
+    * invariants OnnxTransformerSpec pins without re-implementing the
+    * arithmetic it's checking. Softmax over classes is left to the
+    * caller (Inference applies it), like the checked-in MLP fixture.
+    */
+  def tinyTransformerBytes(nIn: Int = 5, d: Int = 8, heads: Int = 2,
+      layers: Int = 2, nOut: Int = 6, pool: Boolean = false,
+      seed: Long = 42L): Array[Byte] = {
+    require(d % heads == 0, s"d=$d not divisible by $heads heads")
+    val rnd = new scala.util.Random(seed)
+    def mat(n: Int): Array[Float] =
+      Array.fill(n)((rnd.nextDouble() * 0.8 - 0.4).toFloat)
+    val inits = Seq.newBuilder[(String, Seq[Int], Array[Float])]
+    val nodes = Seq.newBuilder[N]
+    def gemm(in: String, out: String, rIn: Int, rOut: Int): Unit = {
+      inits += ((s"W_$out", Seq(rIn, rOut), mat(rIn * rOut)))
+      inits += ((s"b_$out", Seq(rOut), mat(rOut)))
+      nodes += N("Gemm", Seq(in, s"W_$out", s"b_$out"), Seq(out))
+    }
+    def layerNorm(in: String, out: String, width: Int): Unit = {
+      inits += ((s"g_$out", Seq(width), Array.fill(width)(1f)))
+      inits += ((s"be_$out", Seq(width), Array.fill(width)(0f)))
+      nodes += N("LayerNormalization", Seq(in, s"g_$out", s"be_$out"),
+        Seq(out), FloatAttr("epsilon", 1e-5f))
+    }
+    inits += (("sqrt_dh", Seq(1, 1), Array(math.sqrt(d.toDouble / heads).toFloat)))
+    gemm("x", "h0", nIn, d)
+    var cur = "h0"
+    for (l <- 0 until layers) {
+      val p = s"l$l"
+      layerNorm(cur, s"${p}_ln1", d)
+      for (qkv <- Seq("q", "k", "v")) {
+        gemm(s"${p}_ln1", s"${p}_$qkv", d, d)
+        nodes += N("Split", Seq(s"${p}_$qkv"),
+          (0 until heads).map(h => s"${p}_$qkv$h"), IntAttr("axis", -1L))
+      }
+      for (h <- 0 until heads) {
+        nodes += N("Transpose", Seq(s"${p}_k$h"), Seq(s"${p}_kT$h"),
+          IntsAttr("perm", Seq(1L, 0L)))
+        nodes += N("MatMul", Seq(s"${p}_q$h", s"${p}_kT$h"), Seq(s"${p}_s$h"))
+        nodes += N("Div", Seq(s"${p}_s$h", "sqrt_dh"), Seq(s"${p}_sc$h"))
+        nodes += N("Softmax", Seq(s"${p}_sc$h"), Seq(s"${p}_a$h"),
+          IntAttr("axis", -1L))
+        nodes += N("MatMul", Seq(s"${p}_a$h", s"${p}_v$h"), Seq(s"${p}_ctx$h"))
+      }
+      nodes += N("Concat", (0 until heads).map(h => s"${p}_ctx$h"),
+        Seq(s"${p}_ctx"), IntAttr("axis", -1L))
+      gemm(s"${p}_ctx", s"${p}_proj", d, d)
+      nodes += N("Add", Seq(cur, s"${p}_proj"), Seq(s"${p}_res1"))
+      layerNorm(s"${p}_res1", s"${p}_ln2", d)
+      gemm(s"${p}_ln2", s"${p}_ffn1", d, 2 * d)
+      nodes += N("Gelu", Seq(s"${p}_ffn1"), Seq(s"${p}_gelu"),
+        StrAttr("approximate", "none"))
+      gemm(s"${p}_gelu", s"${p}_ffn2", 2 * d, d)
+      nodes += N("Add", Seq(s"${p}_res1", s"${p}_ffn2"), Seq(s"${p}_res2"))
+      cur = s"${p}_res2"
+    }
+    layerNorm(cur, "lnf", d)
+    gemm("lnf", "logits", d, nOut)
+    val outName = if (pool) {
+      nodes += N("ReduceMean", Seq("logits"), Seq("pooled"),
+        IntsAttr("axes", Seq(0L)), IntAttr("keepdims", 1L))
+      "pooled"
+    } else "logits"
+    modelBytes(nodes.result(), inits.result(), "x", outName)
   }
 
   /** The fixture's exact contents: LinearModel centi-weights / 100. */

@@ -33,4 +33,20 @@ class PipelineSpec extends SparkSpec {
       .count(r => !leafIds.contains(r.getAs[Long]("graph_id")))
     assert(badAssign == 0)
   }
+
+  test("E1 with the ONNX backend: the O-55 seam composes in the full DAG (r8 #5)") {
+    // same pipeline, model swapped via the e1 parameter — the structural
+    // invariants must be model-independent (eligibility, tree bounds,
+    // leaf partitioning depend on windowing/clustering, not scores)
+    val t = Pipeline.e1(spark, sf,
+      model = () => new graft.operators.Inference.OnnxModel())
+    val g = t.graph.collect()
+    val root = g.find(_.getAs[Long]("id") == 1L).get
+    val movies = t.movies.count()
+    assert(root.getAs[Long]("count") == movies)
+    assert(g.map(_.getAs[Int]("depth")).max <= 5)
+    val leafSum = g.filter(_.getAs[String]("type") == "leaf")
+      .map(_.getAs[Long]("count")).sum
+    assert(leafSum == movies, "leaves must partition the movies")
+  }
 }

@@ -140,6 +140,48 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("onnx transformer ops: Softmax/LayerNorm/Transpose round-trip fuzz") {
+    // same rationale as the Gemm fuzz: the wire writer/reader pair plus
+    // the new op kernels, driven with random shapes/values. Checks are
+    // closed-form invariants, not re-implementations: softmax rows are
+    // distributions and order-preserving; double-Transpose is identity;
+    // LayerNorm(scale=1,bias=0) rows have mean≈0 and unit variance.
+    val genCase = for {
+      n <- Gen.choose(1, 6)
+      c <- Gen.choose(2, 10)
+      x <- Gen.listOfN(n, Gen.listOfN(c, Gen.choose(-8.0, 8.0).map(_.toFloat)))
+    } yield (x.map(_.toArray).toArray, n, c)
+    check("onnxOps", forAll(genCase) { case (x, n, c) =>
+      import OnnxFixture._
+      import graft.operators.OnnxMini
+      val sm = OnnxMini.run(OnnxMini.parse(modelBytes(
+        Seq(N("Softmax", Seq("x"), Seq("y"), IntAttr("axis", -1L))),
+        Seq.empty, "x", "y")), x)
+      val softmaxOk = sm.zipWithIndex.forall { case (row, i) =>
+        math.abs(row.map(_.toDouble).sum - 1.0) < 1e-5 &&
+          row.indices.forall { j => row.indices.forall { k =>
+            (x(i)(j) <= x(i)(k)) == (row(j) <= row(k)) } }
+      }
+      val tt = OnnxMini.run(OnnxMini.parse(modelBytes(
+        Seq(N("Transpose", Seq("x"), Seq("t"), IntsAttr("perm", Seq(1L, 0L))),
+          N("Transpose", Seq("t"), Seq("y"), IntsAttr("perm", Seq(1L, 0L)))),
+        Seq.empty, "x", "y")), x)
+      val transposeOk = tt.lazyZip(x).forall((a, b) => a.sameElements(b))
+      val ln = OnnxMini.run(OnnxMini.parse(modelBytes(
+        Seq(N("LayerNormalization", Seq("x", "g", "b"), Seq("y"),
+          FloatAttr("epsilon", 1e-5f))),
+        Seq(("g", Seq(c), Array.fill(c)(1f)), ("b", Seq(c), Array.fill(c)(0f))),
+        "x", "y")), x)
+      val lnOk = ln.forall { row =>
+        val mean = row.map(_.toDouble).sum / c
+        val varr = row.map(v => (v - mean) * (v - mean)).sum / c
+        // rows with ~zero input variance normalize toward 0/eps, not 1
+        math.abs(mean) < 1e-4 && (varr < 1.01)
+      }
+      softmaxOk && transposeOk && lnOk
+    })
+  }
+
   private def size_(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.size(c)
 }
