@@ -46,6 +46,19 @@ object Bench {
       // evicts everything between a query's interleaved reps, making
       // every rep pay whole-stage recompilation; size it to the sweep
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // AQE coalescing with the DEFAULT parallelismFirst=true refuses to
+      // coalesce below defaultParallelism — so every sub-MB shuffle in
+      // the ~80 small queries still runs 32 reduce tasks of <1 KB each,
+      // pure scheduler floor (VERDICT r8 #1a). false = size-based: KB
+      // shuffles collapse to 1 task. The advisory is sized to the BENCH
+      // (1 MB): with the cluster default of 64 MB the few MB-scale
+      // CPU-bound shuffles here (q_act_features windows) collapse to
+      // one core too — measured 0.58 s → 2.1 s. 1 MB keeps those at
+      // data/1 MB ≈ 4-30 tasks while the KB floor still collapses; a
+      // real cluster keeps the 64 MB default, where its stages are
+      // GB-scale and never hit this boundary.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       // Scratch space (shuffle spill files, RocksDB state working dirs)
       // on tmpfs when available: the bench box has 126 G of /dev/shm and
       // the per-micro-batch state-store commit floor is fsync-bound, not

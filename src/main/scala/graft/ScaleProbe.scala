@@ -23,11 +23,48 @@ object ScaleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // mirror Bench's AQE stance so probes see the benched plans
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PFIRST", "false"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "nsw") println(nswProbe(spark, dir))
+    else if (mode == "floor") println(floorProbe(spark, dir))
     else println(bitsProbe(spark, dir, mode))
     spark.stop()
+  }
+
+  /** Per-phase decomposition of the per-query driver floor (VERDICT r8
+    * #1a) for representative sub-150 ms queries: (1) DataFrame build +
+    * analysis, (2) optimization + physical planning, (3) job execution.
+    * Warmed first so codegen/JIT compile lands outside the measurement;
+    * mean of 5 — the floor is a mean effect, not a min effect.
+    */
+  private def floorProbe(spark: SparkSession, dir: String): String = {
+    val names = Seq("o08_point_lookup", "o14_index_select", "o42_distinct",
+      "o29_name_gen", "o11_eq_filter", "o38_count_per_group",
+      "o47_topk_per_group", "o34_group_mean")
+    names.map { n =>
+      val fn = graft.SparkEntry.queries(n)
+      fn(spark, dir).queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
+      val reps = 5
+      var aMs = 0.0; var pMs = 0.0; var eMs = 0.0
+      (1 to reps).foreach { _ =>
+        val t0 = System.nanoTime()
+        val df = fn(spark, dir)
+        df.queryExecution.analyzed
+        val t1 = System.nanoTime()
+        df.queryExecution.executedPlan
+        val t2 = System.nanoTime()
+        df.queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
+        val t3 = System.nanoTime()
+        aMs += (t1 - t0) / 1e6; pMs += (t2 - t1) / 1e6; eMs += (t3 - t2) / 1e6
+      }
+      f"""{"q":"$n","analyze_ms":${aMs / reps}%.1f,"plan_ms":${pMs / reps}%.1f,"exec_ms":${eMs / reps}%.1f}"""
+    }.mkString("[", ",", "]")
   }
 
   private def bitsProbe(spark: SparkSession, dir: String, arg: String): String =

@@ -19,6 +19,11 @@ object Verify {
       // default; read it as a ns-epoch long (matches DuckDB's ns view).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // same AQE coalescing stance as Bench (size-based, not
+      // parallelism-first) so the correctness gate exercises the same
+      // physical plans the bench times
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -40,6 +40,50 @@ object Naming {
       fallback(parentName, groups.size)
   }
 
+  /** Content-derived naming (VERDICT r8 #8): each child is named by the
+    * top TF-IDF terms of its member titles, with document frequency
+    * taken over the SIBLING set — the same contrastive signal the
+    * reference's LLM prompt carries by showing all children together
+    * (utils.py:106-110), but deterministic and replayable. Scoring is
+    * tf × (idf + ε): idf = ln((1+n)/(1+df)) makes a group's distinctive
+    * terms dominate, and the ε·tf term still orders purely-shared
+    * vocabularies by within-group frequency instead of collapsing every
+    * score to zero. Ties break on the term, so proposals are stable
+    * across runs. `attempt` widens the name by one term per retry (≤4
+    * words, the validator's cap) — sibling groups whose top term
+    * collides get distinguished by their next terms where possible;
+    * sites with identical or empty vocabularies exhaust all attempts
+    * and take the standard fallback, exactly like an LLM namer that
+    * keeps proposing duplicates.
+    */
+  object TfIdfNamer extends Namer {
+    private val Stop = Set("the", "a", "an", "of", "and", "or", "in",
+      "on", "at", "to", "for", "with", "from", "by", "its", "his", "her")
+
+    private def tokens(t: String): Seq[String] =
+      t.toLowerCase.split("[^a-z0-9]+").toSeq
+        .filter(w => w.length >= 3 && !Stop(w))
+
+    override def propose(parentName: String, groups: Seq[NamingGroup],
+        attempt: Int): Seq[String] = {
+      val n = groups.size
+      val groupToks = groups.map(g => g.titles.flatMap(tokens))
+      val df = groupToks.flatMap(_.distinct).groupBy(identity)
+        .map { case (w, o) => w -> o.size }
+      val width = math.min(attempt + 1, 4)
+      groupToks.map { toks =>
+        val tf = toks.groupBy(identity).map { case (w, c) => w -> c.size }
+        tf.toSeq
+          .map { case (w, c) =>
+            (w, c * (math.log((1.0 + n) / (1.0 + df(w))) + 1e-3)) }
+          .sortBy { case (w, score) => (-score, w) }
+          .take(width)
+          .map { case (w, _) => w.capitalize }
+          .mkString(" ")
+      }
+    }
+  }
+
   /** validate_names (utils.py:36-57): non-empty, 1–4 whitespace words. */
   private[clustering] def validName(name: String): Boolean = {
     val words = name.trim.split("\\s+").filter(_.nonEmpty)

@@ -91,9 +91,15 @@ object IncrementalQueries {
     * (2.5× the configured rsd).
     */
   private val approxQ: Q = (s, d) =>
+    // pre-aggregate to distinct (type, user) pairs first: a direct
+    // countDistinct + approx_count_distinct in one agg makes Catalyst
+    // Expand every row ×2 and shuffle the full multiset; the two-level
+    // form dedupes map-side (partial agg) so the shuffle carries only
+    // distinct pairs, and the HLL of a deduped set is the same estimate
     Tables.events(s, d)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("_n"))
       .groupBy("event_type")
-      .agg(countDistinct(col("user_id")).as("exact_users"),
+      .agg(count(lit(1)).as("exact_users"),
         approx_count_distinct(col("user_id"), 0.02).as("approx"))
       .select(col("event_type"), col("exact_users"),
         (abs(col("approx") - col("exact_users")) <=

@@ -97,14 +97,28 @@ object StreamingTwins {
     val oldCkpt = conf.getOption(ckptKey)
     val oldClog = conf.getOption(clogKey)
     conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
-    // RocksDB keeps state off-heap with changelog-style commits — the
-    // scale-correct store for large state, and cheaper per-commit than
-    // the HDFS-backed provider's per-batch snapshot files here.
-    conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    // Changelog checkpointing: commit the per-batch delta, not a RocksDB
-    // snapshot — the per-micro-batch floor the multi-batch twins pay 3×.
-    conf.set(clogKey, "true")
+    // Provider picked like a deployment would: by expected state size.
+    // The twins' state is KB-scale, where the JVM-heap HDFS-backed store
+    // wins — a RocksDB provider pays a native instance spin-up per
+    // (store × partition × rep) that dominates these sub-second runs
+    // (q_stream_join: 4 stores × 2 partitions of init per cold rep).
+    // RocksDB stays the documented choice above ~100 MB of state per
+    // partition (off-heap, changelog commits); flip with
+    // SPARK_GRAFT_STATE_PROVIDER=rocksdb — the semantics and oracle
+    // hashes are provider-independent (both paths stay green).
+    val useRocks =
+      sys.env.getOrElse("SPARK_GRAFT_STATE_PROVIDER", "hdfs") == "rocksdb"
+    if (useRocks) {
+      conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Changelog checkpointing: commit the per-batch delta, not a
+      // RocksDB snapshot — the per-micro-batch floor the multi-batch
+      // twins pay 3×.
+      conf.set(clogKey, "true")
+    } else {
+      conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+        "state.HDFSBackedStateStoreProvider")
+    }
     // Fresh tmpfs checkpoint per twin run (queryName is unique per run,
     // so sub-paths can't collide even within one root).
     val ckptDir = s"$ckptRoot/${runId.get()}_${System.nanoTime()}"

@@ -35,20 +35,34 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 
-def letters_shifted(r):
-    low = string.ascii_lowercase
-    up = string.ascii_uppercase
-    return (low[r % 26:] + low[:r % 26]) + (up[r % 26:] + up[:r % 26])
+# Multipliers coprime to 26: with shift b in 0..25 this gives 312
+# DISTINCT affine bijections i -> (a*i + b) % 26 on the letter index.
+# A plain Caesar shift repeats after 26 replicas, which would make
+# replicas r and r+26 byte-identical -- planted cross-replica EXACT
+# duplicates that turn every pair-generating query quadratic by
+# construction at factor 100 (the 100x rehearsal, VERDICT r8 #2).
+AFFINE_A = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+
+
+def letters_mapped(r):
+    a = AFFINE_A[(r // 26) % len(AFFINE_A)]
+    b = r % 26
+
+    def mp(alpha):
+        return "".join(alpha[(a * i + b) % 26] for i in range(26))
+
+    return mp(string.ascii_lowercase) + mp(string.ascii_uppercase)
 
 
 def gen_documents(src, dst, factor, con):
+    assert factor <= 26 * len(AFFINE_A), "affine letter bijections exhausted"
     parts = []
     for r in range(factor):
         if r == 0:
             text = "text"
         else:
             text = ("translate(text, '%s', '%s')"
-                    % (string.ascii_letters, letters_shifted(r)))
+                    % (string.ascii_letters, letters_mapped(r)))
         parts.append(
             "SELECT doc_id + %d AS doc_id, %s AS text, lang, source, n_chars "
             "FROM read_parquet('%s/documents.parquet')"
@@ -58,14 +72,24 @@ def gen_documents(src, dst, factor, con):
 
 
 def gen_embeddings(src, dst, factor, con):
+    # orthogonal transform per replica: circular rotation by r % 64
+    # composed with global negation for r >= 64 (diag(-1) is orthogonal,
+    # so within-replica cosines/L2 stay bit-preserved). The pre-r9 form
+    # rotated by r directly; for r >= 64 the DuckDB slice clamps and the
+    # "rotation" silently degenerates to the identity -- replicas 64..99
+    # would be exact vector copies of replica 0.
+    assert factor <= 128, "distinct orthogonal transforms exhausted"
     parts = []
     for r in range(factor):
-        if r == 0:
+        k = r % 64
+        if k == 0:
             emb = "embedding"
         else:
-            # circular rotation by r dims; keep FLOAT[] element type
-            emb = ("list_transform(embedding[%d:] || embedding[1:%d], "
-                   "x -> CAST(x AS FLOAT))" % (r + 1, r))
+            emb = "(embedding[%d:] || embedding[1:%d])" % (k + 1, k)
+        if r >= 64:
+            emb = "list_transform(%s, x -> -x)" % emb
+        if r > 0:
+            emb = "list_transform(%s, x -> CAST(x AS FLOAT))" % emb
         parts.append(
             "SELECT vec_id + %d AS vec_id, %s AS embedding, label "
             "FROM read_parquet('%s/embeddings.parquet')"
