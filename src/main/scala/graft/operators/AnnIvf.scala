@@ -27,6 +27,26 @@ object AnnIvf {
 
   final case class IvfIndex(assigned: DataFrame, centroids: DataFrame, idCol: String)
 
+  /** Sizing rule for the coarse quantizer: hold the inverted-list
+    * LENGTH constant (~targetLen vectors/list) as the corpus grows, so
+    * per-list work — the NSW graph build's exact in-list kNN
+    * (quadratic in list length) and the per-probe scan/walk — is
+    * corpus-independent. This is the rule the 100× rehearsal validated
+    * (SCALE.md): a pinned nList at 100× data makes lists 100× longer
+    * and the quadratic in-list build superlinear in the corpus
+    * (measured 258× wall at 100× data before this rule was applied to
+    * the declared queries).
+    *
+    * Floor 16 keeps small corpora at the historical width (bench SFs
+    * are bit-identical). Cap 65536: past ~10⁵ lists the flat KMeans
+    * coarse quantizer itself becomes the bottleneck and the centroid
+    * table outgrows comfortable broadcast — at that scale train the
+    * quantizer hierarchically (IVF over IVF shards, same seam) and
+    * accept longer lists with an NN-descent in-list build.
+    */
+  def autoNList(corpus: Long, targetLen: Int = 500): Int =
+    math.max(16, math.min(65536L, corpus / targetLen).toInt)
+
   /** Build the inverted lists: (id, e, cluster) + a centroid table. */
   def buildIndex(emb: DataFrame, idCol: String, arrCol: String,
       nList: Int): IvfIndex = {
@@ -38,13 +58,55 @@ object AnnIvf {
     // join consumes it again — an index build reads the corpus once
     val doubled = emb.select(col(idCol), VectorOps.toDoubleArr(col(arrCol)).as("e"))
       .persist()
-    val (labels, centers) = GraphBuild.microCluster(doubled, idCol, "e", maxMicro = nList)
+    val (labels, centers) = trainQuantizer(doubled, idCol, nList)
     val cents = centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
       .toSeq.toDF("cluster", "centroid")
       .select(col("cluster"), col("centroid").cast("array<double>").as("centroid"))
     // the materialized index: persisted so every topK call scans the
     // (small) lists table, not the original corpus lineage twice
     IvfIndex(doubled.join(labels, idCol).persist(), cents, idCol)
+  }
+
+  /** Coarse-quantizer training, sized to what the quantizer is FOR.
+    * Small corpora (every bench SF) keep the exact historical path —
+    * full-corpus Lloyd via [[GraphBuild.microCluster]], bit-identical
+    * outputs. Past `sampleFloor` rows, training runs on a bounded
+    * DETERMINISTIC sample (hash stride on the id — stable under any
+    * partitioning) with capped iterations, and only the final
+    * assignment pass touches the full corpus: the FAISS convention
+    * (~64–256 training points per centroid) because coarse-quantizer
+    * quality barely moves recall when nProbe > 1, while full-corpus
+    * Lloyd is the dominant index-build cost at scale. The 100×
+    * rehearsal measured the difference (SCALE.md): full-corpus k=400
+    * training was ~50 s of every index build at 200k vectors; the
+    * sampled path cuts build cost to the one assignment pass + a
+    * bounded train. With [[autoNList]]'s 65536 cap the training set is
+    * bounded at ~4.2M rows regardless of corpus size.
+    */
+  private def trainQuantizer(doubled: DataFrame, idCol: String, nList: Int,
+      sampleFloor: Long = 50000L): (DataFrame, Array[Array[Double]]) = {
+    val n = doubled.count()
+    val target = math.max(sampleFloor, 64L * nList)
+    if (n <= target) {
+      GraphBuild.microCluster(doubled, idCol, "e", maxMicro = nList)
+    } else {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val stride = math.max(1L, n / target)
+      val sample = doubled
+        .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+        .withColumn("_fv", array_to_vector(col("e")))
+        .persist()
+      // hash stride is approximate; k can never exceed the sample
+      val k = math.max(2L, math.min(nList.toLong, sample.count())).toInt
+      val model = new KMeans().setK(k).setSeed(42).setMaxIter(10)
+        .setFeaturesCol("_fv").setPredictionCol("cluster").fit(sample)
+      sample.unpersist()
+      val labels = model
+        .transform(doubled.withColumn("_fv", array_to_vector(col("e"))))
+        .select(col(idCol), col("cluster").cast("int").as("cluster"))
+      (labels, model.clusterCenters.map(_.toArray))
+    }
   }
 
   /** Append new vectors WITHOUT a rebuild (index maintenance for a
@@ -60,13 +122,56 @@ object AnnIvf {
   def appendToIndex(index: IvfIndex, newVecs: DataFrame, arrCol: String): IvfIndex = {
     val nv = newVecs.select(col(index.idCol),
       VectorOps.toDoubleArr(col(arrCol)).as("e"))
-    val assignedNew = nv.crossJoin(broadcast(index.centroids))
-      .withColumn("cdist", VectorOps.l2DistanceNative(col("e"), col("centroid")))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(index.idCol).orderBy(col("cdist"), col("cluster"))))
-      .filter(col("crk") === 1)
-      .select(col(index.idCol), col("e"), col("cluster"), lit(1).as("gen"))
+    val assignedNew = assignNearest(nv, index.idCol, index.centroids)
+      .withColumn("gen", lit(1))
     index.copy(assigned = withGen(index.assigned).unionByName(assignedNew))
+  }
+
+  // public for the same Catalyst-serializer reason as AnnNsw.GraphRow
+  final case class AssignedRow(id: Long, e: Seq[Double], cluster: Int)
+
+  /** Nearest-centroid assignment as ONE narrow pass: the centroid table
+    * (bounded by [[autoNList]]'s cap, the same driver-bounded class as
+    * the ≤800-centroid Ward input) rides in the task closure and every
+    * vector computes its argmin in place. The previous shape —
+    * crossJoin(broadcast(centroids)) + a per-id row_number window —
+    * materializes corpus × nList wide rows and shuffles them for the
+    * window: the 100× rehearsal measured a 200k-vector append at 400
+    * lists spending ~85 s in that 80M-row shuffle; this pass is the
+    * arithmetic only (corpus × nList × dim flops, no shuffle, no
+    * blowup). Ties break to the lower cluster id, matching the old
+    * window's (cdist, cluster) ordering bit-for-bit.
+    */
+  private def assignNearest(vecs: DataFrame, idCol: String,
+      centroids: DataFrame): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cents: Array[(Int, Array[Double])] = centroids
+      .select(col("cluster").cast("int"), col("centroid"))
+      .as[(Int, Seq[Double])].collect()
+      .map { case (c, v) => (c, v.toArray) }
+      .sortBy(_._1)
+    vecs.select(col(idCol).cast("long").as("_id"), col("e"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        it.map { case (id, e) =>
+          val ea = e.toArray
+          var best = -1; var bestD = Double.MaxValue
+          var ci = 0
+          while (ci < cents.length) {
+            val cv = cents(ci)._2
+            var d = 0.0; var i = 0
+            while (i < ea.length) { val t = ea(i) - cv(i); d += t * t; i += 1 }
+            // strict < keeps the FIRST (lowest cluster id) on ties:
+            // cents is sorted by cluster asc
+            if (d < bestD) { bestD = d; best = cents(ci)._1 }
+            ci += 1
+          }
+          AssignedRow(id, e, best)
+        }
+      }
+      .toDF("_id", "e", "cluster")
+      .select(col("_id").as(idCol), col("e"), col("cluster"))
   }
 
   // builds carry no generation column; appended rows are gen=1

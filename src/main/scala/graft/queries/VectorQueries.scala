@@ -95,9 +95,12 @@ object VectorQueries {
       .withColumn("f1_bp", expr("(2*tp*10000) DIV greatest(2*tp + fp + fn, 1)"))
   }
 
-  /** IVF ANN (rows-only: KMeans-built index): probe 4 of 16 inverted
-    * lists — the 100 TB scale path where the corpus scan is cut to
-    * nProbe/nList. Exactness at nProbe == nList is asserted in tests.
+  /** IVF ANN (rows-only: KMeans-built index): probe 4 of the
+    * auto-sized inverted lists ([[graft.operators.AnnIvf.autoNList]]:
+    * constant ~500-vector list length, floor 16 — bench SFs stay at the
+    * historical nList=16) — the 100 TB scale path where the corpus scan
+    * is cut to nProbe/nList. Exactness at nProbe == nList is asserted
+    * in tests.
     */
   // index built once per data dir (an index is a persistent artifact, not
   // per-query work — a user would build it once and query many times)
@@ -113,7 +116,8 @@ object VectorQueries {
   private val ivf: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val index = ivfCache.getOrElseUpdate(s, d)(
-      graft.operators.AnnIvf.buildIndex(emb, "vec_id", "embedding", nList = 16))
+      graft.operators.AnnIvf.buildIndex(emb, "vec_id", "embedding",
+        nList = graft.operators.AnnIvf.autoNList(emb.count())))
     val probes = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("pid"), col("embedding"))
     graft.operators.AnnIvf.topK(index, probes, "pid", "embedding", k = 10, nProbe = 4)
@@ -172,7 +176,7 @@ object VectorQueries {
       .withColumn("recall_bp", expr(s"(n_hits * 10000) DIV $RecallK"))
   }
 
-  /** IVF recall@10 vs exact, nProbe ∈ {4, 16} over the nList=16 index
+  /** IVF recall@10 vs exact, nProbe ∈ {4, 16} over the auto-sized index
     * (rows-only: the KMeans coarse quantizer is not SQL-replayable;
     * nProbe == nList ⇒ recall == 10000 bp exactly is asserted in
     * ScalaTest, plus a floor on the nProbe=4 mean).
@@ -180,7 +184,8 @@ object VectorQueries {
   private val ivfRecall: Q = (s, d) => {
     val embT = Tables.embeddings(s, d)
     val index = ivfCache.getOrElseUpdate(s, d)(
-      graft.operators.AnnIvf.buildIndex(embT, "vec_id", "embedding", nList = 16))
+      graft.operators.AnnIvf.buildIndex(embT, "vec_id", "embedding",
+        nList = graft.operators.AnnIvf.autoNList(embT.count())))
     val probes = embT.filter(col("vec_id") < RecallProbes)
       .select(col("vec_id").as("pid"), col("embedding"))
     val exact = exactTopK(emb(s, d).select(col("vec_id"), col("e")),
@@ -190,7 +195,14 @@ object VectorQueries {
       graft.operators.AnnIvf.topK(index, probes, "pid", "embedding", RecallK, nProbe)
         .select(lit(nProbe).cast("long").as("n_probe"),
           col("probe_id"), col("vec_id"))
-    rec(4).unionAll(rec(16))
+    // probe a constant FRACTION of the lists (quarter + all), not a
+    // constant count: with auto-sized nList the scanned share of the
+    // corpus — what recall actually tracks — stays comparable across
+    // corpus sizes, and nProbe == nList keeps demonstrating the
+    // exact-degradation invariant at every scale. At the bench SFs
+    // nList = 16, so these are the historical {4, 16} bit-for-bit.
+    val nL = index.centroids.count().toInt
+    rec(math.max(1, nL / 4)).unionAll(rec(nL))
       .join(exact, Seq("probe_id", "vec_id"))
       .groupBy("n_probe", "probe_id")
       .agg(count(lit(1)).as("n_hits"))
@@ -210,7 +222,8 @@ object VectorQueries {
   private val nswRecall: Q = (s, d) => {
     val embT = Tables.embeddings(s, d)
     val index = ivfCache.getOrElseUpdate(s, d)(
-      graft.operators.AnnIvf.buildIndex(embT, "vec_id", "embedding", nList = 16))
+      graft.operators.AnnIvf.buildIndex(embT, "vec_id", "embedding",
+        nList = graft.operators.AnnIvf.autoNList(embT.count())))
     val nsw = nswCache.getOrElseUpdate(s, d)(
       graft.operators.AnnNsw.buildGraph(index))
     val probes = embT.filter(col("vec_id") < RecallProbes)
@@ -239,7 +252,9 @@ object VectorQueries {
           expr(s"(coalesce(h_exact, 0) * 10000) DIV $RecallK").as("recall_bp"),
           expr(s"(coalesce(h_scan, 0) * 10000) DIV $RecallK").as("walk_bp"))
     }
-    rec(4).unionAll(rec(16))
+    // constant list FRACTION, as in ivfRecall: {4, 16} at bench SFs
+    val nL = index.centroids.count().toInt
+    rec(math.max(1, nL / 4)).unionAll(rec(nL))
   }
 
   /** IVF index maintenance (rows-only, §5.4 fence — KMeans quantizer):
@@ -253,7 +268,8 @@ object VectorQueries {
   private val ivfUpsert: Q = (s, d) => {
     val embT = Tables.embeddings(s, d)
     val index = ivfCache.getOrElseUpdate(s, d)(
-      graft.operators.AnnIvf.buildIndex(embT, "vec_id", "embedding", nList = 16))
+      graft.operators.AnnIvf.buildIndex(embT, "vec_id", "embedding",
+        nList = graft.operators.AnnIvf.autoNList(embT.count())))
     val appended = embT.select((col("vec_id") + 200000L).as("vec_id"),
       // +0.05 keeps the perturbed copy's cosine with its source strictly
       // below 1.0 at 6 dp, so self (cos = 1.0 exactly) wins rank 1
@@ -263,7 +279,7 @@ object VectorQueries {
     val probes = appended.filter(col("vec_id") < 200020L)
       .select(col("vec_id").as("pid"), col("embedding"))
     graft.operators.AnnIvf.topK(upserted, probes, "pid", "embedding",
-      k = 3, nProbe = 16)
+      k = 3, nProbe = upserted.centroids.count().toInt)
       .select("probe_id", "rk", "vec_id", "cos")
   }
 
