@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicInteger
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
@@ -184,11 +185,15 @@ object StreamingTwins {
     }
 
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    // RAW file schema (ts may be TIMESTAMP_NTZ µs on regenerated data);
+    // the Tables.normalizeEventTs seam restores the engine-wide ns-LONG
+    // convention on the streaming frame, same as every batch consumer.
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // The file source needs a DIRECTORY; select just the events file via
     // a glob filter (a real deployment would point at an arrival dir).
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    Tables.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
   }
 
   // The events table re-laid-out as N TIME-RANGE parquet files with
@@ -209,7 +214,10 @@ object StreamingTwins {
       // (ADVICE r7 #3)
       val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_events_split_" + dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_n" + n).toString
-      spark.read.parquet(s"$dir/events.parquet")
+      // write the NORMALIZED frame (ts already ns LONG) so the split
+      // files carry the engine-wide convention physically and the
+      // streaming scan schema below needs no second normalization
+      Tables.events(spark, dir)
         .repartitionByRange(n, col("ts"), col("event_id"))
         .write.mode("overwrite").parquet(out)
       // the file source admits oldest-mtime first; stamp mtimes in part
@@ -226,7 +234,8 @@ object StreamingTwins {
   private def eventsStreamSplit(spark: SparkSession, dir: String,
       nFiles: Int): DataFrame = {
     val split = timeSplitEvents(spark, dir, nFiles)
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // split files are written post-normalization: ts is a ns LONG there
+    val schema = Tables.events(spark, dir).schema
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(split)
   }

@@ -18,8 +18,9 @@ Replica construction (replica 0 is the original):
   replica are preserved exactly; cross-replica sign-LSH buckets
   decorrelate because the bucket dims (first 8) differ per replica.
 - events: id/user offsets per replica; ts / value / type untouched.
-  Written with pyarrow, not SQL, to preserve the TIMESTAMP(NANOS)
-  physical type the engine's ns-long read path depends on.
+  Written with pyarrow, not SQL, to preserve the source's physical
+  timestamp type byte-for-byte (NANOS or MICROS — the engine's
+  Tables.normalizeEventTs seam adapts to either).
 - remaining TPC-H tables: copied verbatim (none of the rehearsal's
   heavy queries scans them; present so any query can still run).
 
