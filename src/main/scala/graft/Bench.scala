@@ -132,7 +132,15 @@ object Bench {
       scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
     named.foreach { case (name, _) => timesByQuery(name) = Vector.empty }
     var spentS = 0.0
+    // Queries whose failure is deterministic (AnalysisException = the
+    // plan cannot resolve against this data) are skipped for the rest of
+    // the sweep: BENCH_r09 spent its budget re-running 11 queries that
+    // threw on every rep, inflating untouched queries' windows 20-80×
+    // (VERDICT r9 #5). One failure is recorded in `errors`; later reps
+    // cannot succeed, so they buy nothing.
+    val skip = scala.collection.mutable.HashSet.empty[String]
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      if (skip(name)) return
       SparkEntry.clearCaches()
       spark.catalog.clearCache()
       val g0 = gcMs()
@@ -149,12 +157,15 @@ object Bench {
         case e: Throwable =>
           spentS += (System.nanoTime() - t0) / 1e9
           failed += name
+          if (e.isInstanceOf[org.apache.spark.sql.AnalysisException]) skip += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
     }
     val fnByName = named.toMap
     // Phase 1: two interleaved reps of EVERYTHING, budget-exempt — a
     // complete min-of-2 map is the floor the harness must always get.
+    // (Queries in `skip` — deterministic analysis-time failures — are
+    // excluded from every later rep, see runOnce.)
     for (_ <- 1 to math.min(2, reps); (name, fn) <- named) runOnce(name, fn)
     // Phase 2: remaining budget buys reps 3..reps for the queries whose
     // reps disagree the most (absolute spread — seconds of uncertainty,
