@@ -82,32 +82,18 @@ object AnnIvf {
     * sampled path cuts build cost to the one assignment pass + a
     * bounded train. With [[autoNList]]'s 65536 cap the training set is
     * bounded at ~4.2M rows regardless of corpus size.
+    *
+    * Since r10 the sampled path lives in [[GraphBuild.microCluster]]
+    * itself (the graph build's O-51 step had the same super-linear
+    * k-transition, VERDICT r9 #4); this is a pure delegate. When the
+    * sample engages (n > 64·nList), microCluster's k formula
+    * min(nList, max(100, n/50)) collapses to exactly nList, so the
+    * delegation is behavior-preserving.
     */
   private def trainQuantizer(doubled: DataFrame, idCol: String, nList: Int,
-      sampleFloor: Long = 50000L): (DataFrame, Array[Array[Double]]) = {
-    val n = doubled.count()
-    val target = math.max(sampleFloor, 64L * nList)
-    if (n <= target) {
-      GraphBuild.microCluster(doubled, idCol, "e", maxMicro = nList)
-    } else {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      val stride = math.max(1L, n / target)
-      val sample = doubled
-        .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
-        .withColumn("_fv", array_to_vector(col("e")))
-        .persist()
-      // hash stride is approximate; k can never exceed the sample
-      val k = math.max(2L, math.min(nList.toLong, sample.count())).toInt
-      val model = new KMeans().setK(k).setSeed(42).setMaxIter(10)
-        .setFeaturesCol("_fv").setPredictionCol("cluster").fit(sample)
-      sample.unpersist()
-      val labels = model
-        .transform(doubled.withColumn("_fv", array_to_vector(col("e"))))
-        .select(col(idCol), col("cluster").cast("int").as("cluster"))
-      (labels, model.clusterCenters.map(_.toArray))
-    }
-  }
+      sampleFloor: Long = 50000L): (DataFrame, Array[Array[Double]]) =
+    GraphBuild.microCluster(doubled, idCol, "e", maxMicro = nList,
+      sampleFloor = sampleFloor)
 
   /** Append new vectors WITHOUT a rebuild (index maintenance for a
     * continuously refreshed corpus): each new vector is assigned to its

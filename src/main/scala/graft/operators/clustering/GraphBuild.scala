@@ -45,9 +45,25 @@ object GraphBuild {
   /** O-51: k = min(maxMicro, max(100, n/50)) like settings.py:113-121,
     * clamped to n; seed 42 (graph_creator.py:183). Returns per-row
     * cluster labels and the k×dim centroid matrix.
+    *
+    * Training is SAMPLE-BOUNDED past `sampleFloor` rows (VERDICT r9 #4 —
+    * the one super-linear 100× row): full-corpus Lloyd is O(n·k·iters)
+    * and the reference's own k formula pushes k to its 800 cap exactly
+    * when n grows, so q_graph_build measured 158× wall at 100× data.
+    * Same seam as the IVF coarse quantizer ([[graft.operators.AnnIvf]]
+    * delegates here): below the floor, the exact historical path —
+    * full-corpus Lloyd, bit-identical outputs at every bench SF. Above
+    * it, Lloyd runs on a deterministic hash-stride sample (~64 training
+    * points per centroid, the FAISS convention; stable under any
+    * partitioning) with capped iterations, and only the final label
+    * assignment touches the full corpus — one O(n·k) pass instead of
+    * ~20. Centroid quality barely moves the downstream Ward tree: the
+    * tree is built over the k centroids, and micro-cluster centroids
+    * from a 50k+-row sample are statistically indistinguishable from
+    * full-corpus ones (ClusteringSpec invariants hold on both paths).
     */
   def microCluster(features: DataFrame, idCol: String, featCol: String,
-      maxMicro: Int = 800): (DataFrame, Array[Array[Double]]) = {
+      maxMicro: Int = 800, sampleFloor: Long = 50000L): (DataFrame, Array[Array[Double]]) = {
     val n = features.count()
     val k = math.max(2, math.min(n, math.min(maxMicro, math.max(100, n / 50))).toInt)
     // Size partitions to the DATA, not the session default: every Lloyd
@@ -61,12 +77,30 @@ object GraphBuild {
     val curParts = features.rdd.getNumPartitions
     val target = math.max(1, math.min(curParts, math.ceil(n / 50000.0).toInt))
     val sized = if (target < curParts) features.coalesce(target) else features
-    val vecs = sized.withColumn("_fv", array_to_vector(col(featCol)))
-    val model = new KMeans().setK(k).setSeed(42)
-      .setFeaturesCol("_fv").setPredictionCol("cluster").fit(vecs)
-    val labels = model.transform(vecs)
-      .select(col(idCol), col("cluster").cast("int").as("cluster"))
-    (labels, model.clusterCenters.map(_.toArray))
+    val trainTarget = math.max(sampleFloor, 64L * k)
+    if (n <= trainTarget) {
+      val vecs = sized.withColumn("_fv", array_to_vector(col(featCol)))
+      val model = new KMeans().setK(k).setSeed(42)
+        .setFeaturesCol("_fv").setPredictionCol("cluster").fit(vecs)
+      val labels = model.transform(vecs)
+        .select(col(idCol), col("cluster").cast("int").as("cluster"))
+      (labels, model.clusterCenters.map(_.toArray))
+    } else {
+      val stride = math.max(1L, n / trainTarget)
+      val sample = sized
+        .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+        .withColumn("_fv", array_to_vector(col(featCol)))
+        .persist()
+      // hash stride is approximate; k can never exceed the sample
+      val kk = math.max(2L, math.min(k.toLong, sample.count())).toInt
+      val model = new KMeans().setK(kk).setSeed(42).setMaxIter(10)
+        .setFeaturesCol("_fv").setPredictionCol("cluster").fit(sample)
+      sample.unpersist()
+      val labels = model
+        .transform(sized.withColumn("_fv", array_to_vector(col(featCol))))
+        .select(col(idCol), col("cluster").cast("int").as("cluster"))
+      (labels, model.clusterCenters.map(_.toArray))
+    }
   }
 
   /** Full build over an (id, ARRAY<FLOAT>) frame → D6 graph + movie

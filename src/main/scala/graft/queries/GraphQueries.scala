@@ -139,9 +139,59 @@ object GraphQueries {
     */
   private val build: Q = (s, d) => built(s, d).graph
 
-  /** E2 on the REAL built tree (rows-only): children of the root. */
-  private val buildChildren: Q = (s, d) =>
-    GraphBuild.childrenOf(built(s, d).graph, 1L)
+  /** Where the real tree is exported for the q_graph_children oracle.
+    * Fixed name under tmpdir: the oracle SQL is a static string dumped
+    * by Verify (no data-dir parameter), and one Verify invocation covers
+    * exactly one data dir, so the last export always corresponds to the
+    * dump being checked. Evaluated lazily so Bench's tmpdir move (to
+    * /dev/shm) happens first in either entry point.
+    */
+  private def graphExportPath: String = java.nio.file.Paths
+    .get(sys.props("java.io.tmpdir"), "graft_graph_export").toString
+
+  /** E2 on the REAL built tree: children of the root.
+    *
+    * Graduated from rows-only in r10 (VERDICT r9 #6) by re-deriving the
+    * §5.4 fence boundary: what is NOT SQL-replayable is the KMeans
+    * centroid geometry; the TREE itself is deterministic data once
+    * built, and the SERVING semantics over it are plain relational
+    * logic. So the query exports the built tree as data — nodes plus a
+    * (child, parent) edge list derived by a SELF-JOIN on the stripped
+    * parent path — and the oracle recomputes children-of-root from the
+    * export with a DuckDB RECURSIVE CTE over the edges, level 1. The
+    * two sides take genuinely different routes to the same rows: Spark
+    * serves via the ltree prefix-match + depth predicate
+    * ([[GraphBuild.childrenOf]]); DuckDB walks parent_id edges that
+    * never look at the path prefix. A bug in either the path
+    * materialization, the edge derivation, or the serving predicate
+    * flips the hash. Only the centroid half (o51_kmeans, q_graph_build's
+    * distance column) remains fenced.
+    */
+  private val buildChildren: Q = (s, d) => {
+    val g = built(s, d).graph
+    val parents = g.select(col("path").as("_ppath"), col("id").as("parent_id"))
+    val edges = g.filter(col("id") =!= 1L)
+      .withColumn("_parent_path", regexp_replace(col("path"), "\\.[0-9]+$", ""))
+      .join(parents, col("_parent_path") === col("_ppath"))
+      .select(col("id"), col("parent_id"))
+    g.join(edges, Seq("id"), "left")
+      .select(col("id"), col("path"), col("name"), col("type"),
+        col("children_count"), col("depth"), col("count"),
+        coalesce(col("parent_id"), lit(0L)).as("parent_id"))
+      .coalesce(1).write.mode("overwrite").parquet(graphExportPath)
+    GraphBuild.childrenOf(g, 1L)
+  }
+
+  private def buildChildrenSql: String =
+    s"""WITH RECURSIVE nodes AS (
+       |  SELECT * FROM '$graphExportPath/*.parquet'
+       |), walk(id, lvl) AS (
+       |  SELECT id, 1 FROM nodes WHERE parent_id = 1
+       |  UNION ALL
+       |  SELECT n.id, w.lvl + 1 FROM nodes n JOIN walk w ON n.parent_id = w.id
+       |)
+       |SELECT n.id, n.path, n.name, n.type, n.children_count, n.count
+       |FROM nodes n JOIN walk w ON n.id = w.id WHERE w.lvl = 1""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "o07_graph_ids" -> o07,
@@ -173,7 +223,11 @@ object GraphQueries {
         |         unnest(generate_series(1, len(e.embedding))) AS dim,
         |         unnest(list_transform(e.embedding, v -> CAST(v AS DOUBLE))) AS x
         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-        |  WHERE d.doc_id < 10)""".stripMargin)
-    // o51_kmeans / q_graph_build / q_graph_children: intentionally no
-    // oracle → driver records the weaker rows-only check (SURVEY §5.4).
+        |  WHERE d.doc_id < 10)""".stripMargin,
+    "q_graph_children" -> buildChildrenSql)
+    // o51_kmeans / q_graph_build: intentionally no oracle → driver
+    // records the weaker rows-only check (SURVEY §5.4 — KMeans centroid
+    // geometry is seeded but not SQL-replayable). q_graph_children
+    // graduated in r10: the serving half is oracle-checked against the
+    // exported tree (see buildChildren).
 }
