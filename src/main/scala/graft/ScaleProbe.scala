@@ -33,6 +33,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "nsw") println(nswProbe(spark, dir))
     else if (mode == "floor") println(floorProbe(spark, dir))
+    else if (mode == "graph") println(graphProbe(spark, dir))
     else println(bitsProbe(spark, dir, mode))
     spark.stop()
   }
@@ -108,5 +109,36 @@ object ScaleProbe {
       .select("probe_id", "vec_id").collect().map(_.toSeq).toSet
     val recallBp = walk.intersect(exact).size * 10000L / math.max(1, exact.size)
     f"""{"n":$n,"nList":$nList,"build_sec":$buildS%.3f,"search_sec":$searchS%.3f,"recall_bp":$recallBp}"""
+  }
+
+  /** Phase decomposition of the O-51..O-53 graph build (SCALE.md r10):
+    * where does q_graph_build's wall go once the sampled quantizer is
+    * in — scaling stats, KMeans train+assign, the driver-side Ward, or
+    * the final joins? Replays [[GraphBuild.build]]'s exact steps with a
+    * materialization barrier between phases.
+    */
+  private def graphProbe(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.clustering.{GraphBuild, TreeOps, Ward}
+    val emb = graft.Tables.embeddings(spark, dir)
+    var t0 = System.nanoTime()
+    val input = emb.persist(); input.count()
+    val scaled = input.select(col("vec_id"),
+      GraphBuild.scaleFeatures(input, "embedding").as("scaled")).persist()
+    scaled.count()
+    val scaleS = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val (labels, centers) = GraphBuild.microCluster(scaled, "vec_id", "scaled")
+    val trainS = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val sizes = labels.groupBy("cluster").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val assignS = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val tree = TreeOps.rebalance(
+      TreeOps.fromDendro(Ward.linkage(centers), sizes), maxDepth = 5, maxFanout = 8)
+    val rows = TreeOps.flatten(tree)._1
+    val wardS = (System.nanoTime() - t0) / 1e9
+    f"""{"n":${sizes.values.sum},"k":${centers.length},"nodes":${rows.size},"scale_sec":$scaleS%.3f,"kmeans_sec":$trainS%.3f,"assign_sec":$assignS%.3f,"ward_sec":$wardS%.3f}"""
   }
 }

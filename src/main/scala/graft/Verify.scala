@@ -15,8 +15,10 @@ object Verify {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by
-      // default; read it as a ns-epoch long (matches DuckDB's ns view).
+      // kept for TIMESTAMP(NANOS)-era testdata (Spark rejects it by
+      // default; this reads it as a ns LONG). MICROS data bypasses the
+      // conf entirely — Tables.normalizeEventTs adapts either layout to
+      // the engine-wide ns-LONG convention.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // same AQE coalescing stance as Bench (size-based, not

@@ -288,7 +288,7 @@ object RelationalQueries {
 
   /** Sessionization over events: 30-min-gap sessions via lag + running
     * conditional sum, all inside one per-user window partition.
-    * `ts` is a ns-epoch long (nanosAsLong read), so gap math is exact
+    * `ts` is a ns-epoch long (Tables.normalizeEventTs), so gap math is exact
     * integer arithmetic at the same precision DuckDB sees.
     */
   private val sess: Q = (s, d) => {
