@@ -149,4 +149,31 @@ class ClusteringSpec extends SparkSpec {
     val kids = GraphBuild.childrenOf(t.graph, 1L).collect()
     assert(kids.length == root.getAs[Int]("children_count"))
   }
+
+  test("sampled-train path: complete deterministic labels, k centroids (r10)") {
+    // Production only engages the sampled quantizer above 50k rows; a
+    // tiny sampleFloor forces it here so the branch has real coverage:
+    // stride sampling, random-init KMeans, full-corpus assignment.
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 3000).map { i =>
+      (i.toLong, Array.fill(4)(((i % 4) * 6.0 + rnd.nextGaussian())))
+    }
+    val df = rows.toDF("vec_id", "scaled").persist()
+    def run() = GraphBuild.microCluster(df, "vec_id", "scaled",
+      maxMicro = 12, sampleFloor = 500L)
+    val (labels, centers) = run()
+    val collected = labels.orderBy("vec_id").collect()
+    assert(collected.length == 3000, "every row gets a label")
+    assert(collected.map(_.getAs[Long]("vec_id")).toSet.size == 3000)
+    val ks = collected.map(_.getAs[Int]("cluster")).toSet
+    assert(ks.forall(c => c >= 0 && c < centers.length), "labels in range")
+    assert(centers.length <= 12 && centers.length >= 2)
+    assert(centers.forall(_.length == 4), "centroid dims")
+    // deterministic: seeded random init + deterministic hash-stride sample
+    val (labels2, centers2) = run()
+    assert(labels2.orderBy("vec_id").collect().map(_.toSeq).toSeq ==
+      collected.map(_.toSeq).toSeq)
+    assert(centers2.map(_.toSeq).toSeq == centers.map(_.toSeq).toSeq)
+    df.unpersist()
+  }
 }
