@@ -187,6 +187,60 @@ object TextAnalyticsQueries {
       .withColumn("keep", (col("fail_mask") === 0L).cast("int"))
       .select("doc_id", "n_tokens", "mwl_cp", "sym_bp", "n_stop", "fail_mask", "keep")
 
+  // ---- sequence packing (GPT-style concat-and-chunk manifest) ----
+  // Pretraining packs a corpus into fixed token-budget sequences by
+  // concatenating documents in a deterministic order and chopping at
+  // budget boundaries — documents straddle sequences (the standard
+  // concat-then-chunk scheme), so the packing is a pure prefix-sum:
+  // doc spans [cum_start, cum_end) in the per-source token stream,
+  // covering sequences floor(cum_start/B) .. floor((cum_end-1)/B),
+  // with the token sub-range each sequence takes from the doc derived
+  // by interval intersection. Everything is integer arithmetic over a
+  // PARTITIONED window (source) with a unique tie-break (doc_id), then
+  // a Generate (explode) — no shuffle beyond the one window sort, no
+  // UDFs, hash-exact against the SQL twin. At 100 TB the per-source
+  // prefix sum is the scaling unit: sources shard the window; a single
+  // giant source would use the two-pass global-ordinal pattern
+  // (operators/Ordinals.scala) to parallelize its prefix sum.
+  private val PackBudget = 512L
+
+  private val packSeq: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum_end", sum(col("n_tok")).over(w))
+      .withColumn("cum_start", col("cum_end") - col("n_tok"))
+      .withColumn("seq_id", explode(expr(
+        s"sequence(cum_start DIV $PackBudget, (cum_end - 1) DIV $PackBudget)")))
+      .withColumn("tok_start", greatest(lit(0L), col("seq_id") * PackBudget - col("cum_start")))
+      .withColumn("tok_len",
+        least(col("n_tok"), (col("seq_id") + 1L) * PackBudget - col("cum_start"))
+          - col("tok_start"))
+      .select("source", "seq_id", "doc_id", "n_tok", "tok_start", "tok_len")
+  }
+
+  private val packSeqSql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |         sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+       |           OVER (PARTITION BY source ORDER BY doc_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+       |  FROM documents),
+       |b AS (SELECT *, cum_end - n_tok AS cum_start FROM c),
+       |e AS (SELECT *, unnest(generate_series(
+       |        CAST(cum_start // $PackBudget AS BIGINT),
+       |        CAST((cum_end - 1) // $PackBudget AS BIGINT))) AS seq_id
+       |      FROM b)
+       |SELECT source, seq_id, doc_id, n_tok,
+       |       greatest(0, seq_id * $PackBudget - cum_start) AS tok_start,
+       |       least(n_tok, (seq_id + 1) * $PackBudget - cum_start)
+       |         - greatest(0, seq_id * $PackBudget - cum_start) AS tok_len
+       |FROM e""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_gopher_filter" -> gopher,
     "q_repetition" -> repetition,
@@ -197,7 +251,8 @@ object TextAnalyticsQueries {
     "q_lang_id" -> langIdQ,
     "q_quality_score" -> quality,
     "q_fingerprint" -> fingerprint,
-    "q_data_split" -> splitQ)
+    "q_data_split" -> splitQ,
+    "q_pack_sequences" -> packSeq)
 
   val oracle: Map[String, String] = Map(
     "q_gopher_filter" ->
@@ -313,5 +368,6 @@ object TextAnalyticsQueries {
         |              WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
         |              ELSE 'test' END AS split
         |  FROM documents)
-        |GROUP BY source, split""".stripMargin)
+        |GROUP BY source, split""".stripMargin,
+    "q_pack_sequences" -> packSeqSql)
 }

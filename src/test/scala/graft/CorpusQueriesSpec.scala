@@ -59,4 +59,24 @@ class CorpusQueriesSpec extends SparkSpec {
     val r = q("q_gopher_filter")
     assert(r.filter((col("fail_mask") === 0) =!= (col("keep") === 1)).count() === 0)
   }
+
+  test("pack_sequences: every sequence fills the budget except each source's last") {
+    val r = q("q_pack_sequences").cache()
+    // spans are well-formed and inside their doc
+    assert(r.filter(col("tok_len") < 1 || col("tok_start") < 0 ||
+      col("tok_start") + col("tok_len") > col("n_tok")).count() === 0)
+    // a doc's spans tile the doc exactly: per doc, sum(tok_len) == n_tok
+    val perDoc = r.groupBy("doc_id", "n_tok").agg(sum("tok_len").as("covered"))
+    assert(perDoc.filter(col("covered") =!= col("n_tok")).count() === 0)
+    // per (source, seq): all sequences carry exactly the 512-token
+    // budget except the final (possibly partial) one per source
+    val perSeq = r.groupBy("source", "seq_id").agg(sum("tok_len").as("fill"))
+    val lastSeq = perSeq.groupBy("source").agg(max("seq_id").as("last_id"))
+    val nonLast = perSeq.join(lastSeq, "source").filter(col("seq_id") =!= col("last_id"))
+    assert(nonLast.filter(col("fill") =!= 512L).count() === 0,
+      "non-final sequences must be exactly at the token budget")
+    val last = perSeq.join(lastSeq, "source").filter(col("seq_id") === col("last_id"))
+    assert(last.filter(col("fill") < 1 || col("fill") > 512L).count() === 0)
+    r.unpersist()
+  }
 }
