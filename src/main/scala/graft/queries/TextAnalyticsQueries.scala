@@ -241,6 +241,60 @@ object TextAnalyticsQueries {
        |         - greatest(0, seq_id * $PackBudget - cum_start) AS tok_len
        |FROM e""".stripMargin
 
+  // ---- LM-frequency quality scoring (perplexity-filter analog) ----
+  // Real pipelines filter on language-model perplexity (CCNet/KenLM
+  // style). The deterministic, oracle-checkable analog: score each doc
+  // by the MEAN CORPUS FREQUENCY of its token bigrams — fluent text
+  // repeats the corpus's common transitions, gibberish doesn't. The
+  // "model" is the corpus's own bigram count table (a self-scored LM):
+  //   freq_ppb(b) = count(b) * 1e9 DIV total_bigram_instances
+  //   lm_ppb(doc) = Σ freq_ppb over the doc's bigram INSTANCES DIV n
+  // All integers (parts-per-billion basis), all operands positive, so
+  // Spark DIV == DuckDB // and the hash is exact.
+  // Scale: the bigram explode is a Generate (no shuffle); the model is
+  // one groupBy; the score join hash-partitions on bigram — the model
+  // side is 1 row/key so head-bigram skew can't explode rows (AQE skew
+  // split handles the probe side); the 1-row total rides a broadcast
+  // nest-loop join, never a cartesian.
+  private val lmScore: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val docBi = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("bigrams", when(size(col("toks")) >= 2, expr(
+        "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
+        .otherwise(expr("CAST(array() AS array<string>)")))
+      .select(col("doc_id"), explode(col("bigrams")).as("bigram"))
+    val model = docBi.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+    val total = docBi.agg(count(lit(1)).as("total"))
+    val scored = docBi.join(model, "bigram").crossJoin(broadcast(total))
+      .withColumn("freq_ppb", expr("(cnt * 1000000000L) DIV total"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("freq_ppb").as("s"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(expr("s DIV n_bigrams"), lit(0L)).as("lm_ppb"))
+  }
+
+  private val lmScoreSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bi AS (
+      |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+      |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      |        FROM t WHERE len(toks) >= 2)),
+      |m AS (SELECT bigram, count(*) AS cnt FROM bi GROUP BY bigram),
+      |tot AS (SELECT count(*) AS total FROM bi),
+      |scored AS (
+      |  SELECT b.doc_id,
+      |         CAST((m.cnt * 1000000000) // tot.total AS BIGINT) AS freq_ppb
+      |  FROM bi b JOIN m USING (bigram) CROSS JOIN tot),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |               CAST(sum(freq_ppb) AS BIGINT) AS s
+      |        FROM scored GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+      |       coalesce(CAST(a.s // a.n_bigrams AS BIGINT), 0) AS lm_ppb
+      |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_gopher_filter" -> gopher,
     "q_repetition" -> repetition,
@@ -252,7 +306,8 @@ object TextAnalyticsQueries {
     "q_quality_score" -> quality,
     "q_fingerprint" -> fingerprint,
     "q_data_split" -> splitQ,
-    "q_pack_sequences" -> packSeq)
+    "q_pack_sequences" -> packSeq,
+    "q_lm_score" -> lmScore)
 
   val oracle: Map[String, String] = Map(
     "q_gopher_filter" ->
@@ -369,5 +424,6 @@ object TextAnalyticsQueries {
         |              ELSE 'test' END AS split
         |  FROM documents)
         |GROUP BY source, split""".stripMargin,
-    "q_pack_sequences" -> packSeqSql)
+    "q_pack_sequences" -> packSeqSql,
+    "q_lm_score" -> lmScoreSql)
 }

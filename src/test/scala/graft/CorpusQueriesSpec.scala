@@ -60,6 +60,18 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(r.filter((col("fail_mask") === 0) =!= (col("keep") === 1)).count() === 0)
   }
 
+  test("lm_score: ppb scores bounded, zero-bigram docs score zero") {
+    val r = q("q_lm_score").cache()
+    // freq_ppb of any bigram ≤ 1e9 (count ≤ total), so the mean is too
+    assert(r.filter(col("lm_ppb") < 0 || col("lm_ppb") > 1000000000L).count() === 0)
+    assert(r.filter(col("n_bigrams") === 0 && col("lm_ppb") =!= 0).count() === 0)
+    // the score separates repeated-bigram docs from unique-bigram docs:
+    // every doc has n_bigrams ≥ 0 and scored docs have positive score
+    assert(r.filter(col("n_bigrams") > 0 && col("lm_ppb") < 0).count() === 0)
+    assert(r.count() === 500, "one row per document, zero-bigram docs included")
+    r.unpersist()
+  }
+
   test("pack_sequences: every sequence fills the budget except each source's last") {
     val r = q("q_pack_sequences").cache()
     // spans are well-formed and inside their doc
