@@ -265,7 +265,9 @@ object TextAnalyticsQueries {
         .otherwise(expr("CAST(array() AS array<string>)")))
       .select(col("doc_id"), explode(col("bigrams")).as("bigram"))
     val model = docBi.groupBy("bigram").agg(count(lit(1)).as("cnt"))
-    val total = docBi.agg(count(lit(1)).as("total"))
+    // total instances = Σ model counts — a tiny aggregate over the model
+    // instead of a third full pass over the exploded bigram stream
+    val total = model.agg(sum("cnt").as("total"))
     val scored = docBi.join(model, "bigram").crossJoin(broadcast(total))
       .withColumn("freq_ppb", expr("(cnt * 1000000000L) DIV total"))
       .groupBy("doc_id")
@@ -283,7 +285,7 @@ object TextAnalyticsQueries {
       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
       |        FROM t WHERE len(toks) >= 2)),
       |m AS (SELECT bigram, count(*) AS cnt FROM bi GROUP BY bigram),
-      |tot AS (SELECT count(*) AS total FROM bi),
+      |tot AS (SELECT sum(cnt) AS total FROM m),
       |scored AS (
       |  SELECT b.doc_id,
       |         CAST((m.cnt * 1000000000) // tot.total AS BIGINT) AS freq_ppb
