@@ -34,6 +34,7 @@ object ScaleProbe {
     if (mode == "nsw") println(nswProbe(spark, dir))
     else if (mode == "floor") println(floorProbe(spark, dir))
     else if (mode == "graph") println(graphProbe(spark, dir))
+    else if (mode == "lm") println(lmProbe(spark, dir))
     else println(bitsProbe(spark, dir, mode))
     spark.stop()
   }
@@ -109,6 +110,40 @@ object ScaleProbe {
       .select("probe_id", "vec_id").collect().map(_.toSeq).toSet
     val recallBp = walk.intersect(exact).size * 10000L / math.max(1, exact.size)
     f"""{"n":$n,"nList":$nList,"build_sec":$buildS%.3f,"search_sec":$searchS%.3f,"recall_bp":$recallBp}"""
+  }
+
+  /** Phase decomposition of q_lm_score (r10 perf hunt): bigram explode
+    * vs per-bigram counting vs the final per-doc aggregate.
+    */
+  private def lmProbe(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, dir)
+    var t0 = System.nanoTime()
+    val docBi = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("bigrams", when(size(col("toks")) >= 2, expr(
+        "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
+        .otherwise(expr("CAST(array() AS array<string>)")))
+      .select(col("doc_id"), explode(col("bigrams")).as("bigram"))
+    val n = docBi.count()
+    val explodeS = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val cached = docBi.persist(); cached.count()
+    val cacheS = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val nModel = cached.groupBy("bigram").agg(count(lit(1)).as("cnt")).count()
+    val modelS = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bigram")
+    val nW = cached.withColumn("cnt", count(lit(1)).over(w))
+      .groupBy("doc_id").agg(sum("cnt")).count()
+    val winS = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val full = graft.SparkEntry.queries("q_lm_score")(spark, dir)
+    full.queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
+    val fullS = (System.nanoTime() - t0) / 1e9
+    cached.unpersist()
+    f"""{"n_bigrams":$n,"n_model":$nModel,"n_docs":$nW,"explode_sec":$explodeS%.3f,"cache_sec":$cacheS%.3f,"model_sec":$modelS%.3f,"window_agg_sec":$winS%.3f,"full_sec":$fullS%.3f}"""
   }
 
   /** Phase decomposition of the O-51..O-53 graph build (SCALE.md r10):

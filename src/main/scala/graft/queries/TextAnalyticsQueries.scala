@@ -257,18 +257,31 @@ object TextAnalyticsQueries {
   // split handles the probe side); the 1-row total rides a broadcast
   // nest-loop join, never a cartesian.
   private val lmScore: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
-    val docBi = docs
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("bigrams", when(size(col("toks")) >= 2, expr(
-        "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
-        .otherwise(expr("CAST(array() AS array<string>)")))
-      .select(col("doc_id"), explode(col("bigrams")).as("bigram"))
-    val model = docBi.groupBy("bigram").agg(count(lit(1)).as("cnt"))
-    // total instances = Σ model counts — a tiny aggregate over the model
-    // instead of a third full pass over the exploded bigram stream
-    val total = model.agg(sum("cnt").as("total"))
-    val scored = docBi.join(model, "bigram").crossJoin(broadcast(total))
+    // Bigrams via posexplode + lead, NOT a transform() lambda over the
+    // token array: CollapseProject inlines `toks = split(text)` into
+    // every lambda reference, so the HOF form re-tokenizes the document
+    // TWICE PER BIGRAM — O(len²) per doc, measured 12.6 s at sf0.1 for
+    // a 0.3 s job. Here split runs once inside a codegen'd Generate and
+    // the adjacent token comes from a lead() over the per-doc window.
+    // Scratch-persisted: consumed by the total aggregate and the score
+    // chain.
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val docBi = graft.Scratch.persist(docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead("tok", 1).over(byDoc))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat(col("tok"), lit(" "), col("nxt")).as("bigram")))
+    // the model lookup as a PARTITIONED WINDOW count over the instance
+    // stream: one shuffle on bigram replaces the separate model groupBy
+    // plus the model⋈instances sort-merge join (measured 9.0 s → the
+    // join formulation's two string shuffles and sorts dominated)
+    val byBigram = org.apache.spark.sql.expressions.Window.partitionBy("bigram")
+    val total = docBi.agg(count(lit(1)).as("total"))
+    val scored = docBi
+      .withColumn("cnt", count(lit(1)).over(byBigram))
+      .crossJoin(broadcast(total))
       .withColumn("freq_ppb", expr("(cnt * 1000000000L) DIV total"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("freq_ppb").as("s"))
