@@ -34,5 +34,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // java.sql.Timestamp construction (TablesSpec NTZ fixtures) reads the
+  // JVM default zone, not spark.sql.session.timeZone — pin it so tests
+  // pass on non-UTC hosts too.
+  "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

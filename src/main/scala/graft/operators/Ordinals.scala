@@ -1,6 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{coalesce, col, expr, lit, sum}
 import org.apache.spark.sql.types.{LongType, StructField}
 
 /** Scale-safe global ordinals.
@@ -32,5 +34,46 @@ object Ordinals {
     val schema = sorted.schema.add(StructField(name, LongType, nullable = false))
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** Appends `name` = inclusive running Σ`valueCol` (BIGINT) within each
+    * `part` group ordered by `ord` — the prefix-sum analog of
+    * [[withGlobalOrdinal]], safe when one group dominates.
+    *
+    * A plain `sum().over(Window.partitionBy(part).orderBy(ord))` puts a
+    * whole group in ONE window task, so parallelism = group count — a
+    * scale-killer for a corpus with O(10) sources (VERDICT r10 on
+    * q_pack_sequences). Here the prefix sum is hierarchical:
+    *   1. `bucket = ord DIV bucketSize` — order-aligned with `ord`, so a
+    *      per-(part, bucket) running sum is a window over ≤bucketSize
+    *      rows, and a single giant group fans out across its buckets;
+    *   2. per-(part, bucket) TOTALS get an exclusive per-part running
+    *      offset via a window over bucket rows only — rows/bucketSize of
+    *      them, e.g. 10^10 docs at B=4096 → a 2.4M-tiny-row worst task
+    *      instead of a 10^10-row one;
+    *   3. offsets join back on (part, bucket) — an aggregate-sized frame
+    *      AQE broadcasts.
+    * All-integer and order-deterministic, so the result is bit-identical
+    * to the naive window (the DuckDB twins keep the 1-window SQL form).
+    *
+    * Preconditions: `ord` is a non-negative integral column, unique
+    * within its group; `valueCol` is BIGINT.
+    */
+  def bucketedPrefixSum(df: DataFrame, part: String, ord: String,
+      valueCol: String, name: String, bucketSize: Long = 4096L): DataFrame = {
+    val bucketed = df.withColumn("_bkt", expr(s"$ord DIV $bucketSize"))
+    val inBucket = Window.partitionBy(col(part), col("_bkt")).orderBy(col(ord))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val beforeBucket = Window.partitionBy(col(part)).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col(part), col("_bkt"))
+      .agg(sum(col(valueCol)).as("_bt"))
+      .withColumn("_off", coalesce(sum(col("_bt")).over(beforeBucket), lit(0L)))
+      .select(col(part), col("_bkt"), col("_off"))
+    bucketed
+      .withColumn("_local", sum(col(valueCol)).over(inBucket))
+      .join(offsets, Seq(part, "_bkt"))
+      .withColumn(name, col("_local") + col("_off"))
+      .drop("_bkt", "_local", "_off")
   }
 }

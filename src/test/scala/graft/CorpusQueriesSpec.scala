@@ -91,4 +91,55 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(last.filter(col("fill") < 1 || col("fill") > 512L).count() === 0)
     r.unpersist()
   }
+
+  test("pack_sequences golden: manifest equals a sequential driver-side pack") {
+    // Independent reimplementation: walk each source's docs in doc_id
+    // order with a running token cursor and emit (seq, start, len) spans
+    // directly — no windows, no explode. Pins the full manifest (r11;
+    // VERDICT r10 #1 asked for a fixture-pinned golden after the
+    // driver-vs-local DuckDB hash dispute).
+    val B = 512L
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[String]("text").split(" ", -1).length.toLong))
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      var cursor = 0L
+      rows.sortBy(_._2).flatMap { case (_, id, nTok) =>
+        val start = cursor
+        cursor += nTok
+        (start / B to (cursor - 1) / B).map { seq =>
+          val tokStart = math.max(0L, seq * B - start)
+          val tokLen = math.min(nTok, (seq + 1) * B - start) - tokStart
+          (src, seq, id, nTok, tokStart, tokLen)
+        }
+      }
+    }.sorted
+    val got = q("q_pack_sequences").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("seq_id"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"),
+        r.getAs[Long]("tok_start"), r.getAs[Long]("tok_len"))).toSeq.sorted
+    assert(got === expected)
+  }
+
+  test("bucketedPrefixSum is bit-identical to the naive per-group window") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // ord values chosen to span several 4-wide buckets per group,
+    // including empty buckets and a group confined to one bucket
+    val rows = Seq(
+      ("a", 1L, 10L), ("a", 2L, 5L), ("a", 3L, 7L), ("a", 9L, 1L),
+      ("a", 12L, 4L), ("a", 30L, 2L), ("b", 2L, 3L), ("b", 3L, 8L),
+      ("c", 0L, 6L), ("c", 7L, 9L), ("c", 8L, 2L), ("c", 21L, 11L))
+    val df = rows.toDF("g", "ord", "v")
+    val naive = df.withColumn("cum", sum($"v").over(
+      Window.partitionBy("g").orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bucketed = graft.operators.Ordinals
+      .bucketedPrefixSum(df, "g", "ord", "v", "cum", bucketSize = 4L)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[String]("g"), r.getAs[Long]("ord"), r.getAs[Long]("v"), r.getAs[Long]("cum"))
+    assert(bucketed.collect().map(key).sorted.toSeq ===
+      naive.collect().map(key).sorted.toSeq)
+  }
 }
