@@ -35,15 +35,7 @@ object Pipeline {
       maxMicro: Int = 50,
       model: () => Inference.Model = () => new Inference.StubModel)
       : GraphBuild.GraphTables = {
-    val docs = Tables.documents(spark, dir)
-    val cleaned = docs.select(col("doc_id"),
-      TextClean.cleanSubtitles(col("text")).as("clean"))
-    val windows = Chunker
-      .slidingTokenWindows(cleaned, "clean", winSize, stride, Seq("doc_id"))
-      .select("doc_id", "window_id", "win")
-    val scored = Inference.scoreWindows(windows, "win", modelFactory = model)
-    val feats = ActFeatures.actFeatures(
-      scored, "doc_id", Seq("window_id"), Inference.EmotionLabels, numActs)
+    val feats = e1Features(e1Scored(spark, dir, winSize, stride, model), numActs)
     val featCols =
       (for { m <- Inference.EmotionLabels; a <- 1 to numActs } yield s"${m}_act$a") ++
         Inference.EmotionLabels.map(m => s"${m}_std")
@@ -51,4 +43,28 @@ object Pipeline {
       array(featCols.map(c => coalesce(col(c), lit(0.0))): _*).as("features"))
     GraphBuild.build(vectors, "doc_id", "features", maxMicro = maxMicro)
   }
+
+  /** The deterministic scan→clean→window→score prefix of [[e1]]: one
+    * probability row per sliding token window. Split out (r11) so the
+    * prefix can be exported and oracle-checked on its own — see
+    * IoQueries.q_e1_features — while [[e1]] composes it unchanged.
+    */
+  def e1Scored(spark: SparkSession, dir: String,
+      winSize: Int = 48, stride: Int = 24,
+      model: () => Inference.Model = () => new Inference.StubModel): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cleaned = docs.select(col("doc_id"),
+      TextClean.cleanSubtitles(col("text")).as("clean"))
+    val windows = Chunker
+      .slidingTokenWindows(cleaned, "clean", winSize, stride, Seq("doc_id"))
+      .select("doc_id", "window_id", "win")
+    Inference.scoreWindows(windows, "win", modelFactory = model)
+  }
+
+  /** The per-movie act-feature frame [[e1]] clusters on — the last
+    * deterministic stage before the §5.4 seeded-ML fence (KMeans).
+    */
+  def e1Features(scored: DataFrame, numActs: Int = 3): DataFrame =
+    ActFeatures.actFeatures(
+      scored, "doc_id", Seq("window_id"), Inference.EmotionLabels, numActs)
 }

@@ -212,6 +212,84 @@ object IoQueries {
   /** Drop memoized pipeline artifacts (bench cold-timing hook). */
   def clearCache(): Unit = e1Cache.clearAll()
 
+  /** Where q_e1_features exports E1's scored-window frame for its
+    * oracle. Same fixed-tmpdir convention as GraphQueries'
+    * graphExportPath: one Verify run covers one data dir, and lazy
+    * evaluation lets Bench move tmpdir first.
+    */
+  private def e1ScoredExportPath: String = Paths
+    .get(sys.props("java.io.tmpdir"), "graft_e1_scored_export").toString
+
+  /** E1's deterministic prefix, graduated out of the §5.4 fence (r11 —
+    * VERDICT r10 #5, the q_graph_children pattern): what is NOT
+    * SQL-replayable in E1 is the KMeans suffix; the scan→clean→window→
+    * score→act-features prefix is plain dataflow. The query exports the
+    * scored-window frame with probabilities quantized to ×1e4 BIGINT
+    * (the one rounding, done once, Spark-side — both engines then read
+    * identical integers, so NO cross-engine rounding exists anywhere
+    * downstream; a double face here diverges on the .00005
+    * half-boundaries that act means of quantized values hit constantly,
+    * e.g. any odd sum over a 2-row act). From the export the query
+    * computes the pre-KMeans act-feature frame in exact integer units:
+    * per-act means ×1e8 and per-doc sample VARIANCE ×1e8 (variance is
+    * the exact-checkable rendering of the std feature — std itself is
+    * an irrational sqrt). The oracle replays the ntile act split and
+    * the same integer algebra over the same export, so a bug in window
+    * structure, act assignment, or the aggregation flips the hash; only
+    * centroid geometry and naming stay rows-only (q_e1_pipeline /
+    * q_graph_build). Variance widens through DECIMAL/HUGEINT: n·Σx² and
+    * (Σx)² pass 2⁶³ once a doc has ~9e10 windows' worth of e4 mass.
+    */
+  private val e1Features: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val labels = Inference.EmotionLabels
+    graft.Pipeline.e1Scored(s, d)
+      .select(col("doc_id") +: col("window_id") +: labels.map(m =>
+        expr(s"CAST(round($m * 10000) AS BIGINT)").as(s"${m}_e4")): _*)
+      .write.mode("overwrite").parquet(e1ScoredExportPath)
+    val byDoc = Window.partitionBy("doc_id")
+    val withAct = s.read.parquet(e1ScoredExportPath)
+      .withColumn("_cnt", count(lit(1)).over(byDoc))
+      .filter(col("_cnt") >= 3)
+      .withColumn("_act", ntile(3).over(byDoc.orderBy("window_id")))
+    val aggCols: Seq[org.apache.spark.sql.Column] =
+      count(lit(1)).as("_n") +:
+        ((1 to 3).map(a => count(when(col("_act") === a, lit(1))).as(s"_c_$a")) ++
+          labels.flatMap { m =>
+            Seq(sum(col(s"${m}_e4")).as(s"_s_$m"),
+              sum(col(s"${m}_e4") * col(s"${m}_e4")).as(s"_q_$m")) ++
+              (1 to 3).map(a =>
+                sum(when(col("_act") === a, col(s"${m}_e4"))).as(s"_s_${m}_$a"))
+          })
+    val outCols: Seq[org.apache.spark.sql.Column] = col("doc_id") +:
+      labels.flatMap { m =>
+        (1 to 3).map(a =>
+          expr(s"(_s_${m}_$a * 10000) DIV _c_$a").as(s"${m}_act${a}_e8")) :+
+          expr(s"CAST((CAST(_n AS DECIMAL(38,0)) * _q_$m - " +
+            s"CAST(_s_$m AS DECIMAL(38,0)) * _s_$m) " +
+            s"DIV (_n * (_n - 1)) AS BIGINT)").as(s"${m}_var_e8")
+      }
+    withAct.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+      .select(outCols: _*)
+  }
+
+  private def e1FeaturesSql: String = {
+    val cols = Inference.EmotionLabels.flatMap { m =>
+      (1 to 3).map(a =>
+        s"CAST((sum(CASE WHEN _act = $a THEN ${m}_e4 END) * 10000) " +
+          s"// count(CASE WHEN _act = $a THEN 1 END) AS BIGINT) AS ${m}_act${a}_e8") :+
+        (s"CAST((CAST(count(*) AS HUGEINT) * sum(CAST(${m}_e4 AS HUGEINT) * ${m}_e4) " +
+          s"- CAST(sum(${m}_e4) AS HUGEINT) * sum(${m}_e4)) " +
+          s"// (count(*) * (count(*) - 1)) AS BIGINT) AS ${m}_var_e8")
+    }.mkString(",\n       ")
+    s"""WITH w AS (
+       |  SELECT *, count(*) OVER (PARTITION BY doc_id) AS _cnt,
+       |         ntile(3) OVER (PARTITION BY doc_id ORDER BY window_id) AS _act
+       |  FROM '$e1ScoredExportPath/*.parquet')
+       |SELECT doc_id, $cols
+       |FROM w WHERE _cnt >= 3 GROUP BY doc_id""".stripMargin
+  }
+
   /** Multimodal decode via the partition-handle codec — HASH-CHECKED
     * since r8 (VERDICT r7 #5): each document is rendered as a REAL
     * gzip'd binary PPM image, and the decode side genuinely inflates +
@@ -254,6 +332,7 @@ object IoQueries {
     "q_parquet_compact" -> parquetCompact,
     "o01_ingest_scrape" -> ingest,
     "q_e1_pipeline" -> e1,
+    "q_e1_features" -> e1Features,
     "q_multimodal_decode" -> mmDecode,
     "o02_wholefile_roundtrip" -> wholefile,
     "o03_csv_roundtrip" -> csv,
@@ -273,6 +352,7 @@ object IoQueries {
     "q_graphx_depth" -> graphxDepth)
 
   val oracle: Map[String, String] = Map(
+    "q_e1_features" -> e1FeaturesSql,
     "q_parquet_compact" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
