@@ -40,3 +40,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Tests get their OWN tmpdir: several artifacts live at fixed names
+// under java.io.tmpdir (graft_graph_export, graft_e1_scored_export —
+// fixed because their oracle SQL embeds the path), and PlanSpec's sweep
+// calls every query fn, which eagerly rewrites those exports with
+// sf0.001 test data. A test run concurrent with (or after) a Verify
+// would silently clobber the export its oracle_sql.json points at —
+// caught as a phantom q_e1_features rows-mismatch in r11. Appended
+// after the shared options, so this -D wins (last occurrence rules).
+Test / javaOptions += {
+  val d = target.value / "test-tmp"
+  java.nio.file.Files.createDirectories(d.toPath)
+  s"-Djava.io.tmpdir=${d.getAbsolutePath}"
+}

@@ -35,6 +35,7 @@ object ScaleProbe {
     else if (mode == "floor") println(floorProbe(spark, dir))
     else if (mode == "graph") println(graphProbe(spark, dir))
     else if (mode == "lm") println(lmProbe(spark, dir))
+    else if (mode == "pack") println(packProbe(spark, dir))
     else println(bitsProbe(spark, dir, mode))
     spark.stop()
   }
@@ -110,6 +111,46 @@ object ScaleProbe {
       .select("probe_id", "vec_id").collect().map(_.toSeq).toSet
     val recallBp = walk.intersect(exact).size * 10000L / math.max(1, exact.size)
     f"""{"n":$n,"nList":$nList,"build_sec":$buildS%.3f,"search_sec":$searchS%.3f,"recall_bp":$recallBp}"""
+  }
+
+  /** q_pack_sequences under source skew (r11 — VERDICT r10 perf-weak
+    * #2): times the DECLARED bucketed two-level prefix sum against the
+    * naive per-source-window formulation it replaced, on the same dir.
+    * Run against a `scalegen --single-source` dir for the worst case:
+    * every document in ONE source, so the naive window is a single
+    * task while the bucketed form fans out across doc_id buckets.
+    * min-of-2 per form, full materialization of the identical manifest.
+    */
+  private def packProbe(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions._
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
+    def minOf2(mk: => org.apache.spark.sql.DataFrame): Double =
+      (1 to 2).map { _ =>
+        graft.Scratch.releaseAll()
+        val t0 = System.nanoTime(); force(mk); (System.nanoTime() - t0) / 1e9
+      }.min
+    val docs = graft.Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val nSrc = docs.select("source").distinct().count()
+    val declared = minOf2(graft.SparkEntry.queries("q_pack_sequences")(spark, dir))
+    val naive = minOf2 {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      docs.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("cum_end", sum("n_tok").over(w))
+        .withColumn("cum_start", col("cum_end") - col("n_tok"))
+        .withColumn("seq_id", explode(expr(
+          "sequence(cum_start DIV 512, (cum_end - 1) DIV 512)")))
+        .withColumn("tok_start", greatest(lit(0L), col("seq_id") * 512L - col("cum_start")))
+        .withColumn("tok_len",
+          least(col("n_tok"), (col("seq_id") + 1L) * 512L - col("cum_start")) - col("tok_start"))
+        .select("source", "seq_id", "doc_id", "n_tok", "tok_start", "tok_len")
+    }
+    f"""{"dir":"$dir","docs":$nDocs,"sources":$nSrc,"bucketed_sec":$declared%.3f,"naive_window_sec":$naive%.3f}"""
   }
 
   /** Phase decomposition of q_lm_score (r10 perf hunt): bigram explode

@@ -40,9 +40,27 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     packs.map(_._2).reduce(_ ++ _)
 
+  /** Bench-only artifact builders (r11 — VERDICT r10 #4), in dependency
+    * order (NSW builds on the IVF memo). NOT part of [[queries]]: they
+    * are not declared operators and must not appear in the Verify dump.
+    * Bench runs them cold at the start of each interleaved pass so each
+    * one-time build cost (KMeans→Ward tree, depth-partitioned serving
+    * table, IVF lists, NSW graphs, E1 pipeline) is timed exactly once
+    * per pass, and dependent queries measure query work over the warm
+    * memo instead of quintuple-counting the build. The dedup LSH bucket
+    * cache is deliberately NOT here: its DuckDB twins recompute the
+    * bucketing in-query, so the Spark side must too (fair ratio).
+    */
+  def benchArtifacts: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "build_graph_tree" -> GraphQueries.rebuildTree,
+    "build_graph_depth" -> GraphQueries.rebuildDepthTable,
+    "build_ivf_index" -> VectorQueries.rebuildIvf,
+    "build_nsw_graph" -> VectorQueries.rebuildNsw,
+    "build_e1_model" -> IoQueries.rebuildE1)
+
   /** Drop all memoized build artifacts (graph build, IVF index, E1
     * pipeline) so the next invocation pays the full cost — used by Bench
-    * to keep timed reps cold.
+    * at the start of each interleaved pass.
     */
   def clearCaches(): Unit = {
     GraphQueries.clearCache()

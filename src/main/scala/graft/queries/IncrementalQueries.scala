@@ -132,7 +132,7 @@ object IncrementalQueries {
     "q_rank_users" ->
       """WITH s AS (
         |  SELECT event_type, user_id,
-        |         sum(CAST(round(value * 10000) AS BIGINT)) AS v4
+        |         CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v4
         |  FROM events GROUP BY event_type, user_id),
         |r AS (
         |  SELECT event_type, user_id, CAST(v4 AS BIGINT) AS v4,

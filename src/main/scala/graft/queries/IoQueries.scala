@@ -212,6 +212,13 @@ object IoQueries {
   /** Drop memoized pipeline artifacts (bench cold-timing hook). */
   def clearCache(): Unit = e1Cache.clearAll()
 
+  /** Bench artifact hook (r11 — VERDICT r10 #4): the full E1 build as
+    * an explicit `build_*` entry, run cold once per interleaved pass;
+    * q_e1_pipeline then measures the serving read of the built tables.
+    */
+  private[graft] val rebuildE1: Q = (s, d) =>
+    e1Cache.getOrElseUpdate(s, d)(graft.Pipeline.e1(s, d)).graph
+
   /** Where q_e1_features exports E1's scored-window frame for its
     * oracle. Same fixed-tmpdir convention as GraphQueries'
     * graphExportPath: one Verify run covers one data dir, and lazy

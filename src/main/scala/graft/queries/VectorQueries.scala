@@ -113,11 +113,35 @@ object VectorQueries {
     nswCache.clearAll().foreach(_.graph.unpersist())
   }
 
+  /** The ONE auto-sized IVF build all five ANN queries share per
+    * (session, dir) — an index is a persistent artifact a user builds
+    * once and queries many times, not per-query work.
+    */
+  private def ivfIndex(s: SparkSession, d: String): graft.operators.AnnIvf.IvfIndex = {
+    val embT = Tables.embeddings(s, d)
+    ivfCache.getOrElseUpdate(s, d)(
+      graft.operators.AnnIvf.buildIndex(embT, "vec_id", "embedding",
+        nList = graft.operators.AnnIvf.autoNList(embT.count())))
+  }
+
+  /** Bench artifact hooks (r11 — VERDICT r10 #4): Bench times these as
+    * explicit `build_*` entries at the start of each interleaved pass
+    * (right after its full memo clear, so each build runs cold exactly
+    * once per pass) and the dependent queries in the pass reuse the
+    * memo. The one-time build cost then appears exactly once in the
+    * bench total instead of inside every ANN query. Forcing `assigned`
+    * (the persisted inverted lists) materializes the index here, not in
+    * the first query that probes it.
+    */
+  private[graft] val rebuildIvf: Q = (s, d) => ivfIndex(s, d).assigned
+
+  private[graft] val rebuildNsw: Q = (s, d) =>
+    nswCache.getOrElseUpdate(s, d)(
+      graft.operators.AnnNsw.buildGraph(ivfIndex(s, d))).graph
+
   private val ivf: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val index = ivfCache.getOrElseUpdate(s, d)(
-      graft.operators.AnnIvf.buildIndex(emb, "vec_id", "embedding",
-        nList = graft.operators.AnnIvf.autoNList(emb.count())))
+    val index = ivfIndex(s, d)
     val probes = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("pid"), col("embedding"))
     graft.operators.AnnIvf.topK(index, probes, "pid", "embedding", k = 10, nProbe = 4)
@@ -183,9 +207,7 @@ object VectorQueries {
     */
   private val ivfRecall: Q = (s, d) => {
     val embT = Tables.embeddings(s, d)
-    val index = ivfCache.getOrElseUpdate(s, d)(
-      graft.operators.AnnIvf.buildIndex(embT, "vec_id", "embedding",
-        nList = graft.operators.AnnIvf.autoNList(embT.count())))
+    val index = ivfIndex(s, d)
     val probes = embT.filter(col("vec_id") < RecallProbes)
       .select(col("vec_id").as("pid"), col("embedding"))
     val exact = exactTopK(emb(s, d).select(col("vec_id"), col("e")),
@@ -221,9 +243,7 @@ object VectorQueries {
     */
   private val nswRecall: Q = (s, d) => {
     val embT = Tables.embeddings(s, d)
-    val index = ivfCache.getOrElseUpdate(s, d)(
-      graft.operators.AnnIvf.buildIndex(embT, "vec_id", "embedding",
-        nList = graft.operators.AnnIvf.autoNList(embT.count())))
+    val index = ivfIndex(s, d)
     val nsw = nswCache.getOrElseUpdate(s, d)(
       graft.operators.AnnNsw.buildGraph(index))
     val probes = embT.filter(col("vec_id") < RecallProbes)
@@ -267,9 +287,7 @@ object VectorQueries {
     */
   private val ivfUpsert: Q = (s, d) => {
     val embT = Tables.embeddings(s, d)
-    val index = ivfCache.getOrElseUpdate(s, d)(
-      graft.operators.AnnIvf.buildIndex(embT, "vec_id", "embedding",
-        nList = graft.operators.AnnIvf.autoNList(embT.count())))
+    val index = ivfIndex(s, d)
     val appended = embT.select((col("vec_id") + 200000L).as("vec_id"),
       // +0.05 keeps the perturbed copy's cosine with its source strictly
       // below 1.0 at 6 dp, so self (cos = 1.0 exactly) wins rank 1

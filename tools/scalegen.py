@@ -24,7 +24,14 @@ Replica construction (replica 0 is the original):
 - remaining TPC-H tables: copied verbatim (none of the rehearsal's
   heavy queries scans them; present so any query can still run).
 
-Usage: python3 tools/scalegen.py SRC_DIR DST_DIR FACTOR
+Usage: python3 tools/scalegen.py SRC_DIR DST_DIR FACTOR [--single-source]
+
+--single-source rewrites documents.source to the constant 'web': the
+worst-case source skew for per-source operators (q_pack_sequences'
+prefix sum) — at factor N, ONE source holds every document, so any
+plan whose parallelism is bounded by source cardinality degrades to a
+single task. The r11 rehearsal measures the bucketed two-level prefix
+sum against exactly this shape (VERDICT r10 perf-weak #2).
 """
 import shutil
 import string
@@ -55,8 +62,9 @@ def letters_mapped(r):
     return mp(string.ascii_lowercase) + mp(string.ascii_uppercase)
 
 
-def gen_documents(src, dst, factor, con):
+def gen_documents(src, dst, factor, con, single_source=False):
     assert factor <= 26 * len(AFFINE_A), "affine letter bijections exhausted"
+    source = "'web' AS source" if single_source else "source"
     parts = []
     for r in range(factor):
         if r == 0:
@@ -65,9 +73,9 @@ def gen_documents(src, dst, factor, con):
             text = ("translate(text, '%s', '%s')"
                     % (string.ascii_letters, letters_mapped(r)))
         parts.append(
-            "SELECT doc_id + %d AS doc_id, %s AS text, lang, source, n_chars "
+            "SELECT doc_id + %d AS doc_id, %s AS text, lang, %s, n_chars "
             "FROM read_parquet('%s/documents.parquet')"
-            % (r * 10_000_000, text, src))
+            % (r * 10_000_000, text, source, src))
     con.execute("COPY (%s) TO '%s/documents.parquet' (FORMAT PARQUET)"
                 % (" UNION ALL ".join(parts), dst))
 
@@ -113,10 +121,11 @@ def gen_events(src, dst, factor):
 
 def main():
     src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    single_source = "--single-source" in sys.argv[4:]
     import os
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
-    gen_documents(src, dst, factor, con)
+    gen_documents(src, dst, factor, con, single_source)
     gen_embeddings(src, dst, factor, con)
     gen_events(src, dst, factor)
     for tbl in ("region", "nation", "customer", "supplier", "part",
