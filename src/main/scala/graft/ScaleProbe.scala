@@ -150,7 +150,7 @@ object ScaleProbe {
           least(col("n_tok"), (col("seq_id") + 1L) * 512L - col("cum_start")) - col("tok_start"))
         .select("source", "seq_id", "doc_id", "n_tok", "tok_start", "tok_len")
     }
-    f"""{"dir":"$dir","docs":$nDocs,"sources":$nSrc,"bucketed_sec":$declared%.3f,"naive_window_sec":$naive%.3f}"""
+    f"""{"dir":"$dir","docs":$nDocs,"sources":$nSrc,"declared_sec":$declared%.3f,"naive_window_sec":$naive%.3f}"""
   }
 
   /** Phase decomposition of q_lm_score (r10 perf hunt): bigram explode

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{coalesce, col, expr, lit, sum}
+import org.apache.spark.sql.functions.{coalesce, col, expr, lit, max, sum}
 import org.apache.spark.sql.types.{LongType, StructField}
 
 /** Scale-safe global ordinals.
@@ -34,6 +34,35 @@ object Ordinals {
     val schema = sorted.schema.add(StructField(name, LongType, nullable = false))
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** Adaptive per-group prefix sum (VERDICT r10 #3's corpus-shape
+    * switch): the plain per-group running window when EVERY group is
+    * small enough that its whole-group window task is bounded (≤
+    * `smallGroupMax` rows — one task sorting 64k rows is cheap and the
+    * single-window plan avoids [[bucketedPrefixSum]]'s extra aggregate
+    * + join), and the bucketed two-level form — bit-identical by
+    * construction and by test — once ANY group exceeds it (a 100 TB
+    * corpus with O(10) sources would otherwise funnel through O(10)
+    * window tasks). The gate costs one `groupBy(part).count()` over a
+    * single column — negligible next to the prefix sum it protects,
+    * and the same corpus statistic an optimizer would consult.
+    *
+    * The gate aggregates `df.select(part)` so Catalyst prunes every
+    * other column out of the count job (in the pack query the value
+    * column is a tokenization — the gate must not pay it); the window
+    * branch consumes `df` exactly once, so only the bucketed branch
+    * (two consumers) persists the input.
+    */
+  def prefixSum(df: DataFrame, part: String, ord: String,
+      valueCol: String, name: String, smallGroupMax: Long = 65536L): DataFrame = {
+    val maxGroup = df.select(col(part)).groupBy(col(part)).count()
+      .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
+    if (maxGroup <= smallGroupMax) {
+      val w = Window.partitionBy(col(part)).orderBy(col(ord))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(name, sum(col(valueCol)).over(w))
+    } else bucketedPrefixSum(graft.Scratch.persist(df), part, ord, valueCol, name)
   }
 
   /** Appends `name` = inclusive running Σ`valueCol` (BIGINT) within each

@@ -142,4 +142,26 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(bucketed.collect().map(key).sorted.toSeq ===
       naive.collect().map(key).sorted.toSeq)
   }
+
+  test("adaptive prefixSum takes the skew branch past smallGroupMax and stays exact") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1L, 10L), ("a", 2L, 5L), ("a", 3L, 7L), ("a", 9L, 1L),
+      ("b", 2L, 3L), ("b", 3L, 8L))
+    val df = rows.toDF("g", "ord", "v")
+    // both branches of the gate must produce the identical frame: force
+    // the window branch (huge bound) and the bucketed branch (bound=1,
+    // every group "too big") on the same input
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[String]("g"), r.getAs[Long]("ord"), r.getAs[Long]("v"), r.getAs[Long]("cum"))
+    val window = graft.operators.Ordinals
+      .prefixSum(df, "g", "ord", "v", "cum", smallGroupMax = 1000L)
+    val bucketed = graft.operators.Ordinals
+      .prefixSum(df, "g", "ord", "v", "cum", smallGroupMax = 1L)
+    assert(window.collect().map(key).sorted.toSeq ===
+      bucketed.collect().map(key).sorted.toSeq)
+    // empty input must not NPE the gate's max-group lookup
+    assert(graft.operators.Ordinals
+      .prefixSum(df.filter($"v" < 0L), "g", "ord", "v", "cum").count() === 0L)
+  }
 }
