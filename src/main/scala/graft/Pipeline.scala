@@ -34,8 +34,18 @@ object Pipeline {
       winSize: Int = 48, stride: Int = 24, numActs: Int = 3,
       maxMicro: Int = 50,
       model: () => Inference.Model = () => new Inference.StubModel)
-      : GraphBuild.GraphTables = {
-    val feats = e1Features(e1Scored(spark, dir, winSize, stride, model), numActs)
+      : GraphBuild.GraphTables =
+    e1FromScored(e1Scored(spark, dir, winSize, stride, model), numActs, maxMicro)
+
+  /** [[e1]]'s suffix from an already-materialized scored-window frame —
+    * the seam that lets a caller reuse one scored frame across the
+    * graph build and the feature export (IoQueries memoizes it per
+    * data dir: scoring is the pipeline's scan-the-corpus stage and a
+    * user materializes it once).
+    */
+  def e1FromScored(scored: DataFrame, numActs: Int = 3,
+      maxMicro: Int = 50): GraphBuild.GraphTables = {
+    val feats = e1Features(scored, numActs)
     val featCols =
       (for { m <- Inference.EmotionLabels; a <- 1 to numActs } yield s"${m}_act$a") ++
         Inference.EmotionLabels.map(m => s"${m}_std")

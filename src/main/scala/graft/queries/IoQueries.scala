@@ -203,21 +203,36 @@ object IoQueries {
   private val e1Cache =
     new graft.SessionCache[graft.operators.clustering.GraphBuild.GraphTables]
 
+  // The scored-window frame is E1's scan-the-corpus stage
+  // (clean→window→infer) and is consumed by BOTH the graph build and
+  // the q_e1_features export — one persisted copy per data dir, the
+  // same artifact q_e1_features materializes to parquet anyway.
+  private val e1ScoredCache = new graft.SessionCache[DataFrame]
+  private def e1Scored(s: SparkSession, d: String): DataFrame =
+    e1ScoredCache.getOrElseUpdate(s, d)(graft.Pipeline.e1Scored(s, d).persist())
+
   /** E1 end-to-end (rows-only): the full reference pipeline in one DAG;
     * invariants tested in PipelineSpec.
     */
   private val e1: Q = (s, d) =>
-    e1Cache.getOrElseUpdate(s, d)(graft.Pipeline.e1(s, d)).graph
+    e1Cache.getOrElseUpdate(s, d)(
+      graft.Pipeline.e1FromScored(e1Scored(s, d))).graph
 
   /** Drop memoized pipeline artifacts (bench cold-timing hook). */
-  def clearCache(): Unit = e1Cache.clearAll()
+  def clearCache(): Unit = {
+    e1Cache.clearAll()
+    e1ScoredCache.clearAll().foreach(_.unpersist())
+  }
 
   /** Bench artifact hook (r11 — VERDICT r10 #4): the full E1 build as
     * an explicit `build_*` entry, run cold once per interleaved pass;
-    * q_e1_pipeline then measures the serving read of the built tables.
+    * q_e1_pipeline then measures the serving read of the built tables
+    * and q_e1_features the export + integer algebra over the shared
+    * scored frame.
     */
   private[graft] val rebuildE1: Q = (s, d) =>
-    e1Cache.getOrElseUpdate(s, d)(graft.Pipeline.e1(s, d)).graph
+    e1Cache.getOrElseUpdate(s, d)(
+      graft.Pipeline.e1FromScored(e1Scored(s, d))).graph
 
   /** Where q_e1_features exports E1's scored-window frame for its
     * oracle. Same fixed-tmpdir convention as GraphQueries'
@@ -250,7 +265,7 @@ object IoQueries {
   private val e1Features: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val labels = Inference.EmotionLabels
-    graft.Pipeline.e1Scored(s, d)
+    e1Scored(s, d)
       .select(col("doc_id") +: col("window_id") +: labels.map(m =>
         expr(s"CAST(round($m * 10000) AS BIGINT)").as(s"${m}_e4")): _*)
       .write.mode("overwrite").parquet(e1ScoredExportPath)
