@@ -99,10 +99,17 @@ object Ordinals {
       .agg(sum(col(valueCol)).as("_bt"))
       .withColumn("_off", coalesce(sum(col("_bt")).over(beforeBucket), lit(0L)))
       .select(col(part), col("_bkt"), col("_off"))
+    // null-safe on the group key: an equi-join would silently DROP rows
+    // whose `part` is NULL, while the window branch (and a SQL
+    // PARTITION BY) keeps a NULL partition — the two branches must stay
+    // bit-identical on any input. `_bkt` is non-null by the `ord`
+    // precondition, so a plain equality suffices there.
+    val off = offsets
+      .withColumnRenamed(part, "_part_r").withColumnRenamed("_bkt", "_bkt_r")
     bucketed
       .withColumn("_local", sum(col(valueCol)).over(inBucket))
-      .join(offsets, Seq(part, "_bkt"))
+      .join(off, col(part) <=> col("_part_r") && col("_bkt") === col("_bkt_r"))
       .withColumn(name, col("_local") + col("_off"))
-      .drop("_bkt", "_local", "_off")
+      .drop("_bkt", "_local", "_off", "_part_r", "_bkt_r")
   }
 }

@@ -228,11 +228,10 @@ object IoQueries {
     * an explicit `build_*` entry, run cold once per interleaved pass;
     * q_e1_pipeline then measures the serving read of the built tables
     * and q_e1_features the export + integer algebra over the shared
-    * scored frame.
+    * scored frame. An ALIAS of the query lambda, so the bench entry can
+    * never measure a different pipeline than the query serves.
     */
-  private[graft] val rebuildE1: Q = (s, d) =>
-    e1Cache.getOrElseUpdate(s, d)(
-      graft.Pipeline.e1FromScored(e1Scored(s, d))).graph
+  private[graft] def rebuildE1: Q = e1
 
   /** Where q_e1_features exports E1's scored-window frame for its
     * oracle. Same fixed-tmpdir convention as GraphQueries'
@@ -274,35 +273,46 @@ object IoQueries {
       .withColumn("_cnt", count(lit(1)).over(byDoc))
       .filter(col("_cnt") >= 3)
       .withColumn("_act", ntile(3).over(byDoc.orderBy("window_id")))
+    // Every sum and every multiply feeding a DIV is widened through
+    // DECIMAL on the Spark side and HUGEINT on the DuckDB side (below):
+    // plain LONG sums/products wrap SILENTLY at ~3e9-9e10 windows/doc
+    // where DuckDB promotes or errors — the engines must agree loudly,
+    // not diverge quietly, at the giant-document extreme.
     val aggCols: Seq[org.apache.spark.sql.Column] =
       count(lit(1)).as("_n") +:
         ((1 to 3).map(a => count(when(col("_act") === a, lit(1))).as(s"_c_$a")) ++
           labels.flatMap { m =>
-            Seq(sum(col(s"${m}_e4")).as(s"_s_$m"),
-              sum(col(s"${m}_e4") * col(s"${m}_e4")).as(s"_q_$m")) ++
+            Seq(sum(col(s"${m}_e4").cast("decimal(28,0)")).as(s"_s_$m"),
+              sum((col(s"${m}_e4") * col(s"${m}_e4")).cast("decimal(28,0)")).as(s"_q_$m")) ++
               (1 to 3).map(a =>
-                sum(when(col("_act") === a, col(s"${m}_e4"))).as(s"_s_${m}_$a"))
+                sum(when(col("_act") === a, col(s"${m}_e4")).cast("decimal(28,0)"))
+                  .as(s"_s_${m}_$a"))
           })
     val outCols: Seq[org.apache.spark.sql.Column] = col("doc_id") +:
       labels.flatMap { m =>
         (1 to 3).map(a =>
-          expr(s"(_s_${m}_$a * 10000) DIV _c_$a").as(s"${m}_act${a}_e8")) :+
+          expr(s"CAST((CAST(_s_${m}_$a AS DECIMAL(38,0)) * 10000) DIV _c_$a AS BIGINT)")
+            .as(s"${m}_act${a}_e8")) :+
           expr(s"CAST((CAST(_n AS DECIMAL(38,0)) * _q_$m - " +
             s"CAST(_s_$m AS DECIMAL(38,0)) * _s_$m) " +
-            s"DIV (_n * (_n - 1)) AS BIGINT)").as(s"${m}_var_e8")
+            s"DIV (CAST(_n AS DECIMAL(38,0)) * (_n - 1)) AS BIGINT)").as(s"${m}_var_e8")
       }
     withAct.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
       .select(outCols: _*)
   }
 
   private def e1FeaturesSql: String = {
+    // HUGEINT everywhere a sum feeds arithmetic (mirrors the Spark
+    // side's DECIMAL widening): un-CAST sum(BIGINT) intermediates are
+    // the DuckDB version-drift class the r10 dispute came from, and the
+    // divisor products must not wrap where Spark's don't.
     val cols = Inference.EmotionLabels.flatMap { m =>
       (1 to 3).map(a =>
-        s"CAST((sum(CASE WHEN _act = $a THEN ${m}_e4 END) * 10000) " +
+        s"CAST((CAST(sum(CASE WHEN _act = $a THEN ${m}_e4 END) AS HUGEINT) * 10000) " +
           s"// count(CASE WHEN _act = $a THEN 1 END) AS BIGINT) AS ${m}_act${a}_e8") :+
         (s"CAST((CAST(count(*) AS HUGEINT) * sum(CAST(${m}_e4 AS HUGEINT) * ${m}_e4) " +
           s"- CAST(sum(${m}_e4) AS HUGEINT) * sum(${m}_e4)) " +
-          s"// (count(*) * (count(*) - 1)) AS BIGINT) AS ${m}_var_e8")
+          s"// (CAST(count(*) AS HUGEINT) * (count(*) - 1)) AS BIGINT) AS ${m}_var_e8")
     }.mkString(",\n       ")
     s"""WITH w AS (
        |  SELECT *, count(*) OVER (PARTITION BY doc_id) AS _cnt,

@@ -163,5 +163,17 @@ class CorpusQueriesSpec extends SparkSpec {
     // empty input must not NPE the gate's max-group lookup
     assert(graft.operators.Ordinals
       .prefixSum(df.filter($"v" < 0L), "g", "ord", "v", "cum").count() === 0L)
+    // a NULL group key must survive BOTH branches (the bucketed join is
+    // null-safe; an equi-join would silently drop the NULL partition)
+    val withNull = rows.map { case (g, o, v) => (if (g == "b") null else g, o, v) }
+      .toDF("g", "ord", "v")
+    val wN = graft.operators.Ordinals
+      .prefixSum(withNull, "g", "ord", "v", "cum", smallGroupMax = 1000L)
+    val bN = graft.operators.Ordinals
+      .prefixSum(withNull, "g", "ord", "v", "cum", smallGroupMax = 1L)
+    val keyN = (r: org.apache.spark.sql.Row) =>
+      (Option(r.getAs[String]("g")), r.getAs[Long]("ord"), r.getAs[Long]("cum"))
+    assert(bN.count() === rows.size.toLong)
+    assert(wN.collect().map(keyN).sorted.toSeq === bN.collect().map(keyN).sorted.toSeq)
   }
 }

@@ -2,52 +2,74 @@
 """Merge N same-binary bench_out.json sweeps per-query-min (the PERF.md
 protocol, CLAUDE.md r7/r8): each query's time is the min across every
 rep of every sweep, so a JVM-window artifact in one sweep cannot
-inflate the merged number. Also recomputes the oracle/rows-only split
-from the merged mins using the first sweep's membership.
+inflate the merged number. The per-query "stats" maps are merged too
+(min of mins, max of maxes, summed reps/gc_ms) so benchcmp's rep-spread
+column survives the merge, and the oracle/rows-only split is recomputed
+from the merged mins.
 
-Usage: python3 tools/benchmerge.py OUT.json SWEEP1.json [SWEEP2.json ...]
+Usage:
+  python3 tools/benchmerge.py [--oracle ORACLE_SQL_JSON] OUT.json SWEEP1.json [SWEEP2.json ...]
+
+The oracle membership comes from --oracle, else ./.verify_sf01/ or
+./.verify_out/oracle_sql.json; without any, the split is omitted (the
+sweeps carry totals but not membership, so it cannot be recovered).
 """
 import json
 import sys
 
 
+def load_oracle_keys(explicit):
+    paths = ([explicit] if explicit else
+             [".verify_sf01/oracle_sql.json", ".verify_out/oracle_sql.json"])
+    for p in paths:
+        try:
+            return set(json.load(open(p)).keys())
+        except (OSError, ValueError):
+            continue
+    return None
+
+
 def main():
-    out, sweeps = sys.argv[1], [json.load(open(p)) for p in sys.argv[2:]]
+    args = sys.argv[1:]
+    explicit_oracle = None
+    if args and args[0] == "--oracle":
+        explicit_oracle = args[1]
+        args = args[2:]
+    out, sweeps = args[0], [json.load(open(p)) for p in args[1:]]
     names = list(sweeps[0]["queries"].keys())
-    merged = {}
+    merged, stats = {}, {}
     for n in names:
         vals = [s["queries"].get(n, -1.0) for s in sweeps]
         vals = [v for v in vals if v is not None and v >= 0]
         merged[n] = min(vals) if vals else -1.0
-    base = sweeps[0]
-    # membership: a query is oracle-checked iff it contributed to
-    # oracle_checked_s in the source sweeps — recovered from the per-sweep
-    # split by recomputing with each candidate set is overkill; the
-    # sweeps' JSON doesn't carry the set, so derive it from the dumped
-    # oracle_sql.json when present, else keep the source totals' split.
-    oracle_keys = None
-    try:
-        oracle_keys = set(json.load(open(".verify_sf01/oracle_sql.json")).keys())
-    except OSError:
-        try:
-            oracle_keys = set(json.load(open(".verify_out/oracle_sql.json")).keys())
-        except OSError:
-            pass
+        ss = [s.get("stats", {}).get(n) for s in sweeps]
+        ss = [x for x in ss if x]
+        if ss:
+            stats[n] = {
+                "min": min(x["min"] for x in ss),
+                "med": sorted(x["med"] for x in ss)[len(ss) // 2],
+                "max": max(x["max"] for x in ss),
+                "reps": sum(x.get("reps", 0) for x in ss),
+                "gc_ms": sum(x.get("gc_ms", 0) for x in ss),
+            }
     total = sum(v for v in merged.values() if v >= 0)
     res = {
         "metric": "total", "value": total, "unit": "sec",
-        "queries": merged, "sf": base.get("sf"),
+        "queries": merged, "stats": stats, "sf": sweeps[0].get("sf"),
         "merged_from": len(sweeps),
     }
+    oracle_keys = load_oracle_keys(explicit_oracle)
+    split = ""
     if oracle_keys is not None:
         res["oracle_checked_s"] = sum(
             v for k, v in merged.items() if v >= 0 and k in oracle_keys)
         res["rows_only_s"] = total - res["oracle_checked_s"]
+        split = " oracle=%.1fs rows_only=%.1fs" % (
+            res["oracle_checked_s"], res["rows_only_s"])
+    else:
+        print("warning: no oracle_sql.json found; split omitted", file=sys.stderr)
     json.dump(res, open(out, "w"))
-    print("merged %d sweeps -> %s  total=%.1fs oracle=%.1fs rows_only=%.1fs" % (
-        len(sweeps), out, total,
-        res.get("oracle_checked_s", float("nan")),
-        res.get("rows_only_s", float("nan"))))
+    print("merged %d sweeps -> %s  total=%.1fs%s" % (len(sweeps), out, total, split))
 
 
 if __name__ == "__main__":
