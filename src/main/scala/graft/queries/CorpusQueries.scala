@@ -115,6 +115,112 @@ object CorpusQueries {
       .select("source", "tok", "tf", "df", "score_bp", "rk")
   }
 
+  // ---- BM25 lexical top-k retrieval ----
+  // The lexical complement to the ANN family: the engine can rank by
+  // embedding cosine (o56/IVF/NSW) but had no term-based relevance
+  // ranking, which retrieval eval and RAG-style curation need. Textbook
+  // BM25 (k1=1.2, b=0.75), top-10 docs per probe query.
+  //
+  // Determinism: idf = ln(1 + (N−df+0.5)/(df+0.5)) is the ONE
+  // transcendental — a cross-engine libm last-ulp lottery if both
+  // engines computed it. So the term table (tok, df, idf_e6) is
+  // computed once, Spark-side, quantized ×1e6 to BIGINT, and EXPORTED
+  // (the q_e1_features pattern); both engines read identical integers
+  // and everything downstream is exact integer arithmetic. The tf part
+  //   tf·(k1+1) / (tf + k1·(1−b) + k1·b·len/avgdl)
+  // is cleared of fractions by multiplying through by 1e6·T (avgdl =
+  // T/N with T = corpus tokens, N = docs):
+  //   tp_bp = tf·2_200_000·T·10⁴ DIV (tf·10⁶·T + 3·10⁵·T + 9·10⁵·len·N)
+  // widened through DECIMAL/HUGEINT (tf·2.2e6·T·1e4 passes 2⁶³ already
+  // at bench scale). score = Σ_t idf_e6·tp_bp, BIGINT.
+  //
+  // Scale: probes⋈postings is an equi-join on term — the inverted
+  // index, shuffle-partitioned on the term key; per-probe work is
+  // bounded by Σ df over its ≤5 terms; (N, T) is a broadcast 1-row
+  // aggregate; top-k per probe is a WindowGroupLimit running top-k.
+  private val Bm25Probes = 10
+  private val Bm25K = 10
+  private val Bm25QTerms = 5
+
+  private def bm25ExportPath: String = java.nio.file.Paths
+    .get(sys.props("java.io.tmpdir"), "graft_bm25_terms").toString
+
+  private val bm25: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    // postings + doc lengths, consumed by df stats and the score join
+    val toks = graft.Scratch.persist(
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok")))
+    val post = graft.Scratch.persist(
+      toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
+    val lens = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("len"))
+    val g = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("t"))
+    // term stats: df over postings (docs containing the term), idf
+    // quantized once here — the export both engines score from
+    post.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(g.select(col("n").as("_n"))))
+      .select(col("tok"), col("df"),
+        expr("CAST(round(ln(1.0 + (CAST(_n AS DOUBLE) - df + 0.5) / (df + 0.5)) * 1000000) AS BIGINT)")
+          .as("idf_e6"))
+      .write.mode("overwrite").parquet(bm25ExportPath)
+    val terms = s.read.parquet(bm25ExportPath).select("tok", "idf_e6")
+    val probes = docs.filter(col("doc_id") < Bm25Probes)
+      .select(col("doc_id").as("probe_id"),
+        explode(slice(split(col("text"), " "), 1, Bm25QTerms)).as("tok"))
+      .distinct()
+    broadcast(probes)
+      .join(post, Seq("tok"))
+      .join(broadcast(terms), Seq("tok"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(g))
+      .withColumn("tp_bp", expr(
+        "CAST((CAST(tf AS DECIMAL(38,0)) * 2200000 * t * 10000) DIV " +
+          "(CAST(tf AS DECIMAL(38,0)) * 1000000 * t + CAST(300000 AS DECIMAL(38,0)) * t " +
+          "+ CAST(900000 AS DECIMAL(38,0)) * len * n) AS BIGINT)"))
+      .groupBy("probe_id", "doc_id")
+      .agg(sum(expr("idf_e6 * tp_bp")).as("score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("score").desc, col("doc_id")))
+        .cast("long"))
+      .filter(col("rk") <= Bm25K)
+      .select("probe_id", "rk", "doc_id", "score")
+  }
+
+  private def bm25Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |post AS (
+       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM toks GROUP BY doc_id, tok),
+       |lens AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+       |  FROM documents),
+       |g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len) AS BIGINT) AS t FROM lens),
+       |terms AS (SELECT tok, idf_e6 FROM '$bm25ExportPath/*.parquet'),
+       |probes AS (
+       |  SELECT DISTINCT probe_id, tok FROM (
+       |    SELECT doc_id AS probe_id, unnest(string_split(text, ' ')[1:$Bm25QTerms]) AS tok
+       |    FROM documents WHERE doc_id < $Bm25Probes)),
+       |scored AS (
+       |  SELECT p.probe_id, post.doc_id,
+       |         CAST(sum(tm.idf_e6 * CAST(
+       |           (CAST(post.tf AS HUGEINT) * 2200000 * g.t * 10000)
+       |           // (CAST(post.tf AS HUGEINT) * 1000000 * g.t
+       |               + CAST(300000 AS HUGEINT) * g.t
+       |               + CAST(900000 AS HUGEINT) * l.len * g.n) AS BIGINT)) AS BIGINT) AS score
+       |  FROM probes p
+       |  JOIN post ON post.tok = p.tok
+       |  JOIN terms tm ON tm.tok = p.tok
+       |  JOIN lens l ON l.doc_id = post.doc_id
+       |  CROSS JOIN g
+       |  GROUP BY p.probe_id, post.doc_id)
+       |SELECT probe_id, rk, doc_id, score FROM (
+       |  SELECT probe_id, doc_id, score,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY probe_id ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+       |  FROM scored)
+       |WHERE rk <= $Bm25K""".stripMargin
+
   // ---- int8 embedding quantization ----
   // Training pipelines ship embeddings quantized (4× smaller, cheaper
   // ANN): per-vector absmax scaling, q_i = round(x_i·127 / maxabs).
@@ -172,6 +278,7 @@ object CorpusQueries {
     "q_decontaminate" -> decontaminate,
     "q_sample_balanced" -> sampleBalanced,
     "q_tfidf_terms" -> tfidfTerms,
+    "q_bm25_topk" -> bm25,
     "q_embed_quantize" -> embedQuantize)
 
   val oracle: Map[String, String] = Map(
@@ -243,6 +350,7 @@ object CorpusQueries {
         |           ORDER BY (tf*10000) // df DESC, tok) AS BIGINT) AS rk
         |  FROM tf JOIN df USING (tok))
         |WHERE rk <= 10""".stripMargin,
+    "q_bm25_topk" -> bm25Sql,
     "q_embed_quantize" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),

@@ -21,6 +21,30 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(bad.count() === 0, "non-train doc flagged as contaminated")
   }
 
+  test("bm25_topk: k rows per probe, dense ranks, non-increasing scores, self retrieved") {
+    val r = q("q_bm25_topk").cache()
+    val per = r.groupBy("probe_id").agg(count(lit(1)).as("n"),
+      max("rk").as("mx"), min("rk").as("mn"))
+    assert(per.filter(col("n") =!= 10 || col("mx") =!= 10 || col("mn") =!= 1).count() === 0,
+      "each probe must have exactly ranks 1..10")
+    // scores non-increasing with rank (the ORDER BY is score DESC)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("probe_id").orderBy("rk")
+    assert(r.withColumn("prev", lag("score", 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") < col("score")).count() === 0)
+    // every retrieved doc must share ≥1 of the probe's first-5 query
+    // terms — the inverted-index join can only emit true candidates
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val qterms = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("probe_id"), slice(col("toks"), 1, 5).as("qt"))
+    assert(r.join(qterms, Seq("probe_id")).join(docs, Seq("doc_id"))
+      .filter(!arrays_overlap(col("qt"), col("toks"))).count() === 0)
+    // (no self-retrieval pin: with common-word queries BM25's length
+    // normalization legitimately ranks shorter docs above the probe doc)
+    r.unpersist()
+  }
+
   test("sample_balanced: per-source counts capped and ranks dense from 1") {
     val r = q("q_sample_balanced").cache()
     val sizes = r.groupBy("source").agg(count(lit(1)).as("n"), max("rk").as("mx"))
