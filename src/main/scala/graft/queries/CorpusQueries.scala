@@ -147,13 +147,14 @@ object CorpusQueries {
 
   private val bm25: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    // postings + doc lengths, consumed by df stats and the score join
-    val toks = graft.Scratch.persist(
-      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok")))
+    // ONE persisted postings table feeds everything: df stats, the doc
+    // lengths (len = Σtf — identical to counting the split, since even
+    // an empty text yields one "" token), the corpus totals, and the
+    // score join. The corpus is scanned exactly once.
     val post = graft.Scratch.persist(
-      toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
-    val lens = docs.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("len"))
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
+    val lens = post.groupBy("doc_id").agg(sum("tf").as("len"))
     val g = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("t"))
     // term stats: df over postings (docs containing the term), idf
     // quantized once here — the export both engines score from
