@@ -138,9 +138,11 @@ object CorpusQueries {
   // index, shuffle-partitioned on the term key; per-probe work is
   // bounded by Σ df over its ≤5 terms; (N, T) is a broadcast 1-row
   // aggregate; top-k per probe is a WindowGroupLimit running top-k.
-  private val Bm25Probes = 10
-  private val Bm25K = 10
-  private val Bm25QTerms = 5
+  // private[graft]: the invariant spec pins its checks to these, so a
+  // knob change cannot silently desynchronize the test
+  private[graft] val Bm25Probes = 10
+  private[graft] val Bm25K = 10
+  private[graft] val Bm25QTerms = 5
 
   private def bm25ExportPath: String = java.nio.file.Paths
     .get(sys.props("java.io.tmpdir"), "graft_bm25_terms").toString
@@ -194,8 +196,11 @@ object CorpusQueries {
        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
        |  FROM toks GROUP BY doc_id, tok),
        |lens AS (
-       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
-       |  FROM documents),
+       |  -- derived from post (not documents) exactly as the Spark side
+       |  -- is: a NULL-text doc drops out of the postings in BOTH
+       |  -- engines, so the corpus totals (n, t) agree on ANY input
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len
+       |  FROM post GROUP BY doc_id),
        |g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len) AS BIGINT) AS t FROM lens),
        |terms AS (SELECT tok, idf_e6 FROM '$bm25ExportPath/*.parquet'),
        |probes AS (

@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.queries.CorpusQueries
+
 /** Invariant tests for the corpus-curation pack (round 5): the oracle
   * hash-check proves engine parity; these pin the SEMANTICS the oracle
   * can't state — caps respected, assignments well-formed, quantization
@@ -21,12 +23,16 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(bad.count() === 0, "non-train doc flagged as contaminated")
   }
 
-  test("bm25_topk: k rows per probe, dense ranks, non-increasing scores, self retrieved") {
+  test("bm25_topk: every probe present with dense ranks 1..k and non-increasing scores") {
+    val k = CorpusQueries.Bm25K
     val r = q("q_bm25_topk").cache()
     val per = r.groupBy("probe_id").agg(count(lit(1)).as("n"),
       max("rk").as("mx"), min("rk").as("mn"))
-    assert(per.filter(col("n") =!= 10 || col("mx") =!= 10 || col("mn") =!= 1).count() === 0,
-      "each probe must have exactly ranks 1..10")
+    // every probe must appear at all — a probe silently dropped by a
+    // join bug would otherwise just be absent from the per-probe frame
+    assert(per.count() === CorpusQueries.Bm25Probes.toLong)
+    assert(per.filter(col("n") =!= k || col("mx") =!= k || col("mn") =!= 1).count() === 0,
+      s"each probe must have exactly ranks 1..$k")
     // scores non-increasing with rank (the ORDER BY is score DESC)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("probe_id").orderBy("rk")
@@ -36,8 +42,9 @@ class CorpusQueriesSpec extends SparkSpec {
     // terms — the inverted-index join can only emit true candidates
     val docs = graft.Tables.documents(spark, sf)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-    val qterms = docs.filter(col("doc_id") < 10)
-      .select(col("doc_id").as("probe_id"), slice(col("toks"), 1, 5).as("qt"))
+    val qterms = docs.filter(col("doc_id") < CorpusQueries.Bm25Probes)
+      .select(col("doc_id").as("probe_id"),
+        slice(col("toks"), 1, CorpusQueries.Bm25QTerms).as("qt"))
     assert(r.join(qterms, Seq("probe_id")).join(docs, Seq("doc_id"))
       .filter(!arrays_overlap(col("qt"), col("toks"))).count() === 0)
     // (no self-retrieval pin: with common-word queries BM25's length

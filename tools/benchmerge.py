@@ -47,7 +47,11 @@ def main():
         if ss:
             stats[n] = {
                 "min": min(x["min"] for x in ss),
-                "med": sorted(x["med"] for x in ss)[len(ss) // 2],
+                # lower median OF the sweep medians: the raw reps are not
+                # in bench_out.json, so a pooled median is not computable
+                # — this is an approximation, biased low to match the
+                # min-merge philosophy (a noisy sweep must not inflate it)
+                "med": sorted(x["med"] for x in ss)[(len(ss) - 1) // 2],
                 "max": max(x["max"] for x in ss),
                 "reps": sum(x.get("reps", 0) for x in ss),
                 "gc_ms": sum(x.get("gc_ms", 0) for x in ss),
