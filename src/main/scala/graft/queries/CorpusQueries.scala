@@ -147,7 +147,10 @@ object CorpusQueries {
   private def bm25ExportPath: String = java.nio.file.Paths
     .get(sys.props("java.io.tmpdir"), "graft_bm25_terms").toString
 
-  private val bm25: Q = (s, d) => {
+  /** The (probe_id, doc_id, score) BM25 frame before the top-k —
+    * shared by q_bm25_topk and the hybrid fusion query.
+    */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     // ONE persisted postings table feeds everything: df stats, the doc
     // lengths (len = Σtf — identical to counting the split, since even
@@ -182,15 +185,21 @@ object CorpusQueries {
           "+ CAST(900000 AS DECIMAL(38,0)) * len * n) AS BIGINT)"))
       .groupBy("probe_id", "doc_id")
       .agg(sum(expr("idf_e6 * tp_bp")).as("score"))
+  }
+
+  private val bm25: Q = (s, d) =>
+    bm25Scored(s, d)
       .withColumn("rk", row_number().over(
         Window.partitionBy("probe_id").orderBy(col("score").desc, col("doc_id")))
         .cast("long"))
       .filter(col("rk") <= Bm25K)
       .select("probe_id", "rk", "doc_id", "score")
-  }
 
-  private def bm25Sql: String =
-    s"""WITH toks AS (
+  /** The shared WITH-body producing `scored(probe_id, doc_id, score)` —
+    * the twin of [[bm25Scored]], reused by both oracle queries.
+    */
+  private def bm25ScoredCtes: String =
+    s"""toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
        |post AS (
        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
@@ -219,13 +228,108 @@ object CorpusQueries {
        |  JOIN terms tm ON tm.tok = p.tok
        |  JOIN lens l ON l.doc_id = post.doc_id
        |  CROSS JOIN g
-       |  GROUP BY p.probe_id, post.doc_id)
+       |  GROUP BY p.probe_id, post.doc_id)""".stripMargin
+
+  private def bm25Sql: String =
+    s"""WITH $bm25ScoredCtes
        |SELECT probe_id, rk, doc_id, score FROM (
        |  SELECT probe_id, doc_id, score,
        |         CAST(row_number() OVER (
        |           PARTITION BY probe_id ORDER BY score DESC, doc_id) AS BIGINT) AS rk
        |  FROM scored)
        |WHERE rk <= $Bm25K""".stripMargin
+
+  // ---- hybrid retrieval: reciprocal-rank fusion of BM25 + cosine ----
+  // The composition a RAG/curation pipeline actually serves: fuse the
+  // lexical (BM25) and vector (embedding cosine) rankings per probe
+  // with RRF — rrf(doc) = Σ_rankers 1e6 DIV (60 + rank) — and keep the
+  // fused top-10. RRF is rank-only, so the fusion layer is exact
+  // integer arithmetic by construction (the standard k=60 constant);
+  // the cosine leg follows the o56 conventions (double cosine rounded
+  // to 6 dp + 0.0, unique (cos desc, id) tie-break) and the lexical
+  // leg is [[bm25Scored]]. The candidate universe of the vector leg is
+  // embeddings restricted to ids that ARE documents, so both rankers
+  // rank the same corpus.
+  // Scale: each leg is its already-scale-shaped ranking (inverted index
+  // / brute-force-or-ANN cosine) truncated to a constant fusion depth;
+  // the fusion itself joins two ≤FusionDepth·probes row lists — tiny at
+  // any corpus size. At 100 TB the cosine leg would swap in the IVF/NSW
+  // path; the fusion layer is unchanged, which is the point of RRF.
+  private[graft] val FusionDepth = 20
+  private val RrfK = 60L
+
+  private val hybrid: Q = (s, d) => {
+    import graft.functions.VectorOps._
+    val lex = bm25Scored(s, d)
+      .withColumn("rkb", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("score").desc, col("doc_id")))
+        .cast("long"))
+      .filter(col("rkb") <= FusionDepth)
+      .select("probe_id", "doc_id", "rkb")
+    val emb = Tables.embeddings(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id")),
+        col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("e"))
+    val pv = emb.filter(col("vec_id") < Bm25Probes)
+      .select(col("vec_id").as("probe_id"), col("e").as("pv"))
+    val vec = emb.crossJoin(broadcast(pv))
+      .select(col("probe_id"), col("vec_id").as("doc_id"),
+        (round(cosineSimilarityNative(col("e"), col("pv")), 6) + lit(0.0)).as("cos"))
+      .withColumn("rkv", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cos").desc, col("doc_id")))
+        .cast("long"))
+      .filter(col("rkv") <= FusionDepth)
+      .select("probe_id", "doc_id", "rkv")
+    lex.join(vec, Seq("probe_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        expr(s"coalesce(1000000 DIV ($RrfK + rkb), 0) + coalesce(1000000 DIV ($RrfK + rkv), 0)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("rrf").desc, col("doc_id")))
+        .cast("long"))
+      .filter(col("rk") <= Bm25K)
+      .select(col("probe_id"), col("rk"), col("doc_id"), col("rrf"),
+        coalesce(col("rkb"), lit(0L)).as("rkb"),
+        coalesce(col("rkv"), lit(0L)).as("rkv"))
+  }
+
+  private def hybridSql: String = {
+    import graft.functions.VectorOps.cosineSimilaritySql
+    s"""WITH $bm25ScoredCtes,
+       |lex AS (
+       |  SELECT probe_id, doc_id, rkb FROM (
+       |    SELECT probe_id, doc_id,
+       |           CAST(row_number() OVER (
+       |             PARTITION BY probe_id ORDER BY score DESC, doc_id) AS BIGINT) AS rkb
+       |    FROM scored)
+       |  WHERE rkb <= $FusionDepth),
+       |emb AS (
+       |  SELECT e.vec_id, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+       |pv AS (SELECT vec_id AS probe_id, e AS pv FROM emb WHERE vec_id < $Bm25Probes),
+       |vec AS (
+       |  SELECT probe_id, doc_id, rkv FROM (
+       |    SELECT p.probe_id, a.vec_id AS doc_id,
+       |           CAST(row_number() OVER (
+       |             PARTITION BY p.probe_id
+       |             ORDER BY round(${cosineSimilaritySql("a.e", "p.pv")}, 6) + 0.0 DESC,
+       |                      a.vec_id) AS BIGINT) AS rkv
+       |    FROM emb a CROSS JOIN pv p)
+       |  WHERE rkv <= $FusionDepth),
+       |fused AS (
+       |  SELECT coalesce(l.probe_id, v.probe_id) AS probe_id,
+       |         coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |         CAST(coalesce(1000000 // ($RrfK + l.rkb), 0)
+       |            + coalesce(1000000 // ($RrfK + v.rkv), 0) AS BIGINT) AS rrf,
+       |         CAST(coalesce(l.rkb, 0) AS BIGINT) AS rkb,
+       |         CAST(coalesce(v.rkv, 0) AS BIGINT) AS rkv
+       |  FROM lex l FULL OUTER JOIN vec v
+       |    ON l.probe_id = v.probe_id AND l.doc_id = v.doc_id)
+       |SELECT probe_id, rk, doc_id, rrf, rkb, rkv FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY probe_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
+       |  FROM fused)
+       |WHERE rk <= $Bm25K""".stripMargin
+  }
 
   // ---- int8 embedding quantization ----
   // Training pipelines ship embeddings quantized (4× smaller, cheaper
@@ -285,6 +389,7 @@ object CorpusQueries {
     "q_sample_balanced" -> sampleBalanced,
     "q_tfidf_terms" -> tfidfTerms,
     "q_bm25_topk" -> bm25,
+    "q_hybrid_retrieval" -> hybrid,
     "q_embed_quantize" -> embedQuantize)
 
   val oracle: Map[String, String] = Map(
@@ -357,6 +462,7 @@ object CorpusQueries {
         |  FROM tf JOIN df USING (tok))
         |WHERE rk <= 10""".stripMargin,
     "q_bm25_topk" -> bm25Sql,
+    "q_hybrid_retrieval" -> hybridSql,
     "q_embed_quantize" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),

@@ -52,6 +52,26 @@ class CorpusQueriesSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("hybrid_retrieval: fused ranks well-formed and rrf reconstructible from leg ranks") {
+    val k = CorpusQueries.Bm25K
+    val r = q("q_hybrid_retrieval").cache()
+    val per = r.groupBy("probe_id").agg(count(lit(1)).as("n"),
+      max("rk").as("mx"), min("rk").as("mn"))
+    assert(per.count() === CorpusQueries.Bm25Probes.toLong)
+    assert(per.filter(col("n") =!= k || col("mx") =!= k || col("mn") =!= 1).count() === 0)
+    // every fused row must come from at least one leg, each leg rank
+    // within the fusion depth, and the RRF score must equal the formula
+    // applied to the emitted leg ranks (0 = absent from that leg)
+    val fd = CorpusQueries.FusionDepth
+    assert(r.filter(col("rkb") === 0 && col("rkv") === 0).count() === 0)
+    assert(r.filter(col("rkb") > fd || col("rkv") > fd).count() === 0)
+    val recomputed = expr(
+      "CASE WHEN rkb > 0 THEN 1000000 DIV (60 + rkb) ELSE 0 END + " +
+        "CASE WHEN rkv > 0 THEN 1000000 DIV (60 + rkv) ELSE 0 END")
+    assert(r.filter(col("rrf") =!= recomputed).count() === 0)
+    r.unpersist()
+  }
+
   test("sample_balanced: per-source counts capped and ranks dense from 1") {
     val r = q("q_sample_balanced").cache()
     val sizes = r.groupBy("source").agg(count(lit(1)).as("n"), max("rk").as("mx"))
