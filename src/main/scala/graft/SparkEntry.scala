@@ -56,6 +56,7 @@ object SparkEntry {
     "build_graph_depth" -> GraphQueries.rebuildDepthTable,
     "build_ivf_index" -> VectorQueries.rebuildIvf,
     "build_nsw_graph" -> VectorQueries.rebuildNsw,
+    "build_bm25_index" -> CorpusQueries.rebuildBm25,
     "build_e1_model" -> IoQueries.rebuildE1)
 
   /** Drop all memoized build artifacts (graph build, IVF index, E1
@@ -67,6 +68,7 @@ object SparkEntry {
     VectorQueries.clearCache()
     IoQueries.clearCache()
     DedupQueries.clearCache()
+    CorpusQueries.clearCache()
     Scratch.releaseAll()
   }
 }

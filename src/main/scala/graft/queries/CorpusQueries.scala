@@ -147,38 +147,94 @@ object CorpusQueries {
   private def bm25ExportPath: String = java.nio.file.Paths
     .get(sys.props("java.io.tmpdir"), "graft_bm25_terms").toString
 
+  /** Probe terms whose quantized idf falls below this floor are cut
+    * BEFORE the postings join (r12 — VERDICT r11 #4, the WAND-style
+    * upper-bound cut): idf_e6 < 100000 ⟺ the term appears in more than
+    * ~90.5% of the corpus (ln(1+x) = 0.1 ⇒ df ≈ 0.905·N) — a stopword
+    * whose postings list grows ∝ corpus while contributing < 0.1/ln-unit
+    * of score per occurrence. Without the floor, one stopword probe term
+    * joins an Θ(N) postings list and the (probe, doc) candidate
+    * aggregation grows with it; with it, per-probe work is bounded by
+    * Σ df over its non-stopword terms. The cut is hash-stable by
+    * construction: both engines read idf_e6 from the SAME export and
+    * apply the SAME integer comparison, so they drop identical terms.
+    */
+  private[graft] val Bm25IdfFloorE6 = 100000L
+
+  /** Memoized per-(session, data dir) BM25 inverted index — built once,
+    * queried many times, like the IVF/graph/E1 artifacts (r11 VERDICT
+    * #3: the eager idf-export write used to run at query-CONSTRUCTION
+    * time inside both q_bm25_topk and q_hybrid_retrieval, re-paying the
+    * postings build + parquet write on every execution).
+    *
+    *  - `post`: (doc_id, tok, tf) postings — ONE corpus scan, persisted;
+    *  - `lens`: (doc_id, len) with len = Σtf (identical to counting the
+    *    split: even an empty text yields one "" token), persisted;
+    *  - `g`: the 1-row (n, t) corpus totals — broadcast at use sites;
+    *  - `termsPath`: the (tok, df, idf_e6) export. idf = ln(1 +
+    *    (N−df+0.5)/(df+0.5)) is the ONE transcendental — computed once
+    *    Spark-side, quantized ×1e6 to BIGINT, and EXPORTED so both
+    *    engines score from identical integers (the q_e1_features
+    *    pattern). The export write runs eagerly at build time, which
+    *    also materializes both persisted tables.
+    */
+  private[graft] final case class Bm25Index(post: DataFrame, lens: DataFrame,
+      g: DataFrame, termsPath: String)
+
+  private val bm25Cache = new graft.SessionCache[Bm25Index]
+
+  /** Unpersist and drop all memoized BM25 indexes (bench cold-timing
+    * hook, via [[graft.SparkEntry.clearCaches]]).
+    */
+  def clearCache(): Unit =
+    bm25Cache.clearAll().foreach { ix =>
+      ix.post.unpersist(); ix.lens.unpersist()
+    }
+
+  private[graft] def bm25Index(s: SparkSession, d: String): Bm25Index =
+    bm25Cache.getOrElseUpdate(s, d) {
+      val docs = Tables.documents(s, d)
+      val post = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .persist()
+      val lens = post.groupBy("doc_id").agg(sum("tf").as("len")).persist()
+      val g = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("t"))
+      post.groupBy("tok").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(g.select(col("n").as("_n"))))
+        .select(col("tok"), col("df"),
+          expr("CAST(round(ln(1.0 + (CAST(_n AS DOUBLE) - df + 0.5) / (df + 0.5)) * 1000000) AS BIGINT)")
+            .as("idf_e6"))
+        .write.mode("overwrite").parquet(bm25ExportPath)
+      Bm25Index(post, lens, g, bm25ExportPath)
+    }
+
+  /** Bench artifact hook: force the memoized index cold (the export
+    * write inside [[bm25Index]] materializes the persisted postings and
+    * lengths; the returned frame drains the small lens cache).
+    */
+  private[graft] val rebuildBm25: Q = (s, d) => bm25Index(s, d).lens
+
   /** The (probe_id, doc_id, score) BM25 frame before the top-k —
-    * shared by q_bm25_topk and the hybrid fusion query.
+    * shared by q_bm25_topk and the hybrid fusion query. Reads the
+    * memoized index; per-execution work is the probe⋈postings join and
+    * the (probe, doc) score aggregation only.
     */
   private def bm25Scored(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    // ONE persisted postings table feeds everything: df stats, the doc
-    // lengths (len = Σtf — identical to counting the split, since even
-    // an empty text yields one "" token), the corpus totals, and the
-    // score join. The corpus is scanned exactly once.
-    val post = graft.Scratch.persist(
-      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
-    val lens = post.groupBy("doc_id").agg(sum("tf").as("len"))
-    val g = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("t"))
-    // term stats: df over postings (docs containing the term), idf
-    // quantized once here — the export both engines score from
-    post.groupBy("tok").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(g.select(col("n").as("_n"))))
-      .select(col("tok"), col("df"),
-        expr("CAST(round(ln(1.0 + (CAST(_n AS DOUBLE) - df + 0.5) / (df + 0.5)) * 1000000) AS BIGINT)")
-          .as("idf_e6"))
-      .write.mode("overwrite").parquet(bm25ExportPath)
-    val terms = s.read.parquet(bm25ExportPath).select("tok", "idf_e6")
-    val probes = docs.filter(col("doc_id") < Bm25Probes)
+    val ix = bm25Index(s, d)
+    val terms = s.read.parquet(ix.termsPath)
+      .filter(col("idf_e6") >= Bm25IdfFloorE6)
+      .select("tok", "idf_e6")
+    val probes = Tables.documents(s, d).filter(col("doc_id") < Bm25Probes)
       .select(col("doc_id").as("probe_id"),
         explode(slice(split(col("text"), " "), 1, Bm25QTerms)).as("tok"))
       .distinct()
-    broadcast(probes)
-      .join(post, Seq("tok"))
-      .join(broadcast(terms), Seq("tok"))
-      .join(lens, Seq("doc_id"))
-      .crossJoin(broadcast(g))
+    // probe terms ⋈ floored term stats FIRST (both tiny, broadcast): a
+    // sub-floor probe term never reaches the postings join at all
+    broadcast(probes.join(broadcast(terms), Seq("tok")))
+      .join(ix.post, Seq("tok"))
+      .join(ix.lens, Seq("doc_id"))
+      .crossJoin(broadcast(ix.g))
       .withColumn("tp_bp", expr(
         "CAST((CAST(tf AS DECIMAL(38,0)) * 2200000 * t * 10000) DIV " +
           "(CAST(tf AS DECIMAL(38,0)) * 1000000 * t + CAST(300000 AS DECIMAL(38,0)) * t " +
@@ -225,7 +281,9 @@ object CorpusQueries {
        |               + CAST(900000 AS HUGEINT) * l.len * g.n) AS BIGINT)) AS BIGINT) AS score
        |  FROM probes p
        |  JOIN post ON post.tok = p.tok
-       |  JOIN terms tm ON tm.tok = p.tok
+       |  -- idf floor mirrors Bm25IdfFloorE6: both engines drop the same
+       |  -- probe terms because both compare the SAME exported integers
+       |  JOIN terms tm ON tm.tok = p.tok AND tm.idf_e6 >= $Bm25IdfFloorE6
        |  JOIN lens l ON l.doc_id = post.doc_id
        |  CROSS JOIN g
        |  GROUP BY p.probe_id, post.doc_id)""".stripMargin

@@ -172,17 +172,38 @@ object StreamingTwins {
       val local = df.sparkSession.createDataFrame(
         java.util.Arrays.asList(sink.collect(): _*), sink.schema)
       df.sparkSession.catalog.dropTempView(name)
-      if (debug) {
-        // per-phase attribution for the in-sweep inflation hunt (PERF.md
-        // "in-sweep contamination"): start = plan resolve + thread spawn
-        // + checkpoint init; run = micro-batch execution; drain = sink
-        // collect + LocalRelation copy + view drop
-        val t3 = System.nanoTime()
+      // Per-phase attribution: start = plan resolve + thread spawn +
+      // checkpoint init; run = micro-batch execution (awaitTermination —
+      // where the in-sweep inflation lives, PERF.md); drain = sink
+      // collect + LocalRelation copy + view drop. Always recorded to the
+      // in-memory log (Bench dumps it to bench_out.json so a driver-run
+      // blowup can be attributed from the artifact itself, without an
+      // SPARK_GRAFT_STREAM_DEBUG rerun — VERDICT r11 #1).
+      val t3 = System.nanoTime()
+      phaseLog.add(PhaseSample(name,
+        (t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9))
+      if (debug)
         System.err.println(f"[stream-debug] $name start=${(t1 - t0) / 1e9}%.3f " +
           f"run=${(t2 - t1) / 1e9}%.3f drain=${(t3 - t2) / 1e9}%.3f")
-      }
       local
     }
+
+  /** One twin run's phase attribution (seconds). */
+  final case class PhaseSample(run: String, startS: Double, runS: Double,
+      drainS: Double)
+
+  private val phaseLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[PhaseSample]
+
+  /** Returns and clears the phase samples recorded since the last drain
+    * (bench hook — attributes each sample to the twin that just ran).
+    */
+  def drainPhaseLog(): Seq[PhaseSample] = {
+    val out = Vector.newBuilder[PhaseSample]
+    var s = phaseLog.poll()
+    while (s != null) { out += s; s = phaseLog.poll() }
+    out.result()
+  }
 
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     // RAW file schema (ts may be TIMESTAMP_NTZ µs on regenerated data);

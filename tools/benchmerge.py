@@ -29,14 +29,40 @@ def load_oracle_keys(explicit):
     return None
 
 
+USAGE = ("usage: benchmerge.py [--oracle ORACLE_SQL_JSON] "
+         "OUT.json SWEEP1.json [SWEEP2.json ...]")
+
+
 def main():
+    # --oracle accepted anywhere; missing value or too-few positionals
+    # fail with the usage string instead of an IndexError (ADVICE r11).
     args = sys.argv[1:]
     explicit_oracle = None
-    if args and args[0] == "--oracle":
-        explicit_oracle = args[1]
-        args = args[2:]
+    if "--oracle" in args:
+        i = args.index("--oracle")
+        if i + 1 >= len(args):
+            sys.exit(USAGE + "\nerror: --oracle requires a value")
+        explicit_oracle = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    if len(args) < 2 or any(a.startswith("--") for a in args):
+        sys.exit(USAGE)
     out, sweeps = args[0], [json.load(open(p)) for p in args[1:]]
-    names = list(sweeps[0]["queries"].keys())
+    # Union of keys across ALL sweeps: a query present only in later
+    # sweeps (e.g. added mid-round) must not be silently dropped from
+    # the merged total — and membership disagreement between sweeps is
+    # a same-binary violation worth a loud warning (ADVICE r11).
+    names = []
+    for s in sweeps:
+        for n in s["queries"]:
+            if n not in names:
+                names.append(n)
+    for i, s in enumerate(sweeps):
+        missing = [n for n in names if n not in s["queries"]]
+        if missing:
+            print("warning: sweep %d (%s) lacks %d queries present "
+                  "elsewhere (same-binary violation?): %s"
+                  % (i + 1, args[1 + i], len(missing),
+                     ", ".join(sorted(missing)[:8])), file=sys.stderr)
     merged, stats = {}, {}
     for n in names:
         vals = [s["queries"].get(n, -1.0) for s in sweeps]
