@@ -47,7 +47,22 @@ object AnnIvf {
   def autoNList(corpus: Long, targetLen: Int = 500): Int =
     math.max(16, math.min(65536L, corpus / targetLen).toInt)
 
-  /** Build the inverted lists: (id, e, cluster) + a centroid table. */
+  /** Build the inverted lists: (id, e, cluster) + a centroid table.
+    *
+    * List membership is assigned by [[assignNearest]] over the FINAL
+    * trained centroids (exact Σ(aᵢ−bᵢ)² in index order, strict `<`,
+    * tie → lowest cluster id) rather than by `KMeansModel.transform`:
+    * MLlib's predictor goes through `fastSquaredDistance`, whose
+    * norm-based shortcut (‖a‖²+‖b‖²−2a·b within a relative-precision
+    * guard) is not replayable outside MLlib, while the exact loop is
+    * plain arithmetic ANY engine reproduces bit-for-bit from the
+    * exported centroid doubles — which is what lets `q_ann_ivf` be
+    * oracle-checked as SQL over the centroid export (r12, VERDICT r11
+    * #6). It also makes build-time and append-time assignment
+    * ([[appendToIndex]]) the SAME rule, so a vector lands on the same
+    * list whether it arrived in the build or an upsert. One O(n·k)
+    * pass, same cost as the transform it replaces.
+    */
   def buildIndex(emb: DataFrame, idCol: String, arrCol: String,
       nList: Int): IvfIndex = {
     require(!Seq("e", "probe_id", "pv", "cluster").contains(idCol),
@@ -58,13 +73,13 @@ object AnnIvf {
     // join consumes it again — an index build reads the corpus once
     val doubled = emb.select(col(idCol), VectorOps.toDoubleArr(col(arrCol)).as("e"))
       .persist()
-    val (labels, centers) = trainQuantizer(doubled, idCol, nList)
+    val (_, centers) = trainQuantizer(doubled, idCol, nList)
     val cents = centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
       .toSeq.toDF("cluster", "centroid")
       .select(col("cluster"), col("centroid").cast("array<double>").as("centroid"))
     // the materialized index: persisted so every topK call scans the
     // (small) lists table, not the original corpus lineage twice
-    IvfIndex(doubled.join(labels, idCol).persist(), cents, idCol)
+    IvfIndex(assignNearest(doubled, idCol, cents).persist(), cents, idCol)
   }
 
   /** Coarse-quantizer training, sized to what the quantizer is FOR.

@@ -200,13 +200,23 @@ object CorpusQueries {
         .persist()
       val lens = post.groupBy("doc_id").agg(sum("tf").as("len")).persist()
       val g = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("t"))
-      post.groupBy("tok").agg(count(lit(1)).as("df"))
+      val terms = post.groupBy("tok").agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(g.select(col("n").as("_n"))))
         .select(col("tok"), col("df"),
           expr("CAST(round(ln(1.0 + (CAST(_n AS DOUBLE) - df + 0.5) / (df + 0.5)) * 1000000) AS BIGINT)")
             .as("idf_e6"))
-        .write.mode("overwrite").parquet(bm25ExportPath)
-      Bm25Index(post, lens, g, bm25ExportPath)
+      // Two views of the SAME term table (identical rows, so identical
+      // joins): the Spark side reads a PER-DATA-DIR path — a session
+      // that touches several dirs must never score one dir's corpus
+      // against another dir's idf table via its warm memo — while the
+      // FIXED path is what the static oracle SQL replays, carrying the
+      // same last-build-wins / one-dir-per-Verify constraint as the
+      // graph and E1 exports (ADVICE r11 #4; documented in CLAUDE.md).
+      val dirPath = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_bm25_terms_" + d.replaceAll("[^a-zA-Z0-9.]", "_")).toString
+      terms.write.mode("overwrite").parquet(dirPath)
+      terms.write.mode("overwrite").parquet(bm25ExportPath)
+      Bm25Index(post, lens, g, dirPath)
     }
 
   /** Bench artifact hook: force the memoized index cold (the export

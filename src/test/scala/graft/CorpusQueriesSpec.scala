@@ -173,6 +173,49 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  // Declared LAST among the bm25 tests on purpose: it builds the index
+  // for a synthetic corpus dir, which overwrites the FIXED-path oracle
+  // export (per-dir exports keep the Spark side correct; the fixed path
+  // is last-build-wins by design — see bm25Index).
+  test("bm25 idf floor: a stopword probe term reaches no candidates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_floor").toString
+    // 40 docs, every one contains the stopword "zz" (df = N = 40 ⇒
+    // idf_e6 = round(ln(1 + 0.5/40.5)·1e6) = 12271 < the 100000 floor).
+    // Probes are doc_id < 10; each probe i has distinctive terms p{i}a..
+    // p{i}d matched by exactly two candidate docs. Doc 30 shares ONLY
+    // the stopword with every probe — without the floor it would be a
+    // scored candidate for all 10 probes (idf 12271 > 0); with it, it
+    // must reach none.
+    val docs =
+      (0 until 10).map(i => (i.toLong, s"zz p${i}a p${i}b p${i}c p${i}d")) ++
+      (0 until 10).flatMap(i => Seq(
+        (10L + 2 * i, s"zz p${i}a p${i}b extra$i"),
+        (11L + 2 * i, s"zz p${i}c m$i"))) ++
+      Seq((30L, "zz qq rr")) ++
+      (31 until 40).map(i => (i.toLong, s"zz f$i g$i"))
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q_bm25_topk")(spark, dir).cache()
+    // the export carries the floor's evidence: zz below, p0a above
+    val terms = spark.read.parquet(java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_bm25_terms").toString)
+    val zz = terms.filter(col("tok") === "zz").select("idf_e6").head().getLong(0)
+    val p0a = terms.filter(col("tok") === "p0a").select("idf_e6").head().getLong(0)
+    assert(zz < CorpusQueries.Bm25IdfFloorE6, s"zz idf_e6=$zz must be floored")
+    assert(p0a >= CorpusQueries.Bm25IdfFloorE6)
+    // stopword-only overlap yields NO candidacy; distinctive terms do
+    assert(r.filter(col("doc_id") === 30L).count() === 0,
+      "doc sharing only the floored stopword must not be scored")
+    // per probe: itself + its two distinctive-term matches, nothing else
+    val per = r.groupBy("probe_id").agg(count(lit(1)).as("n"))
+    assert(per.count() === 10L)
+    assert(per.filter(col("n") =!= 3).count() === 0)
+    r.unpersist()
+  }
+
   test("bucketedPrefixSum is bit-identical to the naive per-group window") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._

@@ -24,7 +24,7 @@ Replica construction (replica 0 is the original):
 - remaining TPC-H tables: copied verbatim (none of the rehearsal's
   heavy queries scans them; present so any query can still run).
 
-Usage: python3 tools/scalegen.py SRC_DIR DST_DIR FACTOR [--single-source]
+Usage: python3 tools/scalegen.py SRC_DIR DST_DIR FACTOR [--single-source] [--shared-vocab]
 
 --single-source rewrites documents.source to the constant 'web': the
 worst-case source skew for per-source operators (q_pack_sequences'
@@ -32,6 +32,18 @@ prefix sum) — at factor N, ONE source holds every document, so any
 plan whose parallelism is bounded by source cardinality degrades to a
 single task. The r11 rehearsal measures the bucketed two-level prefix
 sum against exactly this shape (VERDICT r10 perf-weak #2).
+
+--shared-vocab replaces the per-replica letter bijection with a
+per-replica TOKEN ROTATION (same words, rotated order): the vocabulary
+is SHARED across replicas, so every term's document frequency grows
+∝ factor — the in-language corpus-growth shape for RETRIEVAL operators
+(q_bm25_topk's postings join: the default disjoint-vocabulary replicas
+hold per-term df constant, which understates how a probe term's
+candidate set grows in a real corpus — VERDICT r11 #4). tf per doc and
+doc lengths are preserved exactly (token multiset unchanged). NOT for
+dedup rehearsals: shared vocabulary plants cross-replica near-dup
+pairs by construction, making pair-generating queries quadratic by
+design rather than by plan defect.
 """
 import shutil
 import string
@@ -62,13 +74,21 @@ def letters_mapped(r):
     return mp(string.ascii_lowercase) + mp(string.ascii_uppercase)
 
 
-def gen_documents(src, dst, factor, con, single_source=False):
+def gen_documents(src, dst, factor, con, single_source=False,
+                  shared_vocab=False):
     assert factor <= 26 * len(AFFINE_A), "affine letter bijections exhausted"
     source = "'web' AS source" if single_source else "source"
     parts = []
     for r in range(factor):
         if r == 0:
             text = "text"
+        elif shared_vocab:
+            # rotate the token list by r positions: vocabulary, tf and
+            # doc length preserved; DuckDB slices clamp, so for a doc
+            # with <= r tokens the rotation degenerates to the original
+            # (irrelevant for df growth — membership is what multiplies)
+            text = ("array_to_string(string_split(text, ' ')[%d:] || "
+                    "string_split(text, ' ')[1:%d], ' ')" % (r + 1, r))
         else:
             text = ("translate(text, '%s', '%s')"
                     % (string.ascii_letters, letters_mapped(r)))
@@ -122,10 +142,11 @@ def gen_events(src, dst, factor):
 def main():
     src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
     single_source = "--single-source" in sys.argv[4:]
+    shared_vocab = "--shared-vocab" in sys.argv[4:]
     import os
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
-    gen_documents(src, dst, factor, con, single_source)
+    gen_documents(src, dst, factor, con, single_source, shared_vocab)
     gen_embeddings(src, dst, factor, con)
     gen_events(src, dst, factor)
     for tbl in ("region", "nation", "customer", "supplier", "part",
