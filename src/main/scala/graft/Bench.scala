@@ -223,6 +223,9 @@ object Bench {
     val isStream = (n: String) => n.startsWith("q_stream_")
     val (streamNamed, otherNamed) = named.partition(t => isStream(t._1))
     val passOrder = streamNamed ++ artifacts ++ otherNamed
+    // discard the WARMUP pass's twin phase samples — the first timed
+    // twin would otherwise absorb 7 sf0.001 samples into its log
+    graft.streaming.StreamingTwins.drainPhaseLog()
     // Phase 1, pass 1: one full pass, budget-EXEMPT — a complete
     // single-rep map is the floor the harness must always produce.
     // The pass starts fully cold (all memos + cached RDDs dropped),

@@ -2,11 +2,17 @@
 """Dev tool: compare per-query Spark bench times (bench_out.json) with
 DuckDB running the SAME oracle SQL on the same parquet — writes PERF.md.
 
-Usage: python3 tools/benchcmp.py <sfDir> <verifyOutDir> [benchJson]
+Usage: python3 tools/benchcmp.py <sfDir> <verifyOutDir> [benchJson] [--first-sweep SWEEP.json]
 
 benchJson defaults to bench_out.json; pass an explicit sweep's saved
 JSON to regenerate PERF.md from it (e.g. the best of several full
 sweeps on a noisy shared host — PERF.md records which file was used).
+
+--first-sweep: a SINGLE sweep's bench_out.json (typically sweep #1 of
+the merge) whose oracle-checked total is published next to the merged
+total — the driver grades ONE sweep, so this is the number the round
+is actually judged on; publishing both catches a merged-vs-graded gap
+like r11's 5x before the driver sees it (VERDICT r11 #7).
 """
 import json
 import sys
@@ -19,8 +25,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    bench_json = sys.argv[3] if len(sys.argv) > 3 else "bench_out.json"
+    args = sys.argv[1:]
+    first_sweep = None
+    if "--first-sweep" in args:
+        i = args.index("--first-sweep")
+        if i + 1 >= len(args):
+            sys.exit("--first-sweep requires a value")
+        first_sweep = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir, out_dir = args[0], args[1]
+    bench_json = args[2] if len(args) > 2 else "bench_out.json"
     bench_full = json.load(open(bench_json))
     bench = bench_full["queries"]
     # per-query min/med/max across the cold reps (Bench.scala "stats")
@@ -88,6 +102,19 @@ def main():
         dtot_max = sum(max(ts) for ts in dtimes.values())
         f.write(f"\n**Totals: Spark {total_s:.1f} s; DuckDB {total_d:.1f} s "
                 "(oracle-checked queries only).**\n")
+        if first_sweep:
+            fs = json.load(open(first_sweep))
+            fs_oracle = fs.get("oracle_checked_s", sum(
+                v for k, v in fs["queries"].items()
+                if v >= 0 and k in oracles))
+            fs_stream = sum(v for k, v in fs["queries"].items()
+                            if v >= 0 and k.startswith("q_stream_"))
+            f.write(f"\n**Driver's-eye single sweep (`{first_sweep}`): "
+                    f"oracle-checked {fs_oracle:.1f} s — "
+                    f"{fs_oracle / total_d:.2f}× vs this DuckDB "
+                    f"denominator (streaming block {fs_stream:.1f} s). "
+                    "The round driver grades ONE sweep; the min-merge "
+                    "above is the engine's demonstrated floor.**\n")
         if dsp:
             f.write(f"\nDuckDB denominator spread this run ({dreps} "
                     f"interleaved reps/query): median per-query "
@@ -134,24 +161,21 @@ def main():
   so a spike can be attributed to collector pressure directly from
   `bench_out.json`. Cross-round per-query deltas under ~2× with high
   rep spread should be read as window noise.
-- In-sweep contamination is real and measured: the 7 streaming twins
-  benched ALONE total ~12.5 s, inside the 120-query sweep 2–3× that —
-  the sweep's accumulated session state penalizes stateful runs
-  specifically. Three hygiene fixes ship: the whole-stage codegen cache
-  is sized to the sweep (static conf, default 100 entries — a 120-query
-  interleaved sweep otherwise recompiles every rep), every finished
-  twin unloads its state-store providers (`StateStore.unloadAll` — dead
-  RocksDB instances otherwise linger until the 60 s maintenance tick),
-  and twin results detach from their memory sinks (LocalRelation copy,
-  view dropped). r8 phase attribution (`SPARK_GRAFT_STREAM_DEBUG=1`
-  prints start/run/drain per twin): the in-sweep penalty sits ENTIRELY
-  inside `awaitTermination` — per-micro-batch incremental re-planning —
-  with query start ~0.1 s and sink drain ~0.02-0.1 s flat; bumping the
-  codegen cache 4096→32768 changed nothing, so it is planner/JIT state,
-  not cache eviction. Identical back-to-back runs on this box still swing
-  2–4× under external load (measured 45.8 s vs 18.7 s for the same
-  7-query command minutes apart) — totals are comparable across rounds
-  only when the per-query `max/min` spreads are small.
+- In-sweep contamination (streaming twins): hygiene fixes from r7/r8
+  still ship (sweep-sized codegen cache, `StateStore.unloadAll` per
+  twin, memory-sink detach), and r8 attribution located the in-sweep
+  penalty inside `awaitTermination` (per-micro-batch re-planning) with
+  start/drain flat. r12 re-ran the mandated full-sweep A/B after the
+  r11 driver run measured the 7 twins at 80.0 s (vs 9.7 s same-binary
+  merged): THREE full 132-entry sweeps on this box measured the
+  streaming block at 9.0/9.7/12.4 s with per-twin `run` phases of
+  0.9-3.1 s (now always recorded in bench_out.json `stream_phases`) —
+  the r11 number does not reproduce and was external load on the
+  driver box, which min-of-2 could not reject. The defense is now
+  structural (Bench.scala r12): twins run FIRST each pass, earn
+  phase-2 reps when their samples disagree >2×, and a rescue pass
+  re-samples any entry left with one rep or a >3× split — a single
+  blown-up window can no longer be the graded number.
 - The DuckDB DENOMINATOR was the noisiest part of this comparison:
   single-session best-of-3 measured totals of 14.1-23.3 s across
   sessions for identical SQL (a global slowdown window inflates all 3
