@@ -222,8 +222,9 @@ object VectorQueries {
   }
 
   /** IVF recall@10 vs exact, nProbe ∈ {4, 16} over the auto-sized index
-    * (rows-only: the KMeans coarse quantizer is not SQL-replayable;
-    * nProbe == nList ⇒ recall == 10000 bp exactly is asserted in
+    * (oracle-checked since r12 via the same centroid-export replay as
+    * q_ann_ivf — the recall numbers themselves are hash-compared;
+    * nProbe == nList ⇒ recall == 10000 bp exactly stays asserted in
     * ScalaTest, plus a floor on the nProbe=4 mean).
     */
   private val ivfRecall: Q = (s, d) => {
@@ -427,6 +428,52 @@ object VectorQueries {
          |           ORDER BY round(${cosineSimilaritySql("a.e", "l.pv")}, 6) + 0.0 DESC, a.vec_id) AS BIGINT) AS rk
          |  FROM plists l JOIN assigned a ON a.cluster = l.cluster)
          |WHERE rk <= 10""".stripMargin
+    },
+    // Same centroid-export replay, both nProbe variants at once (a
+    // variants×ranked join), hits counted against the exact top-10 —
+    // the recall METRIC is the hash-compared result.
+    "q_ann_recall_ivf" -> {
+      val sqDist = (a: String, b: String) =>
+        s"list_sum(list_transform(generate_series(1, len($a)), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+      s"""WITH cents AS (SELECT cluster, centroid FROM '$ivfExportPath/*.parquet'),
+         |emb AS (SELECT vec_id, e FROM $embSql),
+         |assigned AS (
+         |  SELECT vec_id, e, cluster FROM (
+         |    SELECT a.vec_id, a.e, c.cluster,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY ${sqDist("a.e", "c.centroid")}, c.cluster) AS ark
+         |    FROM emb a CROSS JOIN cents c)
+         |  WHERE ark = 1),
+         |probes AS (SELECT vec_id AS probe_id, e AS pv FROM emb WHERE vec_id < $RecallProbes),
+         |ranked AS (
+         |  SELECT p.probe_id, p.pv, c.cluster,
+         |         row_number() OVER (PARTITION BY p.probe_id
+         |           ORDER BY ${l2DistanceSql("p.pv", "c.centroid")}, c.cluster) AS crk
+         |  FROM probes p CROSS JOIN cents c),
+         |nl AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cents),
+         |variants AS (
+         |  SELECT CAST(greatest(1, n // 4) AS BIGINT) AS n_probe FROM nl
+         |  UNION ALL SELECT n FROM nl),
+         |topk AS (
+         |  SELECT n_probe, probe_id, vec_id FROM (
+         |    SELECT v.n_probe, r.probe_id, a.vec_id,
+         |           row_number() OVER (PARTITION BY v.n_probe, r.probe_id
+         |             ORDER BY round(${cosineSimilaritySql("a.e", "r.pv")}, 6) + 0.0 DESC, a.vec_id) AS rk
+         |    FROM variants v
+         |    JOIN ranked r ON r.crk <= v.n_probe
+         |    JOIN assigned a ON a.cluster = r.cluster)
+         |  WHERE rk <= $RecallK),
+         |exact AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT p.probe_id, a.vec_id,
+         |           row_number() OVER (PARTITION BY p.probe_id
+         |             ORDER BY round(${cosineSimilaritySql("a.e", "p.pv")}, 6) + 0.0 DESC, a.vec_id) AS rk
+         |    FROM emb a CROSS JOIN probes p)
+         |  WHERE rk <= $RecallK)
+         |SELECT n_probe, probe_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |       CAST((count(*) * 10000) // $RecallK AS BIGINT) AS recall_bp
+         |FROM topk JOIN exact USING (probe_id, vec_id)
+         |GROUP BY n_probe, probe_id""".stripMargin
     },
     // At nProbe == nList the probed lists cover the whole corpus, so
     // the upsert probe is EXACT brute-force cosine top-3 over
