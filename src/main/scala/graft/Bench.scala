@@ -303,6 +303,9 @@ object Bench {
         ts.size == 1 || (ts.size == 2 && ratio(ts) > 3.0)
       }
       .sortBy(n => -timesByQuery(n).min)
+    if (rescue.nonEmpty)
+      System.err.println(s"[bench] rescue pass: ${rescue.size} " +
+        s"under-sampled/split entries (${rescue.take(5).mkString(",")}…)")
     for (name <- rescue if spentS < rescueCapS) runOnce(name, fnByName(name))
     val results = (artifacts ++ named).map { case (name, _) => name -> timesByQuery(name) }
     val mins = results.map { case (k, ts) => k -> (if (ts.nonEmpty) ts.min else -1.0) }

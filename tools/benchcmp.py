@@ -104,9 +104,11 @@ def main():
                 "(oracle-checked queries only).**\n")
         if first_sweep:
             fs = json.load(open(first_sweep))
-            fs_oracle = fs.get("oracle_checked_s", sum(
-                v for k, v in fs["queries"].items()
-                if v >= 0 and k in oracles))
+            # recompute from the query map with the CURRENT oracle
+            # membership — the file's stored oracle_checked_s reflects
+            # whatever the membership was when that sweep ran
+            fs_oracle = sum(v for k, v in fs["queries"].items()
+                            if v >= 0 and k in oracles)
             fs_stream = sum(v for k, v in fs["queries"].items()
                             if v >= 0 and k.startswith("q_stream_"))
             f.write(f"\n**Driver's-eye single sweep (`{first_sweep}`): "
