@@ -78,8 +78,15 @@ object AnnIvf {
       .toSeq.toDF("cluster", "centroid")
       .select(col("cluster"), col("centroid").cast("array<double>").as("centroid"))
     // the materialized index: persisted so every topK call scans the
-    // (small) lists table, not the original corpus lineage twice
-    IvfIndex(assignNearest(doubled, idCol, cents).persist(), cents, idCol)
+    // lists table, not the original corpus lineage. Materialized HERE
+    // (count) so the scratch `doubled` cache can be dropped before the
+    // index leaves the build — the returned IvfIndex then owns exactly
+    // ONE persisted frame, which a cache-eviction hook can unpersist
+    // without leaking the build-time intermediate (r12 hygiene).
+    val assigned = assignNearest(doubled, idCol, cents).persist()
+    assigned.count()
+    doubled.unpersist()
+    IvfIndex(assigned, cents, idCol)
   }
 
   /** Coarse-quantizer training, sized to what the quantizer is FOR.

@@ -20,7 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object GraphBuild {
 
-  final case class GraphTables(graph: DataFrame, movies: DataFrame, labels: DataFrame)
+  /** Built tables + the build-time `.persist()` handles (`persisted`),
+    * so a cache-eviction hook can unpersist what the build cached —
+    * dropping the memo entry alone leaves InMemoryRelations in the
+    * session CacheManager, where an identical rebuild plan would
+    * silently substitute the stale cache (r12 hygiene).
+    */
+  final case class GraphTables(graph: DataFrame, movies: DataFrame,
+      labels: DataFrame, persisted: Seq[DataFrame] = Nil)
 
   /** O-50 z-score with population σ (sklearn ddof=0, graph_creator.py:114)
     * over an ARRAY<FLOAT/DOUBLE> feature column. Stats are a per-dim
@@ -142,7 +149,7 @@ object GraphBuild {
     val assignDF = assign.toSeq.toDF("cluster", "graph_id")
     val movies = labels.join(broadcast(assignDF), Seq("cluster"))
       .select(col(idCol).as("movie_id"), col("graph_id"))
-    GraphTables(graph, movies, labels)
+    GraphTables(graph, movies, labels, Seq(input, scaled))
   }
 
   /** E2 serving (graph_repo.py:92-135): immediate children of a node via

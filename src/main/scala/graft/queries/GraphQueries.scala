@@ -127,8 +127,13 @@ object GraphQueries {
     builtCache.getOrElseUpdate(s, d)(
       GraphBuild.build(Tables.embeddings(s, d), "vec_id", "embedding"))
 
-  /** Drop memoized build artifacts (bench cold-timing hook). */
-  def clearCache(): Unit = { builtCache.clearAll(); depthTblCache.clearAll() }
+  /** Drop memoized build artifacts (bench cold-timing hook); unpersists
+    * the build-time caches the tables ride on (see GraphTables doc).
+    */
+  def clearCache(): Unit = {
+    builtCache.clearAll().foreach(_.persisted.foreach(_.unpersist()))
+    depthTblCache.clearAll()
+  }
 
   /** Bench artifact hooks (r11 — VERDICT r10 #4): Bench clears all memos
     * at the start of each interleaved pass and runs these as explicit

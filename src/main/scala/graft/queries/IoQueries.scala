@@ -218,9 +218,11 @@ object IoQueries {
     e1Cache.getOrElseUpdate(s, d)(
       graft.Pipeline.e1FromScored(e1Scored(s, d))).graph
 
-  /** Drop memoized pipeline artifacts (bench cold-timing hook). */
+  /** Drop memoized pipeline artifacts (bench cold-timing hook);
+    * unpersists the graph build's internal caches too (GraphTables doc).
+    */
   def clearCache(): Unit = {
-    e1Cache.clearAll()
+    e1Cache.clearAll().foreach(_.persisted.foreach(_.unpersist()))
     e1ScoredCache.clearAll().foreach(_.unpersist())
   }
 

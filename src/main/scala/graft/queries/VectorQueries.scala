@@ -109,9 +109,15 @@ object VectorQueries {
   private val ivfCache = new graft.SessionCache[graft.operators.AnnIvf.IvfIndex]
   private val nswCache = new graft.SessionCache[graft.operators.AnnNsw.NswIndex]
 
-  /** Drop the memoized indexes (bench cold-timing hook). */
+  /** Drop the memoized indexes (bench cold-timing hook). Unpersists the
+    * frames each index owns — dropping the memo entry alone would leave
+    * the InMemoryRelations in the session's CacheManager, where a later
+    * identical rebuild plan would silently substitute the stale cache
+    * (r12; the bench was safe only via its pass-boundary
+    * `catalog.clearCache()`, a long-lived embedder was not).
+    */
   def clearCache(): Unit = {
-    ivfCache.clearAll()
+    ivfCache.clearAll().foreach(_.assigned.unpersist())
     nswCache.clearAll().foreach(_.graph.unpersist())
   }
 

@@ -40,6 +40,27 @@ class CacheHygieneSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("build-artifact memos unpersist everything on clearCaches") {
+    // r12: dropping a memo entry without unpersisting its frames leaves
+    // InMemoryRelations in the CacheManager, where an identical rebuild
+    // plan would silently SUBSTITUTE the stale cache — a "cold" build
+    // rep that isn't, and a leak in a long-lived embedder. Build the
+    // memoized artifacts (BM25 index, IVF index, graph tree) through
+    // their declared queries, then assert the full clear leaves the
+    // CacheManager empty.
+    SparkEntry.clearCaches()
+    spark.sharedState.cacheManager.clearCache()
+    Seq("q_bm25_topk", "q_ann_ivf", "q_graph_build").foreach { name =>
+      SparkEntry.queries(name)(spark, sf).queryExecution.toRdd
+        .foreachPartition(it => it.foreach(_ => ()))
+    }
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "the builds should have persisted frames")
+    SparkEntry.clearCaches()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "clearCaches left persisted build frames in the CacheManager")
+  }
+
   test("session-stop eviction: no memo cache entry survives the session") {
     // VERDICT r6 "what's wrong" #3: caches key on the session UUID and a
     // context listener evicts on stop. The suites share one context, so
