@@ -87,17 +87,33 @@ object StreamingTwins {
     () => meth.invoke(module)
   }
 
-  private def withStreamConf[T](spark: SparkSession)(body: => T): T = {
+  private def withStreamConf[T](spark: SparkSession,
+      finalNoDataBatch: Boolean)(body: => T): T = {
     val conf = spark.conf
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val ckptKey = "spark.sql.streaming.checkpointLocation"
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val clogKey =
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val oldParts = conf.get("spark.sql.shuffle.partitions")
     val oldProv = conf.getOption(provKey)
     val oldCkpt = conf.getOption(ckptKey)
     val oldClog = conf.getOption(clogKey)
+    val oldNd = conf.getOption(ndKey)
     conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    // The trailing NO-DATA micro-batch exists to advance the watermark
+    // after the last data batch, so operators whose EMISSION is gated on
+    // the watermark (append-mode windowed aggregation) can flush closed
+    // windows. Only q_stream_hourly_append has that shape; every other
+    // twin emits its rows inside the data batch (inner stream-stream
+    // join, dropDuplicates[WithinWatermark], flatMapGroupsWithState in
+    // append mode, complete-mode aggregation re-emitting per batch) and
+    // the extra batch buys only state EVICTION — pointless work for an
+    // AvailableNow drain that unloads its state stores on exit anyway.
+    // Skipping it removes one full incremental-planning + commit cycle
+    // per run — the dominant floor of a small-data micro-batch. The
+    // batching contracts are unaffected (they count DATA batches).
+    if (!finalNoDataBatch) conf.set(ndKey, "false")
     // Provider picked like a deployment would: by expected state size.
     // The twins' state is KB-scale, where the JVM-heap HDFS-backed store
     // wins — a RocksDB provider pays a native instance spin-up per
@@ -126,7 +142,8 @@ object StreamingTwins {
     conf.set(ckptKey, ckptDir)
     try body finally {
       conf.set("spark.sql.shuffle.partitions", oldParts)
-      Seq((provKey, oldProv), (ckptKey, oldCkpt), (clogKey, oldClog)).foreach {
+      Seq((provKey, oldProv), (ckptKey, oldCkpt), (clogKey, oldClog),
+          (ndKey, oldNd)).foreach {
         case (k, Some(v)) => conf.set(k, v)
         case (k, None)    => conf.unset(k)
       }
@@ -149,8 +166,9 @@ object StreamingTwins {
     * breaks here instead of hash-diverging (ADVICE r6).
     */
   private def runToTable(df: DataFrame, mode: String,
-      minDataBatches: Int = 1, maxDataBatches: Int = Int.MaxValue): DataFrame =
-    withStreamConf(df.sparkSession) {
+      minDataBatches: Int = 1, maxDataBatches: Int = Int.MaxValue,
+      finalNoDataBatch: Boolean = false): DataFrame =
+    withStreamConf(df.sparkSession, finalNoDataBatch) {
       val debug = sys.env.get("SPARK_GRAFT_STREAM_DEBUG").contains("1")
       val t0 = System.nanoTime()
       val name = s"graft_stream_${runId.incrementAndGet()}"
@@ -309,8 +327,11 @@ object StreamingTwins {
     * pin single-batch instead.)
     */
   def hourlyAggAppend(spark: SparkSession, dir: String): DataFrame =
+    // the ONE twin whose emission is watermark-gated: the trailing
+    // no-data batch is what flushes the windows the last data batch's
+    // watermark closed — without it the sink misses the final windows
     runToTable(hourlyAppendPlan(eventsStreamSplit(spark, dir, 3)), "append",
-      minDataBatches = 3)
+      minDataBatches = 3, finalNoDataBatch = true)
 
   /** The append-mode plan over ANY streaming events frame (ts ns LONG,
     * event_type, value) — factored out so tests can drive it from a
