@@ -101,16 +101,8 @@ object Bench {
     // artifact must also run that build_* entry, or rep 1 silently pays
     // the cold build inside the query time (1 cold + 1 warm under
     // min-of-2 — not what the full sweep measures; ADVICE r11 #3).
-    val artifactDeps: Map[String, Set[String]] = Map(
-      "build_graph_tree" -> Set("o51_kmeans", "q_graph_build",
-        "q_graph_children", "q_serve_children_e2", "q_serve_children_pruned",
-        "o07_graph_ids"),
-      "build_graph_depth" -> Set("q_serve_children_pruned"),
-      "build_ivf_index" -> Set("q_ann_ivf", "q_ann_ivf_upsert",
-        "q_ann_recall_ivf", "q_ann_recall_nsw"),
-      "build_nsw_graph" -> Set("q_ann_recall_nsw"),
-      "build_bm25_index" -> Set("q_bm25_topk", "q_hybrid_retrieval"),
-      "build_e1_model" -> Set("q_e1_pipeline", "q_e1_features"))
+    // The registry lives next to benchArtifacts in SparkEntry.
+    val artifactDeps = SparkEntry.artifactDeps
     val onlyQ =
       if (onlyQ0.isEmpty) onlyQ0
       else {
@@ -241,17 +233,25 @@ object Bench {
     // its projected cost (pass-1 min) would push measured spend past
     // 1.2 × budget — expensive blown-up entries drop out first while
     // the ~100 sub-second entries still complete their min-of-2.
-    // The pass-boundary cache clear only happens if pass 2 has budget at
-    // all; a skipped build_* entry keeps its pass-1 sample and its
-    // dependents reuse the warm memo (min-of-reps discards any rep that
-    // accidentally pays a cold build inline).
+    // The pass-boundary cache clear only happens if pass 2 has budget
+    // at all. A build_* entry skipped under the cap takes its DEPENDENT
+    // queries with it (they keep their pass-1 sample): the clear left
+    // the memo cold, so a dependent's pass-2 rep would pay the whole
+    // cold build inline — exactly the cost the skip was bounding, and a
+    // sample the artifact split exists to keep out of query numbers.
     val pass2CapS = 1.2 * budgetS
     if (reps >= 2 && spentS < pass2CapS) {
       SparkEntry.clearCaches()
       spark.catalog.clearCache()
+      val skippedBuilds = scala.collection.mutable.HashSet.empty[String]
       for ((name, fn) <- passOrder) {
         val est = timesByQuery(name).minOption.getOrElse(0.0)
-        if (spentS + est <= pass2CapS) runOnce(name, fn)
+        val depBlocked = artifactDeps.exists { case (b, deps) =>
+          skippedBuilds(b) && deps(name)
+        }
+        if (depBlocked || spentS + est > pass2CapS) {
+          if (name.startsWith("build_")) skippedBuilds += name
+        } else runOnce(name, fn)
       }
     }
     // Phase 2: remaining budget buys reps 3..reps for the queries whose

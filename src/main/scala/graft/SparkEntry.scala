@@ -59,6 +59,27 @@ object SparkEntry {
     "build_bm25_index" -> CorpusQueries.rebuildBm25,
     "build_e1_model" -> IoQueries.rebuildE1)
 
+  /** build_* entry → the declared queries that read its memo. Lives
+    * NEXT TO [[benchArtifacts]] so adding an artifact or a consumer is
+    * one edit (r12 ADVICE: a hand-maintained copy inside Bench drifts).
+    * Bench uses it twice: SPARK_GRAFT_ONLY auto-includes a selected
+    * query's builds, and a build skipped under the bounded second pass
+    * takes its dependents with it (they would otherwise pay the cold
+    * build inline, blowing the cap the skip was enforcing).
+    */
+  def artifactDeps: Map[String, Set[String]] = Map(
+    "build_graph_tree" -> Set("o51_kmeans", "q_graph_build",
+      "q_graph_children", "q_serve_children_e2", "q_serve_children_pruned",
+      "o07_graph_ids"),
+    "build_graph_depth" -> Set("q_serve_children_pruned"),
+    // build_nsw_graph is itself a dependent of the IVF memo (the NSW
+    // graphs are built per IVF list), so it rides in this set too
+    "build_ivf_index" -> Set("q_ann_ivf", "q_ann_ivf_upsert",
+      "q_ann_recall_ivf", "q_ann_recall_nsw", "build_nsw_graph"),
+    "build_nsw_graph" -> Set("q_ann_recall_nsw"),
+    "build_bm25_index" -> Set("q_bm25_topk", "q_hybrid_retrieval"),
+    "build_e1_model" -> Set("q_e1_pipeline", "q_e1_features"))
+
   /** Drop all memoized build artifacts (graph build, IVF index, E1
     * pipeline) so the next invocation pays the full cost — used by Bench
     * at the start of each interleaved pass.

@@ -215,7 +215,10 @@ object CorpusQueries {
       val dirPath = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_bm25_terms_" + d.replaceAll("[^a-zA-Z0-9.]", "_")).toString
       terms.write.mode("overwrite").parquet(dirPath)
-      terms.write.mode("overwrite").parquet(bm25ExportPath)
+      // fixed path = a FILE COPY of the per-dir export (identical rows
+      // by construction), not a second run of the terms aggregation —
+      // this write sits inside the cold-timed build_bm25_index entry
+      s.read.parquet(dirPath).write.mode("overwrite").parquet(bm25ExportPath)
       Bm25Index(post, lens, g, dirPath)
     }
 

@@ -198,7 +198,7 @@ object StreamingTwins {
       // blowup can be attributed from the artifact itself, without an
       // SPARK_GRAFT_STREAM_DEBUG rerun — VERDICT r11 #1).
       val t3 = System.nanoTime()
-      phaseLog.add(PhaseSample(name,
+      phaseLogAdd(PhaseSample(name,
         (t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9))
       if (debug)
         System.err.println(f"[stream-debug] $name start=${(t1 - t0) / 1e9}%.3f " +
@@ -210,8 +210,20 @@ object StreamingTwins {
   final case class PhaseSample(run: String, startS: Double, runS: Double,
       drainS: Double)
 
+  // Bounded: Bench drains after every timed twin, but Verify / tests /
+  // a long-lived embedder never call drainPhaseLog — without a cap the
+  // static queue grows with every twin run for the life of the JVM.
+  private val PhaseLogCap = 64
+  private val phaseLogSize = new AtomicInteger(0)
   private val phaseLog =
     new java.util.concurrent.ConcurrentLinkedQueue[PhaseSample]
+
+  private def phaseLogAdd(s: PhaseSample): Unit = {
+    phaseLog.add(s)
+    if (phaseLogSize.incrementAndGet() > PhaseLogCap &&
+        phaseLog.poll() != null)
+      phaseLogSize.decrementAndGet()
+  }
 
   /** Returns and clears the phase samples recorded since the last drain
     * (bench hook — attributes each sample to the twin that just ran).
@@ -219,7 +231,11 @@ object StreamingTwins {
   def drainPhaseLog(): Seq[PhaseSample] = {
     val out = Vector.newBuilder[PhaseSample]
     var s = phaseLog.poll()
-    while (s != null) { out += s; s = phaseLog.poll() }
+    while (s != null) {
+      phaseLogSize.decrementAndGet()
+      out += s
+      s = phaseLog.poll()
+    }
     out.result()
   }
 
