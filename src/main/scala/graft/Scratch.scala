@@ -34,6 +34,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Scratch {
 
+  /** Collision-proof per-data-dir path component for scratch/export
+    * paths under tmpdir (ADVICE r12 #1): the readable sanitized form
+    * alone maps distinct dirs like `/a/b` and `/a_b` to the SAME name,
+    * so a later build silently overwrites the earlier dir's export and
+    * a warm memo then reads the wrong dir's table. The appended hex of
+    * the RAW string disambiguates while keeping the name stable per dir.
+    */
+  def dirTag(raw: String): String =
+    raw.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(raw))
+
   private val reg = TrieMap.empty[String, List[DataFrame]]
 
   private def key(s: SparkSession): String = SessionCache.keyOf(s)

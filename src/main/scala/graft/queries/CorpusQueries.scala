@@ -213,7 +213,7 @@ object CorpusQueries {
       // same last-build-wins / one-dir-per-Verify constraint as the
       // graph and E1 exports (ADVICE r11 #4; documented in CLAUDE.md).
       val dirPath = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_bm25_terms_" + d.replaceAll("[^a-zA-Z0-9.]", "_")).toString
+        "graft_bm25_terms_" + graft.Scratch.dirTag(d)).toString
       terms.write.mode("overwrite").parquet(dirPath)
       // fixed path = a FILE COPY of the per-dir export (identical rows
       // by construction), not a second run of the terms aggregation —

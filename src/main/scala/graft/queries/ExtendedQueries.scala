@@ -112,7 +112,8 @@ object ExtendedQueries {
 
   private val bucketedQ: Q = (s, d) => {
     val (t1, t2) = bucketedTables.getOrElseUpdate(s, d) {
-      val suffix = d.replaceAll("[^a-zA-Z0-9]", "_")
+      // dirTag for collision-proofing; dots stripped (illegal in table names)
+      val suffix = graft.Scratch.dirTag(d).replaceAll("[^a-zA-Z0-9_]", "_")
       val (n1, n2) = (s"graft_ord_$suffix", s"graft_cust_$suffix")
       Seq(n1, n2).foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")

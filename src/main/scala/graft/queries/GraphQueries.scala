@@ -81,7 +81,7 @@ object GraphQueries {
   private def depthTable(s: SparkSession, d: String): String =
     depthTblCache.getOrElseUpdate(s, d) {
       val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_graph_depth_" + d.replaceAll("[^a-zA-Z0-9.]", "_")).toString
+        "graft_graph_depth_" + graft.Scratch.dirTag(d)).toString
       o07(s, d).write.mode("overwrite").partitionBy("depth").parquet(out)
       out
     }

@@ -48,7 +48,7 @@ object IoQueries {
     */
   private val csv: Q = (s, d) => {
     val out = Paths.get(sys.props("java.io.tmpdir"),
-      "graft_csv_" + d.replaceAll("[^a-zA-Z0-9.]", "_")).toString
+      "graft_csv_" + graft.Scratch.dirTag(d)).toString
     Tables.events(s, d).select("event_id", "event_type", "value")
       .write.mode("overwrite").option("header", "true").csv(out)
     s.read.option("header", "true")
@@ -65,7 +65,7 @@ object IoQueries {
     */
   private val jsonRt: Q = (s, d) => {
     val out = Paths.get(sys.props("java.io.tmpdir"),
-      "graft_jsonl_" + d.replaceAll("[^a-zA-Z0-9.]", "_")).toString
+      "graft_jsonl_" + graft.Scratch.dirTag(d)).toString
     Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
       .write.mode("overwrite").json(out)
     s.read.schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
@@ -82,7 +82,7 @@ object IoQueries {
     */
   private val orcRt: Q = (s, d) => {
     val out = Paths.get(sys.props("java.io.tmpdir"),
-      "graft_orc_" + d.replaceAll("[^a-zA-Z0-9.]", "_")).toString
+      "graft_orc_" + graft.Scratch.dirTag(d)).toString
     Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
       .write.mode("overwrite").orc(out)
     s.read.orc(out)
@@ -101,7 +101,7 @@ object IoQueries {
     */
   private val jdbc: Q = (s, d) => {
     val url = "jdbc:derby:" + Paths.get(sys.props("java.io.tmpdir"),
-      "graft_derby_" + d.replaceAll("[^a-zA-Z0-9.]", "_")) + ";create=true"
+      "graft_derby_" + graft.Scratch.dirTag(d)) + ";create=true"
     val props = new java.util.Properties()
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
     Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
@@ -353,7 +353,7 @@ object IoQueries {
     */
   private val parquetCompact: Q = (s, d) => {
     val out = Paths.get(sys.props("java.io.tmpdir"),
-      "graft_pqc_" + d.replaceAll("[^a-zA-Z0-9.]", "_")).toString
+      "graft_pqc_" + graft.Scratch.dirTag(d)).toString
     Tables.documents(s, d).coalesce(2).write.mode("overwrite").parquet(out)
     s.read.parquet(out)
       .groupBy("source")

@@ -102,7 +102,7 @@ object TextFiles {
     val docs = graft.Tables.documents(spark, sfDir)
       .filter(col("doc_id") < 500)
     val out: Path = Paths.get(sys.props("java.io.tmpdir"),
-      "graft_wholefile_" + sfDir.replaceAll("[^a-zA-Z0-9.]", "_"))
+      "graft_wholefile_" + graft.Scratch.dirTag(sfDir))
     writeTextFiles(docs, "doc_id", "source", "text", out.toString)
     readWholeFiles(spark, out.toString)
   }

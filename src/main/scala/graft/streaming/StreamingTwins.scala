@@ -213,29 +213,25 @@ object StreamingTwins {
   // Bounded: Bench drains after every timed twin, but Verify / tests /
   // a long-lived embedder never call drainPhaseLog — without a cap the
   // static queue grows with every twin run for the life of the JVM.
+  // Plain deque under a lock (ADVICE r12 #3: the previous lock-free
+  // AtomicInteger + conditional-poll cap maintenance could leak counter
+  // increments under concurrent add/drain, permanently shrinking the
+  // effective cap) — the log is KB-scale and far off the hot path.
   private val PhaseLogCap = 64
-  private val phaseLogSize = new AtomicInteger(0)
-  private val phaseLog =
-    new java.util.concurrent.ConcurrentLinkedQueue[PhaseSample]
+  private val phaseLog = new java.util.ArrayDeque[PhaseSample]
 
-  private def phaseLogAdd(s: PhaseSample): Unit = {
-    phaseLog.add(s)
-    if (phaseLogSize.incrementAndGet() > PhaseLogCap &&
-        phaseLog.poll() != null)
-      phaseLogSize.decrementAndGet()
+  private def phaseLogAdd(s: PhaseSample): Unit = phaseLog.synchronized {
+    phaseLog.addLast(s)
+    while (phaseLog.size > PhaseLogCap) phaseLog.pollFirst()
   }
 
   /** Returns and clears the phase samples recorded since the last drain
     * (bench hook — attributes each sample to the twin that just ran).
     */
-  def drainPhaseLog(): Seq[PhaseSample] = {
+  def drainPhaseLog(): Seq[PhaseSample] = phaseLog.synchronized {
     val out = Vector.newBuilder[PhaseSample]
-    var s = phaseLog.poll()
-    while (s != null) {
-      phaseLogSize.decrementAndGet()
-      out += s
-      s = phaseLog.poll()
-    }
+    var s = phaseLog.pollFirst()
+    while (s != null) { out += s; s = phaseLog.pollFirst() }
     out.result()
   }
 
@@ -268,7 +264,7 @@ object StreamingTwins {
       // path, or it would overwrite the layout a cached entry points at
       // (ADVICE r7 #3)
       val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_events_split_" + dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_n" + n).toString
+        "graft_events_split_" + graft.Scratch.dirTag(dir) + "_n" + n).toString
       // write the NORMALIZED frame (ts already ns LONG) so the split
       // files carry the engine-wide convention physically and the
       // streaming scan schema below needs no second normalization
