@@ -159,7 +159,21 @@ object AnnIvf {
       .as[(Int, Seq[Double])].collect()
       .map { case (c, v) => (c, v.toArray) }
       .sortBy(_._1)
-    vecs.select(col(idCol).cast("long").as("_id"), col("e"))
+    assignNearestArr(vecs, idCol, "e", cents)
+  }
+
+  /** The exact-assignment kernel shared with the KMeans label pass
+    * ([[graft.operators.clustering.GraphBuild.microCluster]] — r13,
+    * VERDICT r12 #3: o51's labels graduate to oracle-checked the same
+    * way the IVF lists did, by making the final assignment the
+    * replayable rule). `cents` MUST be sorted by cluster id ascending
+    * (strict `<` keeps the first on ties).
+    */
+  private[graft] def assignNearestArr(vecs: DataFrame, idCol: String,
+      featCol: String, cents: Array[(Int, Array[Double])]): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    vecs.select(col(idCol).cast("long").as("_id"), col(featCol).as("e"))
       .as[(Long, Seq[Double])]
       .mapPartitions { it =>
         it.map { case (id, e) =>

@@ -27,27 +27,45 @@ object GraphBuild {
     * silently substitute the stale cache (r12 hygiene).
     */
   final case class GraphTables(graph: DataFrame, movies: DataFrame,
-      labels: DataFrame, persisted: Seq[DataFrame] = Nil)
+      labels: DataFrame, persisted: Seq[DataFrame] = Nil,
+      // exported by the o51_kmeans oracle replay (r13, VERDICT r12 #3):
+      // per-dim (mu, sigma-adjusted) scaling stats + the final trained
+      // centroids — given these exact doubles, scaling and assignment
+      // are plain replayable arithmetic
+      scaleStats: Array[(Double, Double)] = Array.empty,
+      centers: Array[Array[Double]] = Array.empty)
 
-  /** O-50 z-score with population σ (sklearn ddof=0, graph_creator.py:114)
-    * over an ARRAY<FLOAT/DOUBLE> feature column. Stats are a per-dim
-    * aggregate (64 rows for 64 dims — independent of row count) collected
-    * into literal arrays, then applied as one codegen'd zip_with chain.
+  /** Per-dim (mu, sigma) with population σ (sklearn ddof=0,
+    * graph_creator.py:114); σ == 0 dims are already replaced by 1.0
+    * (constant dims scale to exactly 0). 64 rows for 64 dims —
+    * independent of row count.
     */
-  def scaleFeatures(df: DataFrame, arrCol: String): Column = {
-    val stats = df.select(posexplode(col(arrCol)))
+  def scaleStats(df: DataFrame, arrCol: String): Array[(Double, Double)] =
+    df.select(posexplode(col(arrCol)))
       .groupBy("pos")
       .agg(avg(col("col").cast("double")).as("mu"),
         stddev_pop(col("col").cast("double")).as("sigma"))
       .orderBy("pos").collect()
-    val mus = array(stats.map(r => lit(r.getDouble(1))).toSeq: _*)
-    val sigmas = array(stats.map { r =>
-      val s = r.getDouble(2); lit(if (s == 0.0) 1.0 else s)
-    }.toSeq: _*)
+      .map { r =>
+        val s = r.getDouble(2)
+        (r.getDouble(1), if (s == 0.0) 1.0 else s)
+      }
+
+  /** Applies pre-computed [[scaleStats]] as one codegen'd zip_with
+    * chain: (CAST(x AS DOUBLE) − mu) / sigma — two IEEE ops per dim, the
+    * exact sequence the o51 oracle replays from the exported doubles.
+    */
+  def scaleWith(stats: Array[(Double, Double)], arrCol: String): Column = {
+    val mus = array(stats.map(s => lit(s._1)).toSeq: _*)
+    val sigmas = array(stats.map(s => lit(s._2)).toSeq: _*)
     zip_with(
       zip_with(transform(col(arrCol), x => x.cast("double")), mus, (x, m) => x - m),
       sigmas, (x, s) => x / s)
   }
+
+  /** O-50 z-score scaling (stats computed inline — see [[scaleStats]]). */
+  def scaleFeatures(df: DataFrame, arrCol: String): Column =
+    scaleWith(scaleStats(df, arrCol), arrCol)
 
   /** O-51: k = min(maxMicro, max(100, n/50)) like settings.py:113-121,
     * clamped to n; seed 42 (graph_creator.py:183). Returns per-row
@@ -85,13 +103,25 @@ object GraphBuild {
     val target = math.max(1, math.min(curParts, math.ceil(n / 50000.0).toInt))
     val sized = if (target < curParts) features.coalesce(target) else features
     val trainTarget = math.max(sampleFloor, 64L * k)
+    // Final label assignment is the exact nearest-final-centroid rule
+    // (AnnIvf.assignNearestArr: Σ(xᵢ−cᵢ)² in index order, strict <,
+    // tie → lowest cluster) rather than KMeansModel.transform — r13,
+    // VERDICT r12 #3, the same graduation the IVF lists made in r12:
+    // MLlib's fastSquaredDistance norm-shortcut is not replayable
+    // outside MLlib, while the exact loop is plain arithmetic any
+    // engine reproduces bit-for-bit from the exported centroid doubles.
+    // Build-time and append-time assignment are now ONE rule everywhere.
+    def exactLabels(model: org.apache.spark.ml.clustering.KMeansModel): DataFrame = {
+      val cents = model.clusterCenters.map(_.toArray).zipWithIndex
+        .map { case (c, i) => (i, c) }
+      graft.operators.AnnIvf.assignNearestArr(sized, idCol, featCol, cents)
+        .select(col(idCol), col("cluster").cast("int").as("cluster"))
+    }
     if (n <= trainTarget) {
       val vecs = sized.withColumn("_fv", array_to_vector(col(featCol)))
       val model = new KMeans().setK(k).setSeed(42)
         .setFeaturesCol("_fv").setPredictionCol("cluster").fit(vecs)
-      val labels = model.transform(vecs)
-        .select(col(idCol), col("cluster").cast("int").as("cluster"))
-      (labels, model.clusterCenters.map(_.toArray))
+      (exactLabels(model), model.clusterCenters.map(_.toArray))
     } else {
       // ceil: a floor stride can overshoot the target sample by ~2×
       // (n=200k, target=51.2k: floor gives stride 3 → 66k rows)
@@ -112,10 +142,7 @@ object GraphBuild {
         .setInitMode("random")
         .setFeaturesCol("_fv").setPredictionCol("cluster").fit(sample)
       sample.unpersist()
-      val labels = model
-        .transform(sized.withColumn("_fv", array_to_vector(col(featCol))))
-        .select(col(idCol), col("cluster").cast("int").as("cluster"))
-      (labels, model.clusterCenters.map(_.toArray))
+      (exactLabels(model), model.clusterCenters.map(_.toArray))
     }
   }
 
@@ -132,7 +159,8 @@ object GraphBuild {
     // transform) — without this the ENTIRE upstream lineage (for E1:
     // clean → window → inference → act features) recomputes per pass.
     val input = emb.persist()
-    val scaled = input.select(col(idCol), scaleFeatures(input, arrCol).as("scaled"))
+    val stats = scaleStats(input, arrCol)
+    val scaled = input.select(col(idCol), scaleWith(stats, arrCol).as("scaled"))
       .persist()
     val (labels, centers) = microCluster(scaled, idCol, "scaled", maxMicro)
 
@@ -149,7 +177,7 @@ object GraphBuild {
     val assignDF = assign.toSeq.toDF("cluster", "graph_id")
     val movies = labels.join(broadcast(assignDF), Seq("cluster"))
       .select(col(idCol).as("movie_id"), col("graph_id"))
-    GraphTables(graph, movies, labels, Seq(input, scaled))
+    GraphTables(graph, movies, labels, Seq(input, scaled), stats, centers)
   }
 
   /** E2 serving (graph_repo.py:92-135): immediate children of a node via

@@ -111,11 +111,40 @@ object GraphQueries {
       .select(col("doc_id"), col("source"), (col("pos") + 1).cast("long").as("dim"),
         (round(col("col").cast("double"), 6) + lit(0.0)).as("x"))
 
-  /** O-51 micro-cluster labels (rows-only: MLlib KMeans is seeded but not
-    * bit-identical to any oracle). Shares the memoized build's clustering
-    * run rather than fitting a second model.
+  /** Where the o51 oracle's replay inputs are exported (r13, VERDICT
+    * r12 #3 — the IVF centroid-export pattern): the KMeans TRAINING is
+    * not SQL-replayable, but its outputs — per-dim scaling stats and
+    * the final centroid doubles — are just data, and given those exact
+    * doubles the label pass is replayable arithmetic: scaled =
+    * (CAST(x AS DOUBLE) − mu) / sigma, then exact nearest-centroid
+    * (Σ(xᵢ−cᵢ)² index order, strict <, tie → lowest cluster =
+    * `AnnIvf.assignNearestArr`, the rule microCluster now uses for its
+    * final assignment). Fixed tmpdir names: static oracle SQL, one data
+    * dir per Verify run (the graph/E1/BM25 export constraint).
     */
-  private val o51: Q = (s, d) => built(s, d).labels
+  private def kmeansStatsPath: String = java.nio.file.Paths
+    .get(sys.props("java.io.tmpdir"), "graft_kmeans_stats").toString
+  private def kmeansCentsPath: String = java.nio.file.Paths
+    .get(sys.props("java.io.tmpdir"), "graft_kmeans_cents").toString
+
+  /** O-51 micro-cluster labels — oracle-checked since r13 via the
+    * stats+centroid export replay (see [[kmeansStatsPath]]). Shares the
+    * memoized build's clustering run rather than fitting a second model.
+    */
+  private val o51: Q = (s, d) => {
+    val bt = built(s, d)
+    val sp = s
+    import sp.implicits._
+    bt.scaleStats.zipWithIndex
+      .map { case ((mu, sg), i) => (i + 1, mu, sg) }.toSeq
+      .toDF("dim", "mu", "sigma")
+      .coalesce(1).write.mode("overwrite").parquet(kmeansStatsPath)
+    bt.centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+      .select(col("cluster"), col("centroid").cast("array<double>").as("centroid"))
+      .coalesce(1).write.mode("overwrite").parquet(kmeansCentsPath)
+    bt.labels
+  }
 
   // The KMeans→Ward build is deterministic per (session, dir); memoize it
   // so q_graph_build and q_graph_children don't each rerun the clustering
@@ -243,10 +272,30 @@ object GraphQueries {
         |         unnest(list_transform(e.embedding, v -> CAST(v AS DOUBLE))) AS x
         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         |  WHERE d.doc_id < 10)""".stripMargin,
-    "q_graph_children" -> buildChildrenSql)
-    // o51_kmeans / q_graph_build: intentionally no oracle → driver
-    // records the weaker rows-only check (SURVEY §5.4 — KMeans centroid
-    // geometry is seeded but not SQL-replayable). q_graph_children
-    // graduated in r10: the serving half is oracle-checked against the
-    // exported tree (see buildChildren).
+    "q_graph_children" -> buildChildrenSql,
+    // o51 replay over the stats + centroid exports (r13): scaling and
+    // assignment mirror GraphBuild.scaleWith + AnnIvf.assignNearestArr
+    // EXACTLY — (CAST(x AS DOUBLE) − mu) / sigma per dim, squared-L2 in
+    // index order, strict-< ⇒ row_number tie-break to lowest cluster.
+    "o51_kmeans" ->
+      s"""WITH sv AS (
+         |  SELECT list(mu ORDER BY dim) AS mus, list(sigma ORDER BY dim) AS sigmas
+         |  FROM '$kmeansStatsPath/*.parquet'),
+         |cents AS (SELECT cluster, centroid FROM '$kmeansCentsPath/*.parquet'),
+         |scaled AS (
+         |  SELECT e.vec_id,
+         |         list_transform(generate_series(1, len(e.embedding)),
+         |           i -> (CAST(e.embedding[i] AS DOUBLE) - sv.mus[i]) / sv.sigmas[i]) AS se
+         |  FROM embeddings e CROSS JOIN sv)
+         |SELECT vec_id, cluster FROM (
+         |  SELECT s.vec_id, c.cluster,
+         |         row_number() OVER (PARTITION BY s.vec_id
+         |           ORDER BY list_sum(list_transform(generate_series(1, len(s.se)),
+         |             i -> (s.se[i]-c.centroid[i])*(s.se[i]-c.centroid[i]))), c.cluster) AS ark
+         |  FROM scaled s CROSS JOIN cents c)
+         |WHERE ark = 1""".stripMargin)
+    // q_graph_build: intentionally no oracle → driver records the weaker
+    // rows-only check (SURVEY §5.4 — the Ward tree's distance column is
+    // KMeans centroid geometry). q_graph_children graduated in r10 (tree
+    // export + recursive CTE), o51_kmeans in r13 (stats+centroid export).
 }

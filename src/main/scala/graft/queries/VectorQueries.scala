@@ -132,7 +132,7 @@ object VectorQueries {
     * the oracle SQL is a static string and one Verify run covers
     * exactly one data dir.
     */
-  private def ivfExportPath: String = java.nio.file.Paths
+  private[graft] def ivfExportPath: String = java.nio.file.Paths
     .get(sys.props("java.io.tmpdir"), "graft_ivf_centroids").toString
 
   /** The ONE auto-sized IVF build all five ANN queries share per
@@ -141,7 +141,7 @@ object VectorQueries {
     * (re)writes the centroid export the q_ann_ivf oracle replays —
     * trivially small (nList rows) and memoized with the index itself.
     */
-  private def ivfIndex(s: SparkSession, d: String): graft.operators.AnnIvf.IvfIndex = {
+  private[graft] def ivfIndex(s: SparkSession, d: String): graft.operators.AnnIvf.IvfIndex = {
     val embT = Tables.embeddings(s, d)
     ivfCache.getOrElseUpdate(s, d) {
       val ix = graft.operators.AnnIvf.buildIndex(embT, "vec_id", "embedding",
