@@ -24,7 +24,8 @@ object SparkEntry {
       (GraphQueries.queries, GraphQueries.oracle),
       (IoQueries.queries, IoQueries.oracle),
       (ExtendedQueries.queries, ExtendedQueries.oracle),
-      (IncrementalQueries.queries, IncrementalQueries.oracle))
+      (IncrementalQueries.queries, IncrementalQueries.oracle),
+      (BpeQueries.queries, BpeQueries.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -57,6 +58,7 @@ object SparkEntry {
     "build_ivf_index" -> VectorQueries.rebuildIvf,
     "build_nsw_graph" -> VectorQueries.rebuildNsw,
     "build_bm25_index" -> CorpusQueries.rebuildBm25,
+    "build_bpe_model" -> BpeQueries.rebuildBpe,
     "build_e1_model" -> IoQueries.rebuildE1)
 
   /** build_* entry → the declared queries that read its memo. Lives
@@ -80,6 +82,8 @@ object SparkEntry {
     "build_nsw_graph" -> Set("q_ann_recall_nsw"),
     "build_bm25_index" -> Set("q_bm25_topk", "q_hybrid_retrieval",
       "q_hybrid_retrieval_ivf"),
+    "build_bpe_model" -> Set("q_tokenize_bpe", "q_bpe_terms",
+      "q_pack_sequences_bpe"),
     "build_e1_model" -> Set("q_e1_pipeline", "q_e1_features"))
 
   /** Drop all memoized build artifacts (graph build, IVF index, E1
@@ -92,6 +96,7 @@ object SparkEntry {
     IoQueries.clearCache()
     DedupQueries.clearCache()
     CorpusQueries.clearCache()
+    BpeQueries.clearCache()
     Scratch.releaseAll()
   }
 }

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.BpeTokenizer
+
+class BpeSpec extends SparkSpec {
+
+  test("training learns frequency-ordered merges with greedy left-to-right application") {
+    // "low" x10, "lower" x5, "lowest" x2: (l,o) is the most frequent
+    // pair (17), then (lo,w) (17) — order pinned by count then lex
+    val merges = BpeTokenizer.trainMerges(
+      Seq(("low", 10L), ("lower", 5L), ("lowest", 2L)), maxMerges = 3)
+    assert(merges.take(2) == Seq(("l", "o"), ("lo", "w")))
+  }
+
+  test("training tie-break is (count desc, lhs asc, rhs asc)") {
+    // two words, equal counts, disjoint alphabets: every pair in "ab"
+    // and "cd" has count 1 < 2 -> stops; with count 2 each, (a,b) wins
+    // over (c,d) lexicographically
+    val merges = BpeTokenizer.trainMerges(Seq(("ab", 2L), ("cd", 2L)), 1)
+    assert(merges == Seq(("a", "b")))
+  }
+
+  test("training merge is greedy left-to-right non-overlapping (aaaa -> aa aa)") {
+    val merges = BpeTokenizer.trainMerges(Seq(("aaaa", 5L)), 2)
+    // round 1: (a,a) count 3*5; after merging: [aa, aa]; round 2: (aa,aa)
+    assert(merges == Seq(("a", "a"), ("aa", "aa")))
+  }
+
+  test("encode applies the leftmost-lowest-rank single-step rule") {
+    val ranks = Map(("l", "o") -> 0, ("lo", "w") -> 1, ("e", "r") -> 2)
+    assert(BpeTokenizer.encode("lower", ranks).toSeq == Seq("low", "er"))
+    assert(BpeTokenizer.encode("hello", ranks).toSeq == Seq("h", "e", "l", "lo"))
+    assert(BpeTokenizer.encode("xyz", ranks).toSeq == Seq("x", "y", "z"))
+    assert(BpeTokenizer.encode("a", ranks).toSeq == Seq("a"))
+    assert(BpeTokenizer.encode("", ranks).toSeq == Seq.empty)
+  }
+
+  test("encode rank ties resolve to the leftmost occurrence") {
+    // (a,b) at positions 1 and 3; single rank: leftmost merges first,
+    // then the remaining occurrence
+    val ranks = Map(("a", "b") -> 0)
+    assert(BpeTokenizer.encode("abab", ranks).toSeq == Seq("ab", "ab"))
+  }
+
+  test("token concatenation reconstructs the word (lossless subwording)") {
+    val words = Seq("partition", "shuffle", "aggregate", "a", "zz")
+    val merges = BpeTokenizer.trainMerges(words.map((_, 3L)), 16)
+    val ranks = merges.zipWithIndex.map { case (p, i) => (p, i) }.toMap
+    words.foreach { w =>
+      assert(BpeTokenizer.encode(w, ranks).mkString == w)
+    }
+  }
+
+  test("code points, not UTF-16 chars: surrogate pairs stay whole") {
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(BpeTokenizer.codePoints("a" + emoji + "b").toSeq ==
+      Seq("a", emoji, "b"))
+    assert(BpeTokenizer.encode("a" + emoji, Map.empty).length == 2)
+  }
+
+  test("corpus model: frequent words merge to few tokens, encoding is deterministic") {
+    val d = "/root/testdata/sf0.001"
+    val m1 = graft.queries.BpeQueries.model(spark, d)
+    import spark.implicits._
+    val toks = m1.wordToks.as[(String, Seq[String], Long, Long)].collect()
+    assert(toks.nonEmpty)
+    // lossless: concatenation reconstructs every distinct corpus word
+    toks.foreach { case (w, ts, _, n) =>
+      assert(ts.mkString == w)
+      assert(n == ts.length)
+    }
+    // real-BPE shape: the most frequent word is fully merged (1 token),
+    // and the corpus-wide subword ratio sits strictly between 1 (no
+    // merges would be len(word)) and the char count (full merge = 1.0)
+    val byFreq = toks.sortBy { case (w, _, wc, _) => (-wc, w) }
+    assert(byFreq.head._4 == 1L,
+      s"most frequent word '${byFreq.head._1}' should merge fully")
+    val ratio = toks.map(t => t._3 * t._4).sum.toDouble /
+      toks.map(_._3).sum
+    assert(ratio > 1.0 && ratio < 3.0, s"subword ratio $ratio")
+  }
+}
