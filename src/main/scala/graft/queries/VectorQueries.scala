@@ -162,9 +162,30 @@ object VectorQueries {
     */
   private[graft] val rebuildIvf: Q = (s, d) => ivfIndex(s, d).assigned
 
-  private[graft] val rebuildNsw: Q = (s, d) =>
-    nswCache.getOrElseUpdate(s, d)(
-      graft.operators.AnnNsw.buildGraph(ivfIndex(s, d))).graph
+  /** Where the per-list NSW graphs are exported for the q_ann_recall_nsw
+    * oracle (r13, VERDICT r12 #4): the graph BUILD (in-list kNN over
+    * KMeans lists) is not SQL-replayable, but the built adjacency is
+    * just data — and given it, the bounded best-first walk is a
+    * deterministic step sequence a recursive CTE replays exactly (pop
+    * max-(cos, -id) from the frontier, expand unvisited neighbours,
+    * keep top-efSearch results, stop when the best frontier candidate
+    * cannot improve the worst kept result). Same fixed-path/static-SQL
+    * constraint as the other exports.
+    */
+  private[graft] def nswExportPath: String = java.nio.file.Paths
+    .get(sys.props("java.io.tmpdir"), "graft_nsw_graph").toString
+
+  /** The memoized NSW index; building it (re)writes the adjacency
+    * export the walk oracle replays.
+    */
+  private[graft] def nswIndex(s: SparkSession, d: String): graft.operators.AnnNsw.NswIndex =
+    nswCache.getOrElseUpdate(s, d) {
+      val ix = graft.operators.AnnNsw.buildGraph(ivfIndex(s, d))
+      ix.graph.write.mode("overwrite").parquet(nswExportPath)
+      ix
+    }
+
+  private[graft] val rebuildNsw: Q = (s, d) => nswIndex(s, d).graph
 
   private val ivf: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
@@ -259,8 +280,9 @@ object VectorQueries {
       .withColumn("recall_bp", expr(s"(n_hits * 10000) DIV $RecallK"))
   }
 
-  /** NSW recall@10 (rows-only, §5.4 fence — the graph index sits on the
-    * KMeans coarse quantizer and the walk is not SQL-replayable):
+  /** NSW recall@10 (oracle-checked since r13 via the adjacency-export
+    * walk replay — see [[nswRecallSql]]; the §5.4 fence covers only the
+    * graph BUILD, whose output is exported as data):
     * greedy bounded walk over the per-list navigable-small-world graphs
     * vs (a) the global exact top-10 (`recall_bp` — end-to-end quality,
     * routing loss included, mirroring `q_ann_recall_ivf`) and (b) the
@@ -272,8 +294,7 @@ object VectorQueries {
   private val nswRecall: Q = (s, d) => {
     val embT = Tables.embeddings(s, d)
     val index = ivfIndex(s, d)
-    val nsw = nswCache.getOrElseUpdate(s, d)(
-      graft.operators.AnnNsw.buildGraph(index))
+    val nsw = nswIndex(s, d)
     val probes = embT.filter(col("vec_id") < RecallProbes)
       .select(col("vec_id").as("pid"), col("embedding"))
     val exact = exactTopK(emb(s, d).select(col("vec_id"), col("e")),
@@ -343,7 +364,147 @@ object VectorQueries {
     "o12_array_overlap" -> o12,
     "o41_f1_eval" -> o41)
 
+  /** q_ann_recall_nsw twin (r13, VERDICT r12 #4): replays the bounded
+    * best-first walk from the exported per-list adjacency
+    * ([[nswExportPath]]) with a RECURSIVE CTE carrying the walk state
+    * (visited / frontier / results lists) per (probe, list):
+    *  - one step = pop the frontier's max-(cos, −id) candidate
+    *    (struct lists sort lexicographically, so `list_sort(…,'DESC')[1]`
+    *    with nid = −id is exactly the Scala PriorityQueue ordering),
+    *  - stop when the frontier is empty or the popped candidate cannot
+    *    improve the worst of efSearch kept results (AnnNsw.topK's
+    *    termination, double-compare on the raw cosines),
+    *  - otherwise splice in the unvisited neighbours, re-trim results
+    *    to the top efSearch by (cos desc, id asc) — set-equivalent to
+    *    the sequential push/evict because top-k under a total order is
+    *    batch-order independent.
+    * The walk cosine is AnnNsw.cosine — dot / sqrt(na·nb) with the
+    * zero guard, which differs in the last ulp from the o56 helper's
+    * dot / (sqrt(na)·sqrt(nb)) — while the scanned/exact legs use the
+    * o56 form; BOTH must be mirrored exactly or rank ties flip.
+    * Walks run once per DISTINCT (probe, list) and join back to the
+    * nProbe variants. Validated bit-exact against the engine at
+    * sf0.001 AND sf0.1 (where lists ≈ 125 > efSearch and the
+    * termination branch actually fires) before wiring.
+    */
+  private def nswRecallSql: String = {
+    val EF = 32 // AnnNsw.topK efSearch default — the declared query uses it
+    val sqDist = (a: String, b: String) =>
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+    val dotS = (a: String, b: String) =>
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i]*$b[i]))"
+    val cosNsw = (a: String, b: String) =>
+      s"(CASE WHEN ${dotS(a, a)} = 0 OR ${dotS(b, b)} = 0 THEN 0.0 " +
+        s"ELSE ${dotS(a, b)} / sqrt(${dotS(a, a)} * ${dotS(b, b)}) END)"
+    s"""WITH RECURSIVE
+       |cents AS (SELECT cluster, centroid FROM '$ivfExportPath/*.parquet'),
+       |emb AS (SELECT vec_id, e FROM $embSql),
+       |probes AS (SELECT vec_id AS probe_id, e AS pv FROM emb WHERE vec_id < $RecallProbes),
+       |ranked AS (
+       |  SELECT p.probe_id, p.pv, c.cluster,
+       |         row_number() OVER (PARTITION BY p.probe_id
+       |           ORDER BY ${l2DistanceSql("p.pv", "c.centroid")}, c.cluster) AS crk
+       |  FROM probes p CROSS JOIN cents c),
+       |nl AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cents),
+       |variants AS (
+       |  SELECT CAST(greatest(1, n // 4) AS BIGINT) AS n_probe FROM nl
+       |  UNION ALL SELECT n FROM nl),
+       |graph AS (SELECT cluster, vec_id, e, nbrs FROM '$nswExportPath/*.parquet'),
+       |gmap AS (
+       |  SELECT cluster, map(list(vec_id), list(struct_pack(e := e, nbrs := nbrs))) AS gm
+       |  FROM graph GROUP BY cluster),
+       |entries AS (SELECT cluster, min(vec_id) AS entry FROM graph GROUP BY cluster),
+       |maxnp AS (SELECT max(n_probe) AS m FROM variants),
+       |pairs AS (
+       |  SELECT DISTINCT r.probe_id, r.pv, r.cluster
+       |  FROM ranked r, maxnp WHERE r.crk <= maxnp.m),
+       |walk AS (
+       |  SELECT p.probe_id, p.cluster, p.pv,
+       |         [en.entry] AS visited,
+       |         [struct_pack(c := ${cosNsw("g.gm[en.entry][1].e", "p.pv")}, nid := -en.entry)] AS frontier,
+       |         [struct_pack(c := ${cosNsw("g.gm[en.entry][1].e", "p.pv")}, nid := -en.entry)] AS results,
+       |         false AS done
+       |  FROM pairs p JOIN entries en USING (cluster) JOIN gmap g USING (cluster)
+       |  UNION ALL
+       |  SELECT probe_id, cluster, pv,
+       |         CASE WHEN stop THEN visited ELSE visited || unvis END AS visited,
+       |         CASE WHEN stop THEN frontier_rest ELSE frontier_rest || news END AS frontier,
+       |         CASE WHEN stop THEN results ELSE list_sort(results || news, 'DESC')[1:$EF] END AS results,
+       |         stop AS done
+       |  FROM (
+       |    SELECT probe_id, cluster, pv, visited, frontier_rest, results, stop,
+       |           CASE WHEN stop THEN [] ELSE list_filter(gm[-best.nid][1].nbrs,
+       |             x -> NOT list_contains(visited, x)) END AS unvis,
+       |           CASE WHEN stop THEN [] ELSE list_transform(
+       |             list_filter(gm[-best.nid][1].nbrs, x -> NOT list_contains(visited, x)),
+       |             x -> struct_pack(c := ${cosNsw("gm[x][1].e", "pv")}, nid := -x)) END AS news
+       |    FROM (
+       |      SELECT w.probe_id, w.cluster, w.pv, w.visited, w.results, g.gm,
+       |             list_sort(w.frontier, 'DESC')[1] AS best,
+       |             list_sort(w.frontier, 'DESC')[2:] AS frontier_rest,
+       |             len(w.frontier) = 0 OR (len(w.results) >= $EF AND
+       |               list_sort(w.frontier, 'DESC')[1].c <
+       |                 list_min(list_transform(w.results, r -> r.c))) AS stop
+       |      FROM walk w JOIN gmap g USING (cluster)
+       |      WHERE NOT w.done))),
+       |hits AS (
+       |  SELECT probe_id, cluster, unnest(results, recursive := true)
+       |  FROM walk WHERE done),
+       |walked_topk AS (
+       |  SELECT n_probe, probe_id, vec_id FROM (
+       |    SELECT v.n_probe, h.probe_id, -h.nid AS vec_id,
+       |           row_number() OVER (PARTITION BY v.n_probe, h.probe_id
+       |             ORDER BY round(h.c, 6) + 0.0 DESC, -h.nid) AS rk
+       |    FROM variants v
+       |    JOIN ranked r ON r.crk <= v.n_probe
+       |    JOIN hits h ON h.probe_id = r.probe_id AND h.cluster = r.cluster)
+       |  WHERE rk <= $RecallK),
+       |assigned AS (
+       |  SELECT vec_id, e, cluster FROM (
+       |    SELECT a.vec_id, a.e, c.cluster,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY ${sqDist("a.e", "c.centroid")}, c.cluster) AS ark
+       |    FROM emb a CROSS JOIN cents c)
+       |  WHERE ark = 1),
+       |scanned_topk AS (
+       |  SELECT n_probe, probe_id, vec_id FROM (
+       |    SELECT v.n_probe, r.probe_id, a.vec_id,
+       |           row_number() OVER (PARTITION BY v.n_probe, r.probe_id
+       |             ORDER BY round(${cosineSimilaritySql("a.e", "r.pv")}, 6) + 0.0 DESC, a.vec_id) AS rk
+       |    FROM variants v
+       |    JOIN ranked r ON r.crk <= v.n_probe
+       |    JOIN assigned a ON a.cluster = r.cluster)
+       |  WHERE rk <= $RecallK),
+       |exact AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT p.probe_id, a.vec_id,
+       |           row_number() OVER (PARTITION BY p.probe_id
+       |             ORDER BY round(${cosineSimilaritySql("a.e", "p.pv")}, 6) + 0.0 DESC, a.vec_id) AS rk
+       |    FROM emb a CROSS JOIN probes p)
+       |  WHERE rk <= $RecallK),
+       |he AS (
+       |  SELECT n_probe, probe_id, CAST(count(*) AS BIGINT) AS h_exact
+       |  FROM walked_topk JOIN exact USING (probe_id, vec_id)
+       |  GROUP BY n_probe, probe_id),
+       |hs AS (
+       |  SELECT n_probe, probe_id, CAST(count(*) AS BIGINT) AS h_scan
+       |  FROM walked_topk w
+       |  WHERE EXISTS (SELECT 1 FROM scanned_topk s
+       |                WHERE s.n_probe = w.n_probe AND s.probe_id = w.probe_id
+       |                  AND s.vec_id = w.vec_id)
+       |  GROUP BY n_probe, probe_id)
+       |SELECT v.n_probe AS n_probe, p.probe_id AS probe_id,
+       |       CAST(coalesce(he.h_exact, 0) AS BIGINT) AS n_hits,
+       |       CAST((coalesce(he.h_exact, 0) * 10000) // $RecallK AS BIGINT) AS recall_bp,
+       |       CAST((coalesce(hs.h_scan, 0) * 10000) // $RecallK AS BIGINT) AS walk_bp
+       |FROM variants v
+       |CROSS JOIN (SELECT vec_id AS probe_id FROM emb WHERE vec_id < $RecallProbes) p
+       |LEFT JOIN he ON he.n_probe = v.n_probe AND he.probe_id = p.probe_id
+       |LEFT JOIN hs ON hs.n_probe = v.n_probe AND hs.probe_id = p.probe_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_ann_recall_nsw" -> nswRecallSql,
     "o54_vec_distance" ->
       s"""SELECT a.vec_id,
          |       round(${l2DistanceSql("a.e", "b.pv")}, 6) + 0.0 AS l2,
