@@ -32,6 +32,7 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "nsw") println(nswProbe(spark, dir))
+    else if (mode == "act") println(actProbe(spark, dir))
     else if (mode == "floor") println(floorProbe(spark, dir))
     else if (mode == "graph") println(graphProbe(spark, dir))
     else if (mode == "lm") println(lmProbe(spark, dir))
@@ -46,6 +47,56 @@ object ScaleProbe {
     * Warmed first so codegen/JIT compile lands outside the measurement;
     * mean of 5 — the floor is a mean effect, not a min effect.
     */
+  /** q_act_features phase split (r13, VERDICT r12 #7): times (a) the
+    * scan alone, (b) scan+shuffle+sort+ntile (window output
+    * materialized, no aggregation), (c) scan+shuffle+groupBy with the
+    * full 21-aggregate surface but NO window (acts faked from l_linenumber),
+    * (d) the full query — attributing the wall between the ordered
+    * window and the exact-sum aggregation.
+    */
+  private def actProbe(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    def time(mk: => org.apache.spark.sql.DataFrame): Double = {
+      mk.queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ())) // warm
+      (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        mk.queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val li = () => Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+      col("l_suppkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    val scanS = time(li())
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    val windowS = time(li().withColumn("_act", ntile(3).over(w))
+      .select("l_orderkey", "_act", "l_quantity"))
+    import graft.functions.ExactAgg.ssum4
+    def aggCols = {
+      val acts = for {
+        m <- Seq("l_quantity", "l_extendedprice", "l_discount"); a <- 1 to 3
+      } yield round(ssum4(when(col("_act") === a, col(m))) /
+        count(when(col("_act") === a, lit(1))), 4).as(s"${m}_a$a")
+      val stds = Seq("l_quantity", "l_extendedprice", "l_discount").map { m =>
+        val sx = ssum4(col(m))
+        val sxx = sum((col(m) * col(m)).cast("decimal(28,8)")).cast("double")
+        val n = count(lit(1)).cast("double")
+        round(sqrt(greatest((sxx - sx * sx / n) / greatest(n - 1, lit(1.0)), lit(0.0))), 4).as(s"${m}_s")
+      }
+      acts ++ stds
+    }
+    // no-window agg: same aggregate surface, act faked from an existing col
+    val aggOnlyS = time {
+      val base = li().withColumn("_act", (col("l_linenumber") % 3 + 1).cast("int"))
+      val ac = aggCols
+      base.groupBy(col("l_orderkey")).agg(ac.head, ac.tail: _*)
+    }
+    val fullS = time(graft.SparkEntry.queries("q_act_features")(spark, dir))
+    f"""{"scan_s":$scanS%.3f,"window_s":$windowS%.3f,"aggonly_s":$aggOnlyS%.3f,"full_s":$fullS%.3f}"""
+  }
+
   private def floorProbe(spark: SparkSession, dir: String): String = {
     val names = Seq("o08_point_lookup", "o14_index_select", "o42_distinct",
       "o29_name_gen", "o11_eq_filter", "o38_count_per_group",
