@@ -167,6 +167,47 @@ object BpeQueries {
       .select("source", "seq_id", "doc_id", "n_tok", "tok_start", "tok_len")
   }
 
+  // O-32's window geometry (TextAnalyticsQueries WinSize/WinStride) —
+  // the BPE variant slides the same windows over the SUBWORD stream
+  private val WinSize = 48
+  private val WinStride = 24
+
+  /** q_token_windows_bpe: O-32's sliding windows in BPE-token units —
+    * the context windows an LLM pipeline actually cuts. Window k of a
+    * doc covers token positions [k·stride, k·stride+size); every
+    * window holding ≥1 token is emitted (identical window set to
+    * O-32's ceil(n/stride) convention). Shape: the token stream is
+    * NEVER materialized per occurrence ahead of a shuffle — the
+    * distinct-word join carries (toks, n_tok), a per-doc prefix sum
+    * places each word, posexplode emits (position, token), and the
+    * interval-intersection explode assigns windows — the
+    * q_pack_sequences pattern one level down. All window ids from
+    * integer DIV with non-negative operands (trunc == floor).
+    */
+  private val tokenWindowsBpe: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos").as("wpos"), col("col").as("w"))
+      .filter(col("w") =!= "")
+    words.join(model(s, d).wordToks.select("w", "toks", "n_tok"), Seq("w"))
+      .withColumn("cum", sum(col("n_tok")).over(
+        Window.partitionBy("doc_id").orderBy("wpos")))
+      .select(col("doc_id"), (col("cum") - col("n_tok")).as("wstart"),
+        posexplode(col("toks")))
+      .withColumn("tpos", col("wstart") + col("pos"))
+      .withColumn("win_id", explode(expr(
+        s"sequence(CASE WHEN tpos < $WinSize THEN CAST(0 AS BIGINT) " +
+          s"ELSE (tpos - $WinSize) DIV $WinStride + 1 END, tpos DIV $WinStride)")))
+      .groupBy("doc_id", "win_id")
+      .agg(count(lit(1)).as("n_in_win"),
+        min_by(col("col"), col("tpos")).as("first_tok"),
+        max_by(col("col"), col("tpos")).as("last_tok"))
+      .select(col("doc_id"), col("win_id").cast("long").as("win_id"),
+        (col("win_id") * WinStride).cast("long").as("win_start"),
+        col("n_in_win"), col("first_tok"), col("last_tok"))
+  }
+
   /** The shared replay CTEs: tokenize every distinct corpus word from
     * the exported merges with a recursive CTE implementing the exact
     * single-step leftmost-lowest-rank rule of [[BpeTokenizer.encode]]
@@ -218,7 +259,8 @@ object BpeQueries {
   val queries: Map[String, Q] = Map(
     "q_tokenize_bpe" -> tokenizeBpe,
     "q_bpe_terms" -> bpeTerms,
-    "q_pack_sequences_bpe" -> packSeqBpe)
+    "q_pack_sequences_bpe" -> packSeqBpe,
+    "q_token_windows_bpe" -> tokenWindowsBpe)
 
   val oracle: Map[String, String] = Map(
     "q_tokenize_bpe" ->
@@ -239,6 +281,33 @@ object BpeQueries {
          |  JOIN wcounts wc ON wc.w = t.w
          |  GROUP BY t.tok)
          |ORDER BY n DESC, tok LIMIT 30""".stripMargin,
+    "q_token_windows_bpe" ->
+      s"""WITH RECURSIVE $bpeCtes,
+         |wordsq AS (
+         |  SELECT doc_id, wpos, sp[wpos] AS w FROM (
+         |    SELECT doc_id, string_split(text, ' ') AS sp,
+         |           unnest(generate_series(1, len(string_split(text, ' ')))) AS wpos
+         |    FROM documents)
+         |  WHERE sp[wpos] <> ''),
+         |seq0 AS (
+         |  SELECT q.doc_id, q.wpos, wt.toks, wt.n_tok,
+         |         CAST(sum(wt.n_tok) OVER (PARTITION BY q.doc_id ORDER BY q.wpos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM wordsq q JOIN wordtok wt ON wt.w = q.w),
+         |toksq AS (
+         |  SELECT doc_id, CAST(cum - n_tok + ti - 1 AS BIGINT) AS tpos, toks[ti] AS tok
+         |  FROM (SELECT *, unnest(generate_series(1, CAST(n_tok AS INT))) AS ti FROM seq0)),
+         |wins AS (
+         |  SELECT doc_id, tpos, tok,
+         |         unnest(generate_series(
+         |           CASE WHEN tpos < $WinSize THEN 0 ELSE (tpos - $WinSize) // $WinStride + 1 END,
+         |           tpos // $WinStride)) AS win_id
+         |  FROM toksq)
+         |SELECT doc_id, CAST(win_id AS BIGINT) AS win_id,
+         |       CAST(win_id * $WinStride AS BIGINT) AS win_start,
+         |       CAST(count(*) AS BIGINT) AS n_in_win,
+         |       min_by(tok, tpos) AS first_tok, max_by(tok, tpos) AS last_tok
+         |FROM wins GROUP BY doc_id, win_id""".stripMargin,
     "q_pack_sequences_bpe" ->
       s"""WITH RECURSIVE $bpeCtes,
          |c AS (
