@@ -80,3 +80,62 @@ class BpeSpec extends SparkSpec {
     assert(ratio > 1.0 && ratio < 3.0, s"subword ratio $ratio")
   }
 }
+
+/** Declared-query invariants for the r13 BPE/window/hybrid additions —
+  * structural properties the hash oracle cannot express directly.
+  */
+class BpeQueryInvariantSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("token_windows_bpe: window geometry matches tokenize_bpe counts") {
+    val counts = q("q_tokenize_bpe").select(col("doc_id"), col("n_tokens_bpe"))
+    val win = q("q_token_windows_bpe")
+    // windows per doc = (n-1) DIV 24 + 1, max win_id = (n-1) DIV 24,
+    // window 0 holds min(n, 48) tokens — the O-32 window-set convention
+    val g = win.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_win"), max("win_id").as("max_win"),
+        sum(when(col("win_id") === 0, col("n_in_win"))).as("w0"))
+      .join(counts, "doc_id")
+      .filter(col("n_tokens_bpe") > 0)
+    val bad = g.filter(
+      col("n_win") =!= expr("(n_tokens_bpe - 1) DIV 24 + 1") ||
+      col("max_win") =!= expr("(n_tokens_bpe - 1) DIV 24") ||
+      col("w0") =!= least(col("n_tokens_bpe"), lit(48L)))
+    assert(bad.count() === 0)
+    // docs with zero BPE tokens produce no windows
+    val zeros = counts.filter(col("n_tokens_bpe") === 0)
+      .join(win, "doc_id").count()
+    assert(zeros === 0)
+  }
+
+  test("token_windows_bpe: full interior windows hold exactly WinSize tokens") {
+    val counts = q("q_tokenize_bpe").select(col("doc_id"), col("n_tokens_bpe"))
+    val bad = q("q_token_windows_bpe").join(counts, "doc_id")
+      // a window whose span [24·k, 24·k+48) lies fully inside the stream
+      .filter(col("win_start") + 48 <= col("n_tokens_bpe"))
+      .filter(col("n_in_win") =!= 48)
+      .count()
+    assert(bad === 0)
+  }
+
+  test("hybrid_retrieval_ivf: dense ranks, exact RRF arithmetic, leg consistency") {
+    val r = q("q_hybrid_retrieval_ivf")
+    // rrf is recomputable from the leg ranks (0 = absent from that leg)
+    val badRrf = r.filter(col("rrf") =!=
+      expr("coalesce(1000000 DIV (60 + nullif(rkb, 0)), 0) + " +
+        "coalesce(1000000 DIV (60 + nullif(rkv, 0)), 0)")).count()
+    assert(badRrf === 0)
+    // dense 1..n ranks per probe, n <= 10
+    val ranks = r.groupBy("probe_id")
+      .agg(count(lit(1)).as("n"), max("rk").as("mx"), min("rk").as("mn"))
+    assert(ranks.filter(col("n") > 10 || col("mx") =!= col("n") || col("mn") =!= 1).count() === 0)
+    // a doc in both legs outranks (by rrf construction) the same doc
+    // appearing in only one leg with the same single-leg rank — spot
+    // check: every row with both legs present has rrf > 1e6/(60+20)
+    assert(r.filter(col("rkb") > 0 && col("rkv") > 0 &&
+      col("rrf") <= 1000000 / 80).count() === 0)
+  }
+}
