@@ -70,7 +70,8 @@ object SparkEntry {
     * build inline, blowing the cap the skip was enforcing).
     */
   def artifactDeps: Map[String, Set[String]] = Map(
-    "build_graph_tree" -> Set("o51_kmeans", "q_graph_build",
+    "build_graph_tree" -> Set("o51_kmeans", "q_ward_dendrogram",
+      "q_graph_build",
       "q_graph_children", "q_serve_children_e2", "q_serve_children_pruned",
       "o07_graph_ids"),
     "build_graph_depth" -> Set("q_serve_children_pruned"),

@@ -35,11 +35,25 @@ object Ward {
     def leaves: Seq[Int] = left.leaves ++ right.leaves
   }
 
-  def linkage(points: Array[Array[Double]]): Dendro = {
+  /** One merge of the linkage sequence: at `step` (1-based), clusters in
+    * slots `slotA` < `slotB` merged at height `dist` into `size` members
+    * (slots are original centroid indices; the merged cluster keeps
+    * slotA). The trace IS the dendrogram in flat form — and it is what
+    * the q_ward_dendrogram oracle replays step by step (r13).
+    */
+  final case class MergeStep(step: Int, slotA: Int, slotB: Int,
+      dist: Double, size: Int)
+
+  def linkage(points: Array[Array[Double]]): Dendro = linkageTrace(points)._1
+
+  /** Linkage + the merge trace (see [[MergeStep]]). */
+  def linkageTrace(points: Array[Array[Double]]): (Dendro, Seq[MergeStep]) = {
     require(points.nonEmpty, "ward: empty input")
     val n = points.length
-    if (n == 1) return Leaf(0)
+    if (n == 1) return (Leaf(0), Seq.empty)
     val dim = points(0).length
+    val steps = Seq.newBuilder[MergeStep]
+    var stepNo = 0
 
     // active clusters: centroid, member-count, tree
     val cent = Array.tabulate(n)(i => points(i).clone())
@@ -73,6 +87,8 @@ object Ward {
         i += 1
       }
       val merged = Merge(tree(bi), tree(bj), math.sqrt(best), csize(bi) + csize(bj))
+      stepNo += 1
+      steps += MergeStep(stepNo, bi, bj, math.sqrt(best), csize(bi) + csize(bj))
       // weighted centroid of the merge replaces slot bi; bj dies
       val wl = csize(bi).toDouble; val wr = csize(bj).toDouble
       var k = 0
@@ -85,6 +101,6 @@ object Ward {
       alive(bj) = false
       remaining -= 1
     }
-    tree(alive.indexOf(true))
+    (tree(alive.indexOf(true)), steps.result())
   }
 }

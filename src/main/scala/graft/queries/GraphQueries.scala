@@ -131,8 +131,8 @@ object GraphQueries {
     * stats+centroid export replay (see [[kmeansStatsPath]]). Shares the
     * memoized build's clustering run rather than fitting a second model.
     */
-  private val o51: Q = (s, d) => {
-    val bt = built(s, d)
+  private def writeKmeansExports(s: SparkSession,
+      bt: GraphBuild.GraphTables): Unit = {
     val sp = s
     import sp.implicits._
     bt.scaleStats.zipWithIndex
@@ -143,7 +143,37 @@ object GraphQueries {
       .toDF("cluster", "centroid")
       .select(col("cluster"), col("centroid").cast("array<double>").as("centroid"))
       .coalesce(1).write.mode("overwrite").parquet(kmeansCentsPath)
+  }
+
+  private val o51: Q = (s, d) => {
+    val bt = built(s, d)
+    writeKmeansExports(s, bt)
     bt.labels
+  }
+
+  /** O-52's core, oracle-checked (r13): the Ward merge SEQUENCE over the
+    * exported micro-cluster centroids — (step, slotA, slotB, height,
+    * size) for each of the k−1 agglomerations. The DuckDB twin replays
+    * the whole linkage from the SAME centroid export with a recursive
+    * CTE carrying the active-cluster list: per step it enumerates all
+    * pairs, computes the closed-form Ward distance with the exact
+    * expression tree of [[graft.operators.clustering.Ward.linkageTrace]]
+    * (2.0·si·sj/(si+sj)·Σ(ciₖ−cjₖ)² left-assoc, index-order sum), picks
+    * the (d, i, j)-lexicographic minimum (= the Scala scan's strict-<
+    * first-pair tie-break), and splices in the weighted centroid
+    * ((ci·wl + cj·wr)/(wl+wr) per dim, same two ops). Only the tree
+    * SHAPING (rebalance/flatten) remains fenced in q_graph_build.
+    */
+  private val wardDendro: Q = (s, d) => {
+    val bt = built(s, d)
+    writeKmeansExports(s, bt)
+    val trace = graft.operators.clustering.Ward.linkageTrace(bt.centers)._2
+    val sp = s
+    import sp.implicits._
+    trace.map(m => (m.step.toLong, m.slotA.toLong, m.slotB.toLong, m.dist, m.size.toLong))
+      .toDF("step", "slot_a", "slot_b", "dist", "size")
+      .select(col("step"), col("slot_a"), col("slot_b"),
+        (round(col("dist"), 6) + lit(0.0)).as("dist"), col("size"))
   }
 
   // The KMeans→Ward build is deterministic per (session, dir); memoize it
@@ -248,6 +278,7 @@ object GraphQueries {
     "q_serve_children_pruned" -> e2Pruned,
     "q_serve_movie_e3" -> e3,
     "o51_kmeans" -> o51,
+    "q_ward_dendrogram" -> wardDendro,
     "q_graph_build" -> build,
     "q_graph_children" -> buildChildren)
 
@@ -293,7 +324,48 @@ object GraphQueries {
          |           ORDER BY list_sum(list_transform(generate_series(1, len(s.se)),
          |             i -> (s.se[i]-c.centroid[i])*(s.se[i]-c.centroid[i]))), c.cluster) AS ark
          |  FROM scaled s CROSS JOIN cents c)
-         |WHERE ark = 1""".stripMargin)
+         |WHERE ark = 1""".stripMargin,
+    // Ward replay (r13): the recursive CTE carries the active-cluster
+    // list; see wardDendro's doc for the exact-FP correspondence.
+    // Validated bit-exact against a step mirror before wiring.
+    "q_ward_dendrogram" ->
+      s"""WITH RECURSIVE
+         |cents AS (SELECT cluster, centroid FROM '$kmeansCentsPath/*.parquet'),
+         |init AS (
+         |  SELECT 0 AS step, 0 AS slot_a, 0 AS slot_b, CAST(0.0 AS DOUBLE) AS dist, 0 AS msize,
+         |         list(struct_pack(slot := cluster, c := centroid, sz := 1) ORDER BY cluster) AS state
+         |  FROM cents),
+         |ward AS (
+         |  SELECT * FROM init
+         |  UNION ALL
+         |  SELECT step+1 AS step,
+         |         state[best.pi].slot AS slot_a, state[best.pj].slot AS slot_b,
+         |         sqrt(best.d) AS dist,
+         |         state[best.pi].sz + state[best.pj].sz AS msize,
+         |         state[1:best.pi-1] ||
+         |           [struct_pack(slot := state[best.pi].slot,
+         |                        c := list_transform(generate_series(1, len(state[best.pi].c)),
+         |                              k -> (state[best.pi].c[k]*wl + state[best.pj].c[k]*wr)/(wl+wr)),
+         |                        sz := state[best.pi].sz + state[best.pj].sz)] ||
+         |           state[best.pi+1:best.pj-1] || state[best.pj+1:] AS state
+         |  FROM (
+         |    SELECT step, state, best,
+         |           CAST(state[best.pi].sz AS DOUBLE) AS wl,
+         |           CAST(state[best.pj].sz AS DOUBLE) AS wr
+         |    FROM (
+         |      SELECT step, state,
+         |             list_sort(flatten(list_transform(generate_series(1, len(state)-1),
+         |               i -> list_transform(generate_series(i+1, len(state)),
+         |                 j -> struct_pack(
+         |                   d := 2.0*state[i].sz*state[j].sz/(state[i].sz+state[j].sz) *
+         |                        list_sum(list_transform(generate_series(1, len(state[i].c)),
+         |                          k -> (state[i].c[k]-state[j].c[k])*(state[i].c[k]-state[j].c[k]))),
+         |                   pi := i, pj := j)))))[1] AS best
+         |      FROM ward WHERE len(state) > 1)))
+         |SELECT CAST(step AS BIGINT) AS step, CAST(slot_a AS BIGINT) AS slot_a,
+         |       CAST(slot_b AS BIGINT) AS slot_b, round(dist, 6) + 0.0 AS dist,
+         |       CAST(msize AS BIGINT) AS size
+         |FROM ward WHERE step > 0""".stripMargin)
     // q_graph_build: intentionally no oracle → driver records the weaker
     // rows-only check (SURVEY §5.4 — the Ward tree's distance column is
     // KMeans centroid geometry). q_graph_children graduated in r10 (tree

@@ -23,6 +23,28 @@ class ClusteringSpec extends SparkSpec {
     assert(math.abs(root.dist - 5.0) < 1e-12)
   }
 
+  test("linkageTrace: n-1 steps, slotA<slotB, size accounting, heights match tree") {
+    val pts = Array.tabulate(17)(i => Array((i * 37 % 11).toDouble, (i * 53 % 7).toDouble))
+    val (root, steps) = Ward.linkageTrace(pts)
+    assert(steps.length == pts.length - 1)
+    assert(steps.map(_.step) == (1 to steps.length))
+    // replay the size bookkeeping: each merge's size is the sum of its
+    // two operands' current sizes, and the merged cluster keeps slotA
+    val sz = scala.collection.mutable.Map.from((0 until pts.length).map(_ -> 1))
+    steps.foreach { m =>
+      assert(m.slotA < m.slotB)
+      assert(m.size == sz(m.slotA) + sz(m.slotB))
+      sz(m.slotA) = m.size; sz.remove(m.slotB)
+    }
+    assert(sz.keySet == Set(steps.last.slotA) && sz(steps.last.slotA) == pts.length)
+    // the trace's heights are exactly the tree's internal-node heights
+    def heights(d: Ward.Dendro): Seq[Double] = d match {
+      case m: Ward.Merge => heights(m.left) ++ heights(m.right) :+ m.dist
+      case _ => Seq.empty
+    }
+    assert(heights(root).sorted == steps.map(_.dist).sorted)
+  }
+
   test("fromDendro conserves member counts") {
     val root = Ward.linkage(Array(Array(0.0), Array(1.0), Array(10.0)))
     val t = TreeOps.fromDendro(root, Map(0 -> 5L, 1 -> 7L, 2 -> 11L))
