@@ -25,7 +25,8 @@ object SparkEntry {
       (IoQueries.queries, IoQueries.oracle),
       (ExtendedQueries.queries, ExtendedQueries.oracle),
       (IncrementalQueries.queries, IncrementalQueries.oracle),
-      (BpeQueries.queries, BpeQueries.oracle))
+      (BpeQueries.queries, BpeQueries.oracle),
+      (SketchQueries.queries, SketchQueries.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

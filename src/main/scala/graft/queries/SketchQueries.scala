@@ -1,0 +1,275 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Sketch operators — the one-pass, constant-memory, mergeable
+  * primitives a 100 TB curation pipeline plans with (builder brief:
+  * dedup/curation planning):
+  *
+  *  - `q_sketch_registers` / `q_sketch_cardinality`: HLL-style
+  *    distinct-cardinality sketch over the corpus's 3-token shingles —
+  *    the statistic that sizes the MinHash/LSH dedup index before you
+  *    build it. The sketch state is 256 (bucket, max_rank) registers:
+  *    constant-size regardless of input, built by one map-side-combining
+  *    `groupBy(bucket).max(rank)` pass (merging two corpora's sketches =
+  *    elementwise max — the distributed-agg shape by construction).
+  *  - `q_sketch_heavy_hitters`: count-min sketch (d=4 rows × w=1024)
+  *    over shingle document-frequency — the df-cap planning input for
+  *    the inverted-index dedup family (BucketCap). Point estimates are
+  *    min over the 4 rows; CMS guarantees est >= exact.
+  *  - `q_sketch_bloom`: Bloom-filter membership prefilter (k=3, m
+  *    SIZED from the member count — pow2ceil(8n), floor 512, the
+  *    autoBits pattern) — test-split fingerprints as the member set,
+  *    train-split fingerprints probed: the cheap decontamination
+  *    pre-screen that at 100 TB runs as a broadcast bit-set before any
+  *    shingle join. m tracks n so the measured false-positive arm stays
+  *    a designed ~2-3% at every SF instead of saturating.
+  *
+  * Oracle-parity design: NO export needed — md5 is bit-identical in
+  * Spark and DuckDB, so bucket/rank/position derivation is pure portable
+  * SQL over the hex string (hex-parse = Spark `conv(_,16,10)` / DuckDB
+  * `('0x'||_)::BIGINT`; leading-zero rank via `regexp_extract('^0*')` +
+  * a 16-way hex-digit CASE — all integer until the single final IEEE
+  * estimate expression, which follows the house one-expression →
+  * round → +0.0 rule). The exact-count columns exist to GRADE the
+  * sketches (est vs exact in one result) and are ordinary distributed
+  * aggregates; the sketches themselves never need them.
+  *
+  * Reference anchor: the reference dedupes and curates at full-corpus
+  * scale (SURVEY §2 dedup family); sketches are the standard planning
+  * layer those operators assume at scale.
+  */
+object SketchQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- shared: the corpus shingle stream (per-doc DISTINCT 3-token
+  // shingles via the native token_shingles expression; DuckDB twin uses
+  // the list-transform form — the DedupQueries convention) ----
+  private def shingleStream(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      explode(call_function("token_shingles", col("text"), lit(3))).as("sh"))
+
+  private val shinglesSql =
+    """(SELECT doc_id,
+      |        unnest(list_distinct(list_transform(
+      |          generate_series(1, greatest(len(string_split(text, ' '))-2, 1)),
+      |          i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS sh
+      | FROM documents)""".stripMargin
+
+  // ---- HLL: m = 256 buckets (first 2 hex digits), rank from the next
+  // 10 hex digits (40 bits, cap 41 — keeps the 2^(41-rank) register
+  // terms exact in BIGINT: worst case 256·2^40 << 2^63) ----
+  private val HllRankCap = 41
+
+  private def hexLong(c: Column, pos: Int, len: Int): Column =
+    conv(substring(c, pos, len), 16, 10).cast("long")
+
+  private def hllRegisters(s: SparkSession, d: String): DataFrame =
+    hllRegistersOf(shingleStream(s, d))
+
+  /** HLL register table of the values in column `sh` (spec seam). */
+  private[graft] def hllRegistersOf(tok: DataFrame): DataFrame = {
+    val h = md5(col("sh"))
+    val tail = substring(h, 3, 10)
+    val nz = length(regexp_extract(tail, "^0*", 0))
+    val firstDigit = tail.substr(nz + lit(1), lit(1))
+    val lzb = when(firstDigit === "1", 3)
+      .when(firstDigit.isin("2", "3"), 2)
+      .when(firstDigit.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    val rank = when(tail === "0000000000", lit(HllRankCap).cast("long"))
+      .otherwise((nz * 4 + lzb + 1).cast("long"))
+    tok.select(hexLong(h, 1, 2).as("bucket"), rank.as("rnk"))
+      .groupBy("bucket")
+      .agg(max(col("rnk")).as("max_rank"))
+  }
+
+  /** Raw-HLL estimate (single DOUBLE) from a register table (spec seam). */
+  private[graft] def hllEstimate(regs: DataFrame): Double =
+    regs.agg(count(lit(1)).as("occupied"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($HllRankCap - max_rank AS INT))"))
+          .cast("long").as("so"))
+      .select((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0)
+        * lit(2199023255552.0) /
+        (col("so") + (lit(256L) - col("occupied")) * lit(1L << HllRankCap))
+          .cast("double")).as("est"))
+      .head().getDouble(0)
+
+  private val registersSqlBody =
+    s"""WITH tok AS (SELECT sh FROM $shinglesSql),
+       |r AS (SELECT ('0x' || substr(md5(sh), 1, 2))::BIGINT AS bucket,
+       |             substr(md5(sh), 3, 10) AS tail FROM tok),
+       |ranked AS (
+       |  SELECT bucket,
+       |         CASE WHEN tail = '0000000000' THEN CAST($HllRankCap AS BIGINT)
+       |              ELSE CAST(4 * length(regexp_extract(tail, '^0*', 0)) +
+       |                   CASE substr(tail, length(regexp_extract(tail, '^0*', 0)) + 1, 1)
+       |                        WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+       |                        WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+       |                        WHEN '7' THEN 1 ELSE 0 END + 1 AS BIGINT) END AS rnk
+       |  FROM r)
+       |SELECT bucket, max(rnk) AS max_rank FROM ranked GROUP BY bucket""".stripMargin
+
+  private val registersQ: Q = (s, d) => hllRegisters(s, d)
+
+  // Single-row summary: the raw-HLL estimate (no small-range correction —
+  // ln() never crosses engines; documented estimator choice) next to the
+  // exact distinct count. s_scaled = Σ 2^(41-rank) over all 256 registers
+  // (empty register ⇒ rank 0 ⇒ 2^41) — exact BIGINT, so the only IEEE
+  // arithmetic is the one final α·m²·2^41 / S expression.
+  private val cardinalityQ: Q = (s, d) => {
+    val regs = hllRegisters(s, d)
+      .agg(count(lit(1)).as("occupied"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($HllRankCap - max_rank AS INT))"))
+          .cast("long").as("so"))
+      .select(lit(256L).as("m"), col("occupied"),
+        (col("so") + (lit(256L) - col("occupied")) * lit(1L << HllRankCap))
+          .as("s_scaled"))
+    val exact = shingleStream(s, d).agg(
+      count_distinct(col("sh")).cast("long").as("exact_distinct"))
+    regs.crossJoin(broadcast(exact))
+      .select(col("m"), col("occupied"), col("s_scaled"),
+        (round(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0)
+          * lit(2199023255552.0) / col("s_scaled").cast("double"), 4) + lit(0.0))
+          .as("est"),
+        col("exact_distinct"))
+  }
+
+  // ---- CMS heavy hitters: d=4 × w=1024 over shingle df ----
+  private def cmsBucket(rc: Column, vc: Column): Column =
+    pmod(hexLong(md5(concat(rc.cast("string"), lit("#"), vc)), 1, 8), lit(1024L))
+
+  private val heavyHittersQ: Q = (s, d) =>
+    heavyHittersOf(shingleStream(s, d).select(col("sh")))
+
+  /** CMS top-20 estimate table over column `sh` (spec seam). */
+  private[graft] def heavyHittersOf(tok: DataFrame): DataFrame = {
+    val rows = explode(array((0 to 3).map(lit(_)): _*)).as("r")
+    val sketch = tok.select(col("sh"), rows)
+      .select(col("r"), cmsBucket(col("r"), col("sh")).as("b"))
+      .groupBy("r", "b").agg(count(lit(1)).as("c"))
+    val probes = tok.groupBy("sh").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("sh").asc).limit(20)
+    broadcast(probes.select(col("sh"), col("exact_cnt"), rows)
+      .select(col("sh"), col("exact_cnt"), col("r"),
+        cmsBucket(col("r"), col("sh")).as("b")))
+      .join(sketch, Seq("r", "b"))
+      .groupBy("sh", "exact_cnt").agg(min(col("c")).as("cms_est"))
+      .select(col("sh").as("shingle"), col("exact_cnt"), col("cms_est"))
+  }
+
+  // ---- Bloom prefilter: k=3, m = pow2ceil(8·|members|) bits (floor
+  // 512) — the DedupQueries.autoBits pattern: the filter is SIZED from
+  // the member count with a pure integer formula replayed verbatim in
+  // the twin (2^bitlen(8n−1) via length(bin(…)) in DuckDB), so the FP
+  // rate stays a designed ~2-3% at any SF instead of saturating as the
+  // corpus grows. Member set = test-split fingerprints, probes =
+  // train-split fingerprints (split rule = q_data_split's Knuth hash;
+  // fingerprint = q_fingerprint's md5 prefix). At 100 TB the position
+  // set is ≤m rows → a broadcast bit-set probe before any shingle join.
+  private def bloomPos(kc: Column, fpc: Column, m: Long): Column =
+    pmod(hexLong(md5(concat(kc.cast("string"), lit("#"), fpc)), 1, 8), lit(m))
+
+  private val isTestCol =
+    pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(100)) >= 90
+
+  private[graft] def bloomBitsFor(n: Long): Long = {
+    val p = 8L * n
+    val m = 1L << (64 - java.lang.Long.numberOfLeadingZeros(math.max(0L, p - 1)))
+    math.max(512L, m)
+  }
+
+  private val bloomQ: Q = (s, d) => bloomSummary(Tables.documents(s, d))
+
+  /** Bloom prefilter summary over a (doc_id, text) frame (spec seam). */
+  private[graft] def bloomSummary(docs: DataFrame): DataFrame = {
+    val m = bloomBitsFor(docs.filter(isTestCol).count())
+    val ks = explode(array((0 to 2).map(lit(_)): _*)).as("k")
+    val fp = docs.select(
+      col("doc_id"),
+      substring(md5(col("text")), 1, 16).as("fp"),
+      isTestCol.as("is_test"))
+    val bits = fp.filter(col("is_test")).select(col("fp"), ks)
+      .select(bloomPos(col("k"), col("fp"), m).as("pos")).distinct()
+    val probes = fp.filter(!col("is_test")).select(col("doc_id"), col("fp"))
+    val hits = probes.select(col("doc_id"), col("fp"), ks)
+      .select(col("doc_id"), col("fp"), bloomPos(col("k"), col("fp"), m).as("pos"))
+      .join(broadcast(bits), Seq("pos"))
+      .groupBy("doc_id", "fp").agg(count(lit(1)).as("nk"))
+      .filter(col("nk") === 3)
+    val exactSet = fp.filter(col("is_test")).select(col("fp")).distinct()
+    val nProbes = probes.agg(count(lit(1)).as("n_probes"))
+    val nBits = bits.agg(count(lit(1)).as("n_bits_set"))
+    val nPos = hits.agg(count(lit(1)).as("bloom_positives"))
+    val nTrue = hits.join(broadcast(exactSet), Seq("fp"))
+      .agg(count(lit(1)).as("true_positives"))
+    nProbes.select(col("n_probes"), lit(m).as("m_bits"))
+      .crossJoin(broadcast(nBits)).crossJoin(broadcast(nPos))
+      .crossJoin(broadcast(nTrue))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_sketch_registers" -> registersQ,
+    "q_sketch_cardinality" -> cardinalityQ,
+    "q_sketch_heavy_hitters" -> heavyHittersQ,
+    "q_sketch_bloom" -> bloomQ)
+
+  val oracle: Map[String, String] = Map(
+    "q_sketch_registers" -> registersSqlBody,
+    "q_sketch_cardinality" ->
+      s"""WITH regs AS ($registersSqlBody),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS occupied,
+         |             CAST(sum(1::BIGINT << ($HllRankCap - max_rank)) AS BIGINT) AS so
+         |      FROM regs),
+         |t AS (SELECT CAST(256 AS BIGINT) AS m, occupied,
+         |             so + (256 - occupied) * (1::BIGINT << $HllRankCap) AS s_scaled
+         |      FROM s)
+         |SELECT m, occupied, s_scaled,
+         |       round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 2199023255552.0
+         |             / CAST(s_scaled AS DOUBLE), 4) + 0.0 AS est,
+         |       (SELECT CAST(count(DISTINCT sh) AS BIGINT) FROM $shinglesSql) AS exact_distinct
+         |FROM t""".stripMargin,
+    "q_sketch_heavy_hitters" ->
+      s"""WITH tok AS (SELECT sh FROM $shinglesSql),
+         |rws AS (SELECT unnest([0,1,2,3]) AS r),
+         |sketch AS (
+         |  SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || '#' || sh), 1, 8))::BIGINT % 1024 AS b,
+         |         CAST(count(*) AS BIGINT) AS c
+         |  FROM tok CROSS JOIN rws GROUP BY 1, 2),
+         |exact AS (SELECT sh, CAST(count(*) AS BIGINT) AS exact_cnt FROM tok GROUP BY sh),
+         |probes AS (SELECT sh, exact_cnt FROM exact ORDER BY exact_cnt DESC, sh LIMIT 20)
+         |SELECT p.sh AS shingle, p.exact_cnt, min(s.c) AS cms_est
+         |FROM probes p CROSS JOIN rws pr
+         |JOIN sketch s ON s.r = pr.r
+         | AND s.b = ('0x' || substr(md5(CAST(pr.r AS VARCHAR) || '#' || p.sh), 1, 8))::BIGINT % 1024
+         |GROUP BY p.sh, p.exact_cnt""".stripMargin,
+    "q_sketch_bloom" ->
+      """WITH fp AS (
+        |  SELECT doc_id, substr(md5(text), 1, 16) AS fp,
+        |         CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 >= 90
+        |              THEN 1 ELSE 0 END AS is_test
+        |  FROM documents),
+        |mm AS (SELECT greatest(512, 1::BIGINT << length(bin(greatest(
+        |         CAST(count(*) AS BIGINT) * 8 - 1, 0)))) AS m
+        |       FROM fp WHERE is_test = 1),
+        |ks AS (SELECT unnest([0,1,2]) AS k),
+        |bits AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(CAST(k AS VARCHAR) || '#' || fp), 1, 8))::BIGINT % (SELECT m FROM mm) AS pos
+        |  FROM fp CROSS JOIN ks WHERE is_test = 1),
+        |probes AS (SELECT doc_id, fp FROM fp WHERE is_test = 0),
+        |hits AS (
+        |  SELECT p.doc_id, p.fp
+        |  FROM probes p CROSS JOIN ks
+        |  JOIN bits b ON b.pos = ('0x' || substr(md5(CAST(ks.k AS VARCHAR) || '#' || p.fp), 1, 8))::BIGINT % (SELECT m FROM mm)
+        |  GROUP BY p.doc_id, p.fp HAVING count(*) = 3),
+        |ex AS (SELECT DISTINCT fp FROM fp WHERE is_test = 1)
+        |SELECT CAST((SELECT count(*) FROM probes) AS BIGINT) AS n_probes,
+        |       (SELECT m FROM mm) AS m_bits,
+        |       CAST((SELECT count(*) FROM bits) AS BIGINT) AS n_bits_set,
+        |       CAST((SELECT count(*) FROM hits) AS BIGINT) AS bloom_positives,
+        |       CAST((SELECT count(*) FROM hits h JOIN ex ON ex.fp = h.fp) AS BIGINT) AS true_positives""".stripMargin)
+}
