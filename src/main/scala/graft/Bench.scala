@@ -228,11 +228,18 @@ object Bench {
       for ((b, bfn) <- artifacts if coldBuilds(b) &&
           artifactDeps.getOrElse(b, Set.empty)(name)) {
         val t0 = System.nanoTime()
-        try bfn(spark, sfDir).queryExecution.toRdd
-          .foreachPartition(it => it.foreach(_ => ()))
-        catch { case _: Throwable => () }
+        // only mark warm on success: a failed warm must leave the build
+        // cold so the next dependent rep's contamination stays visible
+        // rather than silently folded into a "warm" sample (ADVICE r13)
+        try {
+          bfn(spark, sfDir).queryExecution.toRdd
+            .foreachPartition(it => it.foreach(_ => ()))
+          coldBuilds -= b
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] untimed warm of $b FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
         spentS += (System.nanoTime() - t0) / 1e9
-        coldBuilds -= b
       }
     // Streaming twins run FIRST in each pass (r12 — VERDICT r11 #1): the
     // in-sweep penalty on stateful runs grows with accumulated

@@ -33,7 +33,10 @@ object GraphBuild {
       // centroids — given these exact doubles, scaling and assignment
       // are plain replayable arithmetic
       scaleStats: Array[(Double, Double)] = Array.empty,
-      centers: Array[Array[Double]] = Array.empty)
+      centers: Array[Array[Double]] = Array.empty,
+      // PRE-rebalance tree rows (r14): exported so the q_graph_build /
+      // q_e1_pipeline oracles can replay rebalance+flatten relationally
+      preRows: Seq[TreeOps.PreRow] = Nil)
 
   /** Per-dim (mu, sigma) with population σ (sklearn ddof=0,
     * graph_creator.py:114); σ == 0 dims are already replaced by 1.0
@@ -167,8 +170,8 @@ object GraphBuild {
     val sizes = labels.groupBy("cluster").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val dendro = Ward.linkage(centers)
-    val tree = TreeOps.rebalance(
-      TreeOps.fromDendro(dendro, sizes), maxDepth = maxDepth, maxFanout = maxFanout)
+    val preTree = TreeOps.fromDendro(dendro, sizes)
+    val tree = TreeOps.rebalance(preTree, maxDepth = maxDepth, maxFanout = maxFanout)
     val (rows, assign) = TreeOps.flatten(tree)
 
     val graph = rows.toDF()
@@ -177,7 +180,8 @@ object GraphBuild {
     val assignDF = assign.toSeq.toDF("cluster", "graph_id")
     val movies = labels.join(broadcast(assignDF), Seq("cluster"))
       .select(col(idCol).as("movie_id"), col("graph_id"))
-    GraphTables(graph, movies, labels, Seq(input, scaled), stats, centers)
+    GraphTables(graph, movies, labels, Seq(input, scaled), stats, centers,
+      TreeOps.preorder(preTree))
   }
 
   /** E2 serving (graph_repo.py:92-135): immediate children of a node via

@@ -56,6 +56,52 @@ object TreeOps {
     node.copy(children = children)
   }
 
+  /** One PRE-rebalance tree row for the q_graph_build oracle export
+    * (r14): preorder index (root = 1), parent's preorder index (0 for
+    * the root), ORIGINAL depth, merge distance, rolled-up member count,
+    * and whether the node is an original dendrogram leaf. Given these
+    * rows, the rebalance + flatten output is replayable relational
+    * logic (see [[preorder]]).
+    */
+  final case class PreRow(pre_id: Long, parent_id: Long, depth: Long,
+      dist: Double, cnt: Long, is_leaf: Boolean)
+
+  /** DFS-preorder dump of the pre-rebalance tree — the oracle-side
+    * input for replaying [[rebalance]]+[[flatten]] in SQL.
+    *
+    * Why the replay is possible without simulating the sweep loop: Ward
+    * linkage heights are monotone (parent merge distance ≥ child's), so
+    * a child pulled up by a dissolution can never re-qualify against
+    * the higher ancestor (its ratio only shrinks). The fixpoint
+    * therefore collapses to per-edge predicates on THIS tree:
+    *   - a node VANISHES iff original depth ≥ maxDepth+1 (an ancestor
+    *     was leaf-ified before any dissolution could reach it);
+    *   - a node is DISSOLVED iff it has children, its original depth <
+    *     maxDepth, and dist/(parent.dist+1e-9) > ratio — checked against
+    *     the ORIGINAL parent only, because that is whose child list it
+    *     sits in when swept (later re-sweeps against higher ancestors
+    *     can't fire, per the monotonicity argument);
+    *   - survivors keep original-preorder order (in-place splicing), so
+    *     flatten ids = preorder rank among survivors, and the final
+    *     parent is the nearest non-dissolved proper ancestor.
+    * The binary dendrogram always enters the sweep (2 < maxFanout) and
+    * one sweep suffices, so the fanout cap never binds on monotone
+    * input. `RebalanceSpec` pins loop ≡ per-edge-rule on random
+    * monotone trees; the oracle hash re-checks it on every real build.
+    */
+  def preorder(root: TNode): Seq[PreRow] = {
+    val out = Seq.newBuilder[PreRow]
+    var next = 0L
+    def walk(n: TNode, parent: Long, depth: Int): Unit = {
+      next += 1
+      val id = next
+      out += PreRow(id, parent, depth.toLong, n.distance, n.count, n.children.isEmpty)
+      n.children.foreach(walk(_, id, depth + 1))
+    }
+    walk(root, 0L, 0)
+    out.result()
+  }
+
   /** One flattened graph row (D6 `graph` table, SURVEY.md §1). */
   final case class GraphRow(
       id: Long, path: String, name: String, tpe: String,

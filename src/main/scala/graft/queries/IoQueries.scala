@@ -211,12 +211,34 @@ object IoQueries {
   private def e1Scored(s: SparkSession, d: String): DataFrame =
     e1ScoredCache.getOrElseUpdate(s, d)(graft.Pipeline.e1Scored(s, d).persist())
 
-  /** E1 end-to-end (rows-only): the full reference pipeline in one DAG;
-    * invariants tested in PipelineSpec.
+  /** Where E1's own pre-rebalance tree is exported for the
+    * q_e1_pipeline oracle (r14, VERDICT r13 #2) — E1's graph build runs
+    * the same rebalance+flatten as q_graph_build over its own Ward
+    * tree, so the same replay graduates it; see
+    * GraphQueries.rebalanceReplaySql. Distinct fixed path: the two
+    * builds produce different trees.
     */
-  private val e1: Q = (s, d) =>
-    e1Cache.getOrElseUpdate(s, d)(
-      graft.Pipeline.e1FromScored(e1Scored(s, d))).graph
+  private def e1PreTreePath: String = Paths
+    .get(sys.props("java.io.tmpdir"), "graft_e1_pretree").toString
+
+  /** E1 end-to-end — hash-checked since r14 via the pre-tree export +
+    * rebalance replay (the whole composed DAG's D6 graph table,
+    * deterministic names included; only centroid GEOMETRY stays fenced,
+    * and that is covered by the o51/ward export replays upstream).
+    * Structural invariants additionally tested in PipelineSpec.
+    */
+  private val e1: Q = (s, d) => {
+    val gt = e1Cache.getOrElseUpdate(s, d) {
+      val t = graft.Pipeline.e1FromScored(e1Scored(s, d))
+      // export rides the memo: written once per (session, dir) with the
+      // build, never on a warm serving rep (ADVICE r13 export pattern)
+      GraphQueries.writePreTree(s, t.preRows, e1PreTreePath)
+      t
+    }
+    gt.graph.select(col("id"), col("path"), col("name"), col("type"),
+      col("children_count"), col("depth"), col("count"),
+      (round(col("distance"), 6) + lit(0.0)).as("distance"))
+  }
 
   /** Drop memoized pipeline artifacts (bench cold-timing hook);
     * unpersists the graph build's internal caches too (GraphTables doc).
@@ -387,6 +409,7 @@ object IoQueries {
 
   val oracle: Map[String, String] = Map(
     "q_e1_features" -> e1FeaturesSql,
+    "q_e1_pipeline" -> GraphQueries.rebalanceReplaySql(e1PreTreePath),
     "q_parquet_compact" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
