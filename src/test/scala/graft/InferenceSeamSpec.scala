@@ -111,6 +111,28 @@ class InferenceSeamSpec extends SparkSpec {
     assert(viaFactory.predictBatch(Seq("seam check")).head.sum > 0.99)
   }
 
+  test("quantized ONNX path emits LinearModel's exact integer logits (r14)") {
+    // the q_infer_onnx contract: the float32 Gemm over the quantized
+    // fixture is exact-integer by construction, so the ONNX forward
+    // pass must reproduce the LinearModel's ×1e6 logits BIT-FOR-BIT —
+    // including emoji (surrogate pairs land in the punct class once),
+    // long texts (capped length feature), and empty strings
+    val onnx = new Inference.OnnxLogitModel()
+    val lin = new Inference.LinearModel()
+    val texts = Seq(
+      "", " ", "plain text with vowels", "UPPER 12345 !!!",
+      "😀 emoji and spaces 🎉", "a" * 500,
+      "mixed 42 Words, punct; and\nnewlines\ttabs",
+      (1 to 100).map(i => s"tok$i").mkString(" "))
+    assert(onnx.logitsE6Batch(texts).map(_.toSeq) ===
+      lin.logitsE6Batch(texts).map(_.toSeq))
+    // and the checked-in resource is byte-identical to the generator
+    val in = classOf[Inference.OnnxLogitModel]
+      .getResourceAsStream("/graft/emotion_mlp_q.onnx")
+    val resBytes = try in.readAllBytes() finally in.close()
+    assert(resBytes.toSeq === OnnxFixture.emotionMlpQBytes().toSeq)
+  }
+
   test("OnnxMini fails loudly on unsupported graphs, not silently") {
     // an unsupported op must throw at run time — a skipped node would
     // silently mis-score every row

@@ -204,6 +204,19 @@ object OnnxFixture {
     val b = cw.map(r => r(5) / 100.0f)
     gemmModelBytes(w, b)
   }
+
+  /** The QUANTIZED fixture (`graft/emotion_mlp_q.onnx`, r14): the same
+    * Gemm graph with centi-weights as whole-number float32 and bias
+    * ×1e4, so with raw basis-point inputs the forward pass is exact
+    * integer arithmetic and the graph output IS the ×1e6 logit —
+    * see [[Inference.OnnxLogitModel]].
+    */
+  def emotionMlpQBytes(): Array[Byte] = {
+    val cw = new Inference.LinearModel().centiWeights
+    val w = cw.map(_.take(5).map(_.toFloat))
+    val b = cw.map(r => (r(5) * 10000L).toFloat)
+    gemmModelBytes(w, b)
+  }
 }
 
 /** One-shot generator for `src/main/resources/graft/emotion_mlp.onnx` —
@@ -215,5 +228,8 @@ object MakeOnnxFixture {
     val out = java.nio.file.Paths.get("src/main/resources/graft/emotion_mlp.onnx")
     java.nio.file.Files.write(out, OnnxFixture.emotionMlpBytes())
     println(s"wrote $out (${OnnxFixture.emotionMlpBytes().length} bytes)")
+    val outQ = java.nio.file.Paths.get("src/main/resources/graft/emotion_mlp_q.onnx")
+    java.nio.file.Files.write(outQ, OnnxFixture.emotionMlpQBytes())
+    println(s"wrote $outQ (${OnnxFixture.emotionMlpQBytes().length} bytes)")
   }
 }
