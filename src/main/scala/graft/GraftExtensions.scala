@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{CosineSimilarityExpr, DotProductExpr, L2DistanceExpr, TokenShinglesExpr}
+import graft.functions.expressions.{CleanSuffixExpr, CosineSimilarityExpr, DotProductExpr, L2DistanceExpr, TokenShinglesExpr}
 
 /** Session extension registering the engine's native expressions as SQL
   * functions (`cosine_similarity`, `l2_distance`) — enable with
@@ -34,5 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("token_shingles"),
       new ExpressionInfo(classOf[TokenShinglesExpr].getName, "token_shingles"),
       (children: Seq[Expression]) => TokenShinglesExpr(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("clean_suffix"),
+      new ExpressionInfo(classOf[CleanSuffixExpr].getName, "clean_suffix"),
+      (children: Seq[Expression]) => CleanSuffixExpr(children(0))))
   }
 }

@@ -149,11 +149,14 @@ object TextClean {
     // chain strips after each preceding tool
     t = pyStrip(t)
     t = rr(rr(rr(t, upperLabel), mixedLabel), vttVoice)
-    t = rr(rr(rr(rr(rr(t, leadDash), ellipsis), dblDash), quotes), dialogPunct)
-    t = rr(t, "[\\n\\r]", " ")
-    t = rr(t, "[^a-zA-Z\\s]")
-    t = rr(t, fillers)
-    lower(pyStrip(rr(t, " +", " ")))
+    // the 9-pass suffix (ellipsis → dblDash → quotes → dialogPunct →
+    // newlines → non-alpha → fillers → collapse → strip+lower) runs as
+    // ONE native two-scan kernel (r14 — VERDICT r13 #3): see
+    // CleanSuffix for the exactness argument; leadDash stays regex (its
+    // `(?m)^\s*-+\s*` consumes anchored whitespace the char map can't).
+    // Parity guardrails unchanged: TextCleanSpec diffs against the
+    // sequential chain, tools/ref_fidelity.py against the reference.
+    call_function("clean_suffix", rr(t, leadDash))
   }
   def cleanSubtitlesSql(e: String): String = {
     var t = rrSql(rrSql(rrSql(e, srtTs), bareCueNum), webvtt)

@@ -70,7 +70,16 @@ class TextCleanSpec extends SparkSpec {
     Seq(
       "(a[b)c]d)", "a-..-b", "  JOHN: hi\nplain", "\n SAM : yo",
       "12\n1200:00:01,000 --> 00:00:02,00034\ntext",
-      "[(nested]) {curly[}] done", "...---...", "um5 uh6 gonna7")
+      "[(nested]) {curly[}] done", "...---...", "um5 uh6 gonna7",
+      // r14 CleanSuffix kernel targets: filler near-misses (umuh, errm,
+      // likeok must SURVIVE; erm/ermm/hm/hmmm/OK/Er must go), punct
+      // glued to fillers (boundary still a boundary after char drop),
+      // tabs/vertical-tab/formfeed (kept by \s, never collapsed),
+      // unicode + curly quotes, and edge-whitespace interplay
+      "umuh errm likeok keepme", "erm ermm hm hmmm OK Er yeah",
+      "um,ok!uh stay", "a\tbc\fd \t ", "\t um \t",
+      "don’t “quote” naïve café 😀", "x  \t  y", " \n um\r\n ",
+      "HM UHHH AHH ohh ERRR", "o k likes oklahoma umpire")
       .foreach { s =>
         val fused = evalStr(cleanSubtitles(lit(s)))
         val seq = evalStr(cleanSubtitlesSequential(lit(s)))
