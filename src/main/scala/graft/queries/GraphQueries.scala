@@ -232,8 +232,16 @@ object GraphQueries {
     * (2.0·si·sj/(si+sj)·Σ(ciₖ−cjₖ)² left-assoc, index-order sum), picks
     * the (d, i, j)-lexicographic minimum (= the Scala scan's strict-<
     * first-pair tie-break), and splices in the weighted centroid
-    * ((ci·wl + cj·wr)/(wl+wr) per dim, same two ops). Only the tree
-    * SHAPING (rebalance/flatten) remains fenced in q_graph_build.
+    * ((ci·wl + cj·wr)/(wl+wr) per dim, same two ops).
+    *
+    * Twin viability bound (ADVICE r13): the CTE replay is
+    * O(steps × pairs × dim) list-lambda work — ~3·10⁶ lambda evals at the
+    * bench SFs (k≈120-150 micro-clusters, seconds in DuckDB) but ~10¹⁰ at
+    * the reference's ≤800-centroid contract, where the oracle check
+    * itself becomes impractical. The twin is the VERIFICATION harness,
+    * not the operator: past k≈200, verify a capped prefix of the merge
+    * sequence (`WHERE step <= N` on both sides) — the engine-side
+    * linkageTrace is unaffected.
     */
   private val wardDendro: Q = (s, d) => {
     val bt = built(s, d)
