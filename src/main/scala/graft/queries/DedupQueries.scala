@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -269,6 +270,57 @@ object DedupQueries {
 
   private val embedDupMp: Q = (s, d) => embedPairsMp(s, d, autoBits(s, d))
 
+  // ---- semantic dedup within coarse-quantizer clusters (SemDeDup) ----
+  // The cluster-then-compare shape of Abbas et al. 2023 ("SemDeDup"):
+  // assign every vector to its IVF coarse-quantizer cluster, then score
+  // pairs ONLY within a cluster — pair work is Σ|list|² with the list
+  // length held constant by AnnIvf.autoNList (~500), i.e. LINEAR in the
+  // corpus, never n², and each list's pair join is an equi-join on the
+  // cluster id Catalyst hash-partitions. Same planted near-dup corpus as
+  // q_dedup_embed (vec_id+100000, dim-1 perturbed). A planted pair whose
+  // members straddle a cluster boundary is MISSED by design — SemDeDup's
+  // documented recall trade vs the LSH multiprobe family; the spec pins
+  // the measured recall. Per near-dup set the LOWEST id is the keeper
+  // (min keep_cand per drop_id, the q_dedup_exact convention).
+  //
+  // Oracle: the q_ann_ivf centroid-export replay — cluster assignment is
+  // the exact replayable rule (index-order squared L2, strict <, tie →
+  // lowest cluster), everything downstream is plain arithmetic.
+  private val SemThreshold = 0.98
+
+  private val semantic: Q = (s, d) => {
+    val sp = s
+    import sp.implicits._
+    val index = VectorQueries.ivfIndex(s, d)
+    val cents: Array[(Int, Array[Double])] = index.centroids
+      .select(col("cluster").cast("int"), col("centroid"))
+      .as[(Int, Seq[Double])].collect()
+      .map { case (c, v) => (c, v.toArray) }
+      .sortBy(_._1)
+    val mut = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("e"))
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        concat(array(element_at(col("e"), 1) + lit(0.05)), slice(col("e"), 2, 63)).as("e"))
+    // base rows reuse the index's own assignment (identical rule), only
+    // the mutated twin pays the assignment pass; persisted — both sides
+    // of the within-cluster self-join
+    val corpus = graft.Scratch.persist(
+      index.assigned.select("vec_id", "e", "cluster")
+        .unionAll(graft.operators.AnnIvf.assignNearestArr(mut, "vec_id", "e", cents)
+          .select("vec_id", "e", "cluster"))
+        .withColumn("nrm", norm2(col("e"))))
+    corpus.as("a").join(corpus.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cluster").cast("long").as("cluster"),
+        col("a.vec_id").as("keep_cand"), col("b.vec_id").as("drop_id"),
+        round(dotNative(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .filter(col("cos") >= SemThreshold)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("drop_id").orderBy(col("keep_cand"))))
+      .filter(col("rk") === 1)
+      .select(col("drop_id"), col("keep_cand").as("keep_id"), col("cluster"), col("cos"))
+  }
+
   // ---- chunk-level (paragraph) dedup / boilerplate-span mining ----
   // C4-style sub-document dedup: documents are chunked (the O-31
   // chunker), each span hashed, and spans whose hash recurs across the
@@ -368,6 +420,7 @@ object DedupQueries {
     "q_dedup_jaccard" -> jaccard,
     "q_dedup_embed" -> embedDup,
     "q_dedup_embed_mp" -> embedDupMp,
+    "q_dedup_semantic" -> semantic,
     "q_dedup_cc" -> ccGroups,
     "q_dedup_chunks" -> chunkDup)
 
@@ -470,6 +523,33 @@ object DedupQueries {
          |         round(${dotSql("a.e", "b.e")} / (a.nrm * b.nrm), 6) AS cos
          |  FROM probes a JOIN bk b ON a.pbucket = b.bucket AND a.vec_id < b.vec_id)
          |WHERE cos >= 0.98""".stripMargin
+    },
+    "q_dedup_semantic" -> {
+      val e = s"(SELECT vec_id, ${toDoubleArrSql("embedding")} AS e FROM embeddings)"
+      val sqDist = (a: String, b: String) =>
+        s"list_sum(list_transform(generate_series(1, len($a)), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+      s"""WITH cents AS (SELECT cluster, centroid FROM '${VectorQueries.ivfExportPath}/*.parquet'),
+         |corpus AS (
+         |  SELECT vec_id, e FROM $e
+         |  UNION ALL
+         |  SELECT vec_id+100000 AS vec_id, list_concat([e[1]+0.05], e[2:64]) AS e FROM $e),
+         |assigned AS (
+         |  SELECT vec_id, e, cluster, ${norm2Sql("e")} AS nrm FROM (
+         |    SELECT a.vec_id, a.e, c.cluster,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY ${sqDist("a.e", "c.centroid")}, c.cluster) AS ark
+         |    FROM corpus a CROSS JOIN cents c)
+         |  WHERE ark = 1),
+         |pairs AS (
+         |  SELECT CAST(a.cluster AS BIGINT) AS cluster,
+         |         a.vec_id AS keep_cand, b.vec_id AS drop_id,
+         |         round(${dotSql("a.e", "b.e")} / (a.nrm * b.nrm), 6) AS cos
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+         |SELECT drop_id, keep_cand AS keep_id, cluster, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY drop_id ORDER BY keep_cand) AS rk
+         |  FROM pairs WHERE cos >= $SemThreshold)
+         |WHERE rk = 1""".stripMargin
     },
     "q_dedup_chunks" ->
       s"""WITH corpus AS (

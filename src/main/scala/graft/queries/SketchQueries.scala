@@ -243,11 +243,68 @@ object SketchQueries {
       .crossJoin(broadcast(nTrue))
   }
 
+  // ---- quantile profile: fixed-width histogram sketch + exact arm ----
+  // The distribution statistic a packing/curation pipeline plans with
+  // (sequence-length budgeting for q_pack_sequences, truncation-loss
+  // estimates): p50/p90/p99 of per-doc whitespace token counts.
+  //  - SKETCH arm: a fixed-width histogram (bin = tc DIV 16) — constant
+  //    state per value-range, one map-side-combined groupBy, mergeable
+  //    across corpora by bin-wise addition (the HLL/CMS property). The
+  //    quantile is bracketed to [est_lo, est_hi] = the crossing bin.
+  //  - EXACT arm: per-VALUE counts (bounded by the value domain, not the
+  //    corpus) + the adaptive prefix sum (Ordinals.prefixSum — plain
+  //    window at bench SFs, bucketed two-level past 64k distinct
+  //    values), then exact_q = min value whose cumulative count reaches
+  //    ceil(q·n) — percentile_disc in pure integer arithmetic.
+  // All integers end to end; the rank rule (q_bp·n + 9999) DIV 10000 is
+  // replayed verbatim in the twin, so no FP boundary exists anywhere.
+  private val QuantBps = Seq(5000L, 9000L, 9900L)
+  private val QBinW = 16L
+
+  private val quantilesQ: Q = (s, d) =>
+    quantilesOf(Tables.documents(s, d)
+      .select(expr("CAST(size(split(text, ' ')) AS BIGINT)").as("tc")))
+
+  /** Quantile profile of the BIGINT column `tc` (spec seam). */
+  private[graft] def quantilesOf(vals: DataFrame): DataFrame = {
+    val sp = vals.sparkSession
+    import sp.implicits._
+    val vc = graft.Scratch.persist(
+      vals.groupBy("tc").agg(count(lit(1)).as("cnt")))
+    // the cumulative runs over the DISTINCT-VALUE table (bounded by the
+    // value domain, not the corpus), under ONE group. The group key is
+    // pmod(v, 1) — constant-valued but not foldable: a lit(0) would be
+    // constant-folded into an EMPTY window partition spec (the
+    // single-partition warning PlanSpec bans); past 64k distinct values
+    // prefixSum switches itself to the bucketed two-level form.
+    val cum = graft.operators.Ordinals.prefixSum(
+      vc.withColumn("g", pmod(col("tc"), lit(1L))), "g", "tc", "cnt", "cum")
+    val bins = vc.select(expr(s"tc DIV $QBinW").as("bin"), col("cnt"))
+      .groupBy("bin").agg(sum(col("cnt")).as("bcnt"))
+    val bcum = graft.operators.Ordinals.prefixSum(
+      bins.withColumn("g", pmod(col("bin"), lit(1L))), "g", "bin", "bcnt", "bcum")
+    val n = vc.agg(sum(col("cnt")).as("n"))
+    val ranks = QuantBps.toDF("q_bp")
+      .crossJoin(broadcast(n))
+      .select(col("q_bp"), col("n"), expr("(q_bp * n + 9999) DIV 10000").as("rnk"))
+    // 3-row ranks frame broadcast into the range condition — the
+    // accepted stats-frame BroadcastNestedLoop pattern (PlanSpec)
+    val exact = broadcast(ranks).join(cum, col("cum") >= col("rnk"))
+      .groupBy("q_bp").agg(min(col("tc")).as("exact_q"))
+    val est = broadcast(ranks).join(bcum, col("bcum") >= col("rnk"))
+      .groupBy("q_bp").agg(min(col("bin")).as("ebin"))
+    ranks.join(exact, "q_bp").join(est, "q_bp")
+      .select(col("q_bp"), col("n"), col("rnk"), col("exact_q"),
+        expr(s"ebin * $QBinW").as("est_lo"),
+        expr(s"ebin * $QBinW + ${QBinW - 1}").as("est_hi"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sketch_registers" -> registersQ,
     "q_sketch_cardinality" -> cardinalityQ,
     "q_sketch_heavy_hitters" -> heavyHittersQ,
-    "q_sketch_bloom" -> bloomQ)
+    "q_sketch_bloom" -> bloomQ,
+    "q_sketch_quantiles" -> quantilesQ)
 
   val oracle: Map[String, String] = Map(
     "q_sketch_registers" -> registersSqlBody,
@@ -302,5 +359,19 @@ object SketchQueries {
         |       (SELECT m FROM mm) AS m_bits,
         |       CAST((SELECT count(*) FROM bits) AS BIGINT) AS n_bits_set,
         |       CAST((SELECT count(*) FROM hits) AS BIGINT) AS bloom_positives,
-        |       CAST((SELECT count(*) FROM hits h JOIN ex ON ex.fp = h.fp) AS BIGINT) AS true_positives""".stripMargin)
+        |       CAST((SELECT count(*) FROM hits h JOIN ex ON ex.fp = h.fp) AS BIGINT) AS true_positives""".stripMargin,
+    "q_sketch_quantiles" ->
+      s"""WITH v AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS tc FROM documents),
+         |vc AS (SELECT tc, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY tc),
+         |cum AS (SELECT tc, CAST(sum(cnt) OVER (ORDER BY tc) AS BIGINT) AS cum FROM vc),
+         |bins AS (SELECT tc // $QBinW AS bin, CAST(sum(cnt) AS BIGINT) AS bcnt FROM vc GROUP BY 1),
+         |bcum AS (SELECT bin, CAST(sum(bcnt) OVER (ORDER BY bin) AS BIGINT) AS bcum FROM bins),
+         |nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vc),
+         |ranks AS (SELECT CAST(q_bp AS BIGINT) AS q_bp, n, (CAST(q_bp AS BIGINT) * n + 9999) // 10000 AS rnk
+         |          FROM (SELECT unnest([${QuantBps.mkString(",")}]) AS q_bp) CROSS JOIN nn),
+         |exact AS (SELECT q_bp, min(tc) AS exact_q FROM ranks r JOIN cum c ON c.cum >= r.rnk GROUP BY q_bp),
+         |est AS (SELECT q_bp, min(bin) AS ebin FROM ranks r JOIN bcum b ON b.bcum >= r.rnk GROUP BY q_bp)
+         |SELECT r.q_bp, r.n, r.rnk, e.exact_q,
+         |       s.ebin * $QBinW AS est_lo, s.ebin * $QBinW + ${QBinW - 1} AS est_hi
+         |FROM ranks r JOIN exact e USING (q_bp) JOIN est s USING (q_bp)""".stripMargin)
 }

@@ -352,6 +352,87 @@ object VectorQueries {
       .select("probe_id", "rk", "vec_id", "cos")
   }
 
+  // ---- MMR diversified re-rank ----
+  // Maximal marginal relevance (Carbonell & Goldstein 1998) over each
+  // probe's exact-cosine top-C candidates: greedily select k results
+  // maximizing 0.7·rel − 0.3·max_{s∈S} sim(c, s) — the standard
+  // redundancy-removal re-rank a retrieval stack runs after ANN.
+  //
+  // Scale shape: re-ranking is inherently per-probe sequential over a
+  // BOUNDED candidate set (C = 20), so the Spark-correct form is local
+  // per-row work after the candidate top-k — collect each probe's
+  // candidates + their pairwise sims into arrays (partitioned aggs,
+  // ≤C and ≤C·(C−1) elements) and run the greedy loop as ONE
+  // higher-order-function expression: embarrassingly parallel across
+  // probes, zero shuffle in the selection itself, no driver loop. An
+  // iterative k-round join would shuffle the whole probe set k times
+  // for work each probe can finish locally. (Element-wise lambdas only
+  // — no aliased-expression indexing, so the HOF quadratic trap from
+  // r10 does not apply.)
+  //
+  // Oracle parity: both engines score with the same expression tree
+  // over the same round-6 cosines (0.7·rel − 0.3·maxsim, left-assoc
+  // IEEE), ties to the lowest vec_id; the argmax fold is
+  // order-independent, so the nondeterministic collect_list order
+  // cannot leak. The twin replays the loop as a recursive CTE with the
+  // proven list_sort-struct argmax (the NSW-walk pattern). Precondition
+  // both sides share: C > k, so a pick always exists.
+  private val MmrProbes = 3
+  private val MmrCand = 20
+  private val MmrK = 8
+
+  private val mmrRerank: Q = (s, d) => {
+    val vecs = emb(s, d).select(col("vec_id"), col("e"))
+    val probes = vecs.filter(col("vec_id") < MmrProbes)
+      .select(col("vec_id").as("probe_id"), col("e").as("pv"))
+    // persisted: feeds the pair-sim self-join (twice) + the packing join
+    val cand = graft.Scratch.persist(
+      vecs.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          (round(cosineSimilarityNative(col("e"), col("pv")), 6) + lit(0.0)).as("rel"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("rel").desc, col("vec_id"))))
+        .filter(col("rk") <= MmrCand)
+        .select("probe_id", "vec_id", "rel"))
+    val withVec = cand.join(vecs, "vec_id")
+    val sims = withVec.as("a").join(withVec.as("b"),
+        col("a.probe_id") === col("b.probe_id") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.probe_id").as("probe_id"), col("a.vec_id").as("cid"),
+        col("b.vec_id").as("sid"),
+        (round(cosineSimilarityNative(col("a.e"), col("b.e")), 6) + lit(0.0)).as("sim"))
+    val simLists = sims.groupBy("probe_id", "cid")
+      .agg(collect_list(struct(col("sid"), col("sim"))).as("sl"))
+      .withColumnRenamed("cid", "vec_id")
+    val packed = cand.join(simLists, Seq("probe_id", "vec_id"), "left")
+      .withColumn("sl", coalesce(col("sl"),
+        expr("CAST(array() AS ARRAY<STRUCT<sid: BIGINT, sim: DOUBLE>>)")))
+      .groupBy("probe_id")
+      .agg(collect_list(struct(col("vec_id"), col("rel"), col("sl"))).as("cs"))
+    val selExpr = expr(
+      s"""aggregate(
+         |  sequence(1, $MmrK),
+         |  CAST(array() AS ARRAY<STRUCT<v: BIGINT, s: DOUBLE>>),
+         |  (acc, step) -> array_append(acc,
+         |    aggregate(
+         |      transform(
+         |        filter(cs, c -> NOT array_contains(transform(acc, a -> a.v), c.vec_id)),
+         |        c -> named_struct('v', c.vec_id,
+         |          's', CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) * coalesce(
+         |            array_max(transform(
+         |              filter(c.sl, p -> array_contains(transform(acc, a -> a.v), p.sid)),
+         |              p -> p.sim)),
+         |            CAST(-1.0 AS DOUBLE)))),
+         |      CAST(NULL AS STRUCT<v: BIGINT, s: DOUBLE>),
+         |      (best, x) -> CASE WHEN best IS NULL OR x.s > best.s
+         |                             OR (x.s = best.s AND x.v < best.v)
+         |                   THEN x ELSE best END)))""".stripMargin)
+    packed.select(col("probe_id"), posexplode(selExpr))
+      .select(col("probe_id"), (col("pos") + 1).cast("long").as("step"),
+        col("col.v").as("vec_id"),
+        (round(col("col.s"), 6) + lit(0.0)).as("score"))
+  }
+
   val queries: Map[String, Q] = Map(
     "o54_vec_distance" -> o54,
     "o56_ann_topk" -> o56,
@@ -360,6 +441,7 @@ object VectorQueries {
     "q_ann_recall" -> annRecall,
     "q_ann_recall_ivf" -> ivfRecall,
     "q_ann_recall_nsw" -> nswRecall,
+    "q_mmr_rerank" -> mmrRerank,
     "o37_cluster_centroids" -> o37,
     "o12_array_overlap" -> o12,
     "o41_f1_eval" -> o41)
@@ -662,6 +744,60 @@ object VectorQueries {
          |           ORDER BY round(${cosineSimilaritySql("a.e", "p.pv")}, 6) + 0.0 DESC, a.vec_id) AS BIGINT) AS rk
          |  FROM corpus a CROSS JOIN probes p)
          |WHERE rk <= 3""".stripMargin,
+    // MMR replay: the greedy selection loop as a recursive CTE carrying
+    // (selected list, remaining candidates) per probe — the Ward/NSW
+    // pattern: no window or aggregate in the recursive term, the argmax
+    // is list_sort of (s, −v, v) structs taken at [1] (= score DESC,
+    // vec_id ASC). Scores use the exact Spark expression tree over the
+    // same round-6 cosines.
+    "q_mmr_rerank" ->
+      s"""WITH RECURSIVE emb AS (SELECT vec_id, e FROM $embSql),
+         |probes AS (SELECT vec_id AS probe_id, e AS pv FROM emb WHERE vec_id < $MmrProbes),
+         |cand AS (
+         |  SELECT probe_id, vec_id, rel FROM (
+         |    SELECT p.probe_id, a.vec_id,
+         |           round(${cosineSimilaritySql("a.e", "p.pv")}, 6) + 0.0 AS rel,
+         |           row_number() OVER (PARTITION BY p.probe_id
+         |             ORDER BY round(${cosineSimilaritySql("a.e", "p.pv")}, 6) + 0.0 DESC, a.vec_id) AS rk
+         |    FROM emb a CROSS JOIN probes p
+         |    WHERE a.vec_id <> p.probe_id)
+         |  WHERE rk <= $MmrCand),
+         |psims AS (
+         |  SELECT a.probe_id, a.vec_id AS cid, b.vec_id AS sid,
+         |         round(${cosineSimilaritySql("ea.e", "eb.e")}, 6) + 0.0 AS sim
+         |  FROM cand a JOIN cand b ON a.probe_id = b.probe_id AND a.vec_id <> b.vec_id
+         |  JOIN emb ea ON ea.vec_id = a.vec_id
+         |  JOIN emb eb ON eb.vec_id = b.vec_id),
+         |slists AS (
+         |  SELECT probe_id, cid, list(struct_pack(sid := sid, sim := sim)) AS sl
+         |  FROM psims GROUP BY probe_id, cid),
+         |cstate AS (
+         |  SELECT c.probe_id,
+         |         list(struct_pack(vec_id := c.vec_id, rel := c.rel,
+         |                          sl := coalesce(s.sl, []))) AS cands
+         |  FROM cand c LEFT JOIN slists s ON s.probe_id = c.probe_id AND s.cid = c.vec_id
+         |  GROUP BY c.probe_id),
+         |mmr AS (
+         |  SELECT probe_id, 0 AS step, CAST([] AS STRUCT(v BIGINT, s DOUBLE)[]) AS sel, cands
+         |  FROM cstate
+         |  UNION ALL
+         |  SELECT probe_id, step + 1,
+         |         list_append(sel, struct_pack(v := best.v, s := best.s)),
+         |         list_filter(cands, c -> c.vec_id <> best.v)
+         |  FROM (
+         |    SELECT probe_id, step, sel, cands,
+         |           list_sort(list_transform(cands, c -> struct_pack(
+         |             s := CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) * coalesce(
+         |                    list_max(list_transform(
+         |                      list_filter(c.sl, p -> list_contains(list_transform(sel, a -> a.v), p.sid)),
+         |                      p -> p.sim)), CAST(-1.0 AS DOUBLE)),
+         |             nv := -c.vec_id,
+         |             v := c.vec_id)), 'DESC')[1] AS best
+         |    FROM mmr WHERE step < $MmrK))
+         |SELECT probe_id, CAST(i AS BIGINT) AS step, sel[i].v AS vec_id,
+         |       round(sel[i].s, 6) + 0.0 AS score
+         |FROM (SELECT probe_id, sel, unnest(generate_series(1, $MmrK)) AS i
+         |      FROM mmr WHERE step = $MmrK)""".stripMargin,
     "o12_array_overlap" ->
       """SELECT doc_id, array_to_string(string_split(text, ' ')[1:5], ' ') AS labs
         |FROM documents
