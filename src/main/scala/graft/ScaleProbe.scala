@@ -38,6 +38,7 @@ object ScaleProbe {
     else if (mode == "graph") println(graphProbe(spark, dir))
     else if (mode == "lm") println(lmProbe(spark, dir))
     else if (mode == "pack") println(packProbe(spark, dir))
+    else if (mode == "sem") println(semProbe(spark, dir))
     else println(bitsProbe(spark, dir, mode))
     spark.stop()
   }
@@ -73,6 +74,28 @@ object ScaleProbe {
        |  packed broadcast <= $wordsMax%,d words (${wordsMax * 16}%,d B) vs $setBits%,d rows before
        |  projection ${proj(1000000L)}
        |  projection ${proj(1000000000L)}""".stripMargin
+  }
+
+  /** SemDeDup scale probe (r14): runs q_dedup_semantic over a warm IVF
+    * index and reports the within-list pair-work budget next to the
+    * wall time. The scale claim being measured: autoNList holds the
+    * list LENGTH constant, so Σ|list|² — the only superlinear term in
+    * cluster-then-compare dedup — grows linearly with the corpus
+    * (lists × constant²), never n². Run at 1× and a scalegen 10× dir
+    * to see the wall and the pair budget both move ~10×.
+    */
+  private def semProbe(spark: SparkSession, dir: String): String = {
+    val ix = graft.queries.VectorQueries.ivfIndex(spark, dir) // build cold, probe warm
+    val lists = ix.assigned.groupBy("cluster").count().collect().map(_.getLong(1))
+    val t0 = System.nanoTime()
+    val drops = graft.queries.DedupQueries.queries("q_dedup_semantic")(spark, dir).count()
+    val wallS = (System.nanoTime() - t0) / 1e9
+    Scratch.release(spark)
+    // the query's corpus is base + mutated twin => each list ~doubles
+    val pairWork = lists.map(l => (2 * l) * (2 * l)).sum / 2
+    f"semantic @ $dir: wall=$wallS%.3f s (warm index), drops=$drops%,d, " +
+      f"nList=${lists.length}%,d, meanList=${lists.sum / math.max(1, lists.length)}%,d, " +
+      f"within-list pair budget ~$pairWork%,d (linear in corpus at constant list length)"
   }
 
   /** Per-phase decomposition of the per-query driver floor (VERDICT r8

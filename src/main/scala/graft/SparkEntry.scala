@@ -58,6 +58,7 @@ object SparkEntry {
     "build_graph_depth" -> GraphQueries.rebuildDepthTable,
     "build_ivf_index" -> VectorQueries.rebuildIvf,
     "build_nsw_graph" -> VectorQueries.rebuildNsw,
+    "build_pq_codebooks" -> VectorQueries.rebuildPq,
     "build_bm25_index" -> CorpusQueries.rebuildBm25,
     "build_bpe_model" -> BpeQueries.rebuildBpe,
     "build_e1_model" -> IoQueries.rebuildE1)
@@ -82,6 +83,7 @@ object SparkEntry {
       "q_ann_recall_ivf", "q_ann_recall_nsw", "q_hybrid_retrieval_ivf",
       "q_dedup_semantic", "build_nsw_graph"),
     "build_nsw_graph" -> Set("q_ann_recall_nsw"),
+    "build_pq_codebooks" -> Set("q_pq_encode", "q_ann_recall_pq"),
     "build_bm25_index" -> Set("q_bm25_topk", "q_hybrid_retrieval",
       "q_hybrid_retrieval_ivf"),
     "build_bpe_model" -> Set("q_tokenize_bpe", "q_bpe_terms",

@@ -119,6 +119,7 @@ object VectorQueries {
   def clearCache(): Unit = {
     ivfCache.clearAll().foreach(_.assigned.unpersist())
     nswCache.clearAll().foreach(_.graph.unpersist())
+    pqCache.clearAll().foreach(_.codes.unpersist())
   }
 
   /** Where the trained coarse-quantizer centroids are exported for the
@@ -186,6 +187,109 @@ object VectorQueries {
     }
 
   private[graft] val rebuildNsw: Q = (s, d) => nswIndex(s, d).graph
+
+  /** Where the trained PQ codebooks are exported for the q_pq_encode /
+    * q_ann_recall_pq oracles — the AnnIvf centroid-export pattern: the
+    * per-subspace KMeans training is not SQL-replayable, but its output
+    * (m·k rows of 8-dim centroid doubles) is just data, and given those
+    * exact doubles both ENCODING (per-subspace exact nearest-codeword,
+    * strict <, tie → lowest code) and ADC search are plain arithmetic
+    * DuckDB replays bit-for-bit.
+    */
+  private val PqM = 8
+  private val PqK = 16
+  private val PqDSub = 8 // 64-dim embeddings (TablesSpec) / PqM
+
+  private val pqCache = new graft.SessionCache[graft.operators.PqOps.PqIndex]
+
+  private[graft] def pqExportPath: String = java.nio.file.Paths
+    .get(sys.props("java.io.tmpdir"), "graft_pq_codebooks").toString
+
+  private[graft] def pqIndex(s: SparkSession, d: String): graft.operators.PqOps.PqIndex =
+    pqCache.getOrElseUpdate(s, d) {
+      val ix = graft.operators.PqOps.buildPq(Tables.embeddings(s, d),
+        "vec_id", "embedding", m = PqM, k = PqK)
+      val sp = s
+      import sp.implicits._
+      (0 until ix.m).flatMap(j => (0 until ix.k).map(c =>
+        (j, c, ix.codebooks(j)(c).toSeq)))
+        .toDF("j", "c", "centroid")
+        .select(col("j"), col("c"), col("centroid").cast("array<double>").as("centroid"))
+        .coalesce(1).write.mode("overwrite").parquet(pqExportPath)
+      ix
+    }
+
+  private[graft] val rebuildPq: Q = (s, d) => pqIndex(s, d).codes
+
+  /** PQ codes, long form — the 64×-compressed representation itself as
+    * a declared result (vec_id, subspace, code).
+    */
+  private val pqEncode: Q = (s, d) =>
+    pqIndex(s, d).codes.select(col("vec_id"), posexplode(col("codes")))
+      .select(col("vec_id"), col("pos").cast("long").as("j"),
+        col("col").cast("long").as("code"))
+
+  /** PQ recall@10 vs the exact L2 top-10, both stages of the standard
+    * PQ pipeline as one declared metric:
+    *  - `adc`: pure ADC ranking — probe exact, corpus as codes,
+    *    distance = Σⱼ ‖pv_subⱼ − cbⱼ[codeⱼ]‖² folded in subspace order
+    *    (the proven fold/list_sum parity pair). Lossy by design (32-bit
+    *    codes), the stage that SCANS compressed data.
+    *  - `adc_rr`: exact re-rank of the ADC top-50 shortlist — the
+    *    refine step every production PQ deployment runs: only
+    *    shortlist-sized raw-vector reads per probe, recall recovered.
+    * The codebook rides the expression as a 128-entry literal (bounded
+    * by m·k, broadcast-in-closure like the assignNearestArr centroids).
+    */
+  private val PqShortlist = 50
+
+  private val pqRecall: Q = (s, d) => {
+    val index = pqIndex(s, d)
+    val vecs = emb(s, d).select(col("vec_id"), col("e"))
+    val probes = vecs.filter(col("vec_id") < RecallProbes)
+      .select(col("vec_id").as("probe_id"), col("e").as("pv"))
+    val exact = vecs.crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("vec_id"),
+        (round(l2DistanceNative(col("e"), col("pv")), 6) + lit(0.0)).as("l2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("l2"), col("vec_id"))))
+      .filter(col("rk") <= RecallK)
+      .select("probe_id", "vec_id")
+    val cbFlat: Seq[Seq[Double]] = (0 until index.m).flatMap(j =>
+      (0 until index.k).map(c => index.codebooks(j)(c).toSeq))
+    val cb = typedLit(cbFlat)
+    val adcCol = aggregate(sequence(lit(0), lit(index.m - 1)), lit(0.0),
+      (acc, j) => acc + aggregate(
+        zip_with(
+          slice(col("pv"), j * lit(index.dSub) + lit(1), lit(index.dSub)),
+          element_at(cb, (j * lit(index.k) + element_at(col("codes"), j + lit(1)) + lit(1)).cast("int")),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (sa, x) => sa + x))
+    // shortlist persisted: consumed by the adc arm AND the re-rank arm
+    val shortlist = graft.Scratch.persist(
+      index.codes.crossJoin(broadcast(probes))
+        .select(col("probe_id"), col("vec_id"),
+          (round(adcCol, 6) + lit(0.0)).as("adc"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("adc"), col("vec_id"))))
+        .filter(col("rk") <= PqShortlist)
+        .select("probe_id", "vec_id", "rk"))
+    val adcTop = shortlist.filter(col("rk") <= RecallK)
+      .select(lit("adc").as("mode"), col("probe_id"), col("vec_id"))
+    val rrTop = shortlist.select("probe_id", "vec_id")
+      .join(vecs, "vec_id")
+      .join(broadcast(probes), "probe_id")
+      .select(col("probe_id"), col("vec_id"),
+        (round(l2DistanceNative(col("e"), col("pv")), 6) + lit(0.0)).as("l2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("l2"), col("vec_id"))))
+      .filter(col("rk") <= RecallK)
+      .select(lit("adc_rr").as("mode"), col("probe_id"), col("vec_id"))
+    adcTop.unionAll(rrTop)
+      .join(exact, Seq("probe_id", "vec_id"))
+      .groupBy("mode", "probe_id").agg(count(lit(1)).as("n_hits"))
+      .withColumn("recall_bp", expr(s"(n_hits * 10000) DIV $RecallK"))
+  }
 
   private val ivf: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
@@ -441,6 +545,8 @@ object VectorQueries {
     "q_ann_recall" -> annRecall,
     "q_ann_recall_ivf" -> ivfRecall,
     "q_ann_recall_nsw" -> nswRecall,
+    "q_pq_encode" -> pqEncode,
+    "q_ann_recall_pq" -> pqRecall,
     "q_mmr_rerank" -> mmrRerank,
     "o37_cluster_centroids" -> o37,
     "o12_array_overlap" -> o12,
@@ -744,6 +850,81 @@ object VectorQueries {
          |           ORDER BY round(${cosineSimilaritySql("a.e", "p.pv")}, 6) + 0.0 DESC, a.vec_id) AS BIGINT) AS rk
          |  FROM corpus a CROSS JOIN probes p)
          |WHERE rk <= 3""".stripMargin,
+    // PQ encode replay: per-(vector, subspace) exact nearest-codeword
+    // over the codebook export — the q_ann_ivf assignment rule applied
+    // per subspace (index-order squared L2, strict < ⇒ row_number tie
+    // to the lowest code).
+    "q_pq_encode" ->
+      s"""WITH cents AS (SELECT j, c, centroid FROM '$pqExportPath/*.parquet'),
+         |emb AS (SELECT vec_id, e FROM $embSql),
+         |sub AS (
+         |  SELECT vec_id, j, e[j*$PqDSub+1 : j*$PqDSub+$PqDSub] AS sv
+         |  FROM emb CROSS JOIN (SELECT unnest(generate_series(0, ${PqM - 1})) AS j))
+         |SELECT vec_id, CAST(j AS BIGINT) AS j, CAST(code AS BIGINT) AS code FROM (
+         |  SELECT s.vec_id, s.j, c.c AS code,
+         |         row_number() OVER (PARTITION BY s.vec_id, s.j
+         |           ORDER BY list_sum(list_transform(generate_series(1, $PqDSub),
+         |             i -> (s.sv[i]-c.centroid[i])*(s.sv[i]-c.centroid[i]))), c.c) AS rk
+         |  FROM sub s JOIN cents c ON c.j = s.j)
+         |WHERE rk = 1""".stripMargin,
+    // PQ ADC recall replay: same encode CTE, codebook assembled into one
+    // ordered list, ADC = nested list_sum folds (the proven
+    // fold/list_sum parity pair), rank by (rounded adc, vec_id) against
+    // the exact L2 top-10.
+    "q_ann_recall_pq" ->
+      s"""WITH cents AS (SELECT j, c, centroid FROM '$pqExportPath/*.parquet'),
+         |emb AS (SELECT vec_id, e FROM $embSql),
+         |cb AS (SELECT list(centroid ORDER BY j * $PqK + c) AS cbl FROM cents),
+         |sub AS (
+         |  SELECT vec_id, j, e[j*$PqDSub+1 : j*$PqDSub+$PqDSub] AS sv
+         |  FROM emb CROSS JOIN (SELECT unnest(generate_series(0, ${PqM - 1})) AS j)),
+         |assigned AS (
+         |  SELECT vec_id, j, code FROM (
+         |    SELECT s.vec_id, s.j, c.c AS code,
+         |           row_number() OVER (PARTITION BY s.vec_id, s.j
+         |             ORDER BY list_sum(list_transform(generate_series(1, $PqDSub),
+         |               i -> (s.sv[i]-c.centroid[i])*(s.sv[i]-c.centroid[i]))), c.c) AS rk
+         |    FROM sub s JOIN cents c ON c.j = s.j)
+         |  WHERE rk = 1),
+         |codes_l AS (SELECT vec_id, list(code ORDER BY j) AS codes FROM assigned GROUP BY vec_id),
+         |probes AS (SELECT vec_id AS probe_id, e AS pv FROM emb WHERE vec_id < $RecallProbes),
+         |exact AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT p.probe_id, a.vec_id,
+         |           row_number() OVER (PARTITION BY p.probe_id
+         |             ORDER BY round(${l2DistanceSql("a.e", "p.pv")}, 6) + 0.0, a.vec_id) AS rk
+         |    FROM emb a CROSS JOIN probes p)
+         |  WHERE rk <= $RecallK),
+         |adcscored AS (
+         |  SELECT p.probe_id, t.vec_id,
+         |         round(list_sum(list_transform(generate_series(0, ${PqM - 1}), j ->
+         |           list_sum(list_transform(
+         |             list_transform(generate_series(1, $PqDSub),
+         |               i -> p.pv[j*$PqDSub+i] - cbl[j*$PqK + t.codes[j+1] + 1][i]),
+         |             dd -> dd*dd)))), 6) + 0.0 AS adc
+         |  FROM codes_l t CROSS JOIN probes p CROSS JOIN cb),
+         |shortlist AS (
+         |  SELECT probe_id, vec_id, rk FROM (
+         |    SELECT probe_id, vec_id,
+         |           row_number() OVER (PARTITION BY probe_id ORDER BY adc, vec_id) AS rk
+         |    FROM adcscored)
+         |  WHERE rk <= $PqShortlist),
+         |adctop AS (
+         |  SELECT 'adc' AS mode, probe_id, vec_id FROM shortlist WHERE rk <= $RecallK),
+         |rrtop AS (
+         |  SELECT 'adc_rr' AS mode, probe_id, vec_id FROM (
+         |    SELECT s.probe_id, s.vec_id,
+         |           row_number() OVER (PARTITION BY s.probe_id
+         |             ORDER BY round(${l2DistanceSql("a.e", "p.pv")}, 6) + 0.0, s.vec_id) AS rk2
+         |    FROM shortlist s
+         |    JOIN emb a ON a.vec_id = s.vec_id
+         |    JOIN probes p ON p.probe_id = s.probe_id)
+         |  WHERE rk2 <= $RecallK)
+         |SELECT t.mode, t.probe_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |       CAST((count(*) * 10000) // $RecallK AS BIGINT) AS recall_bp
+         |FROM (SELECT * FROM adctop UNION ALL SELECT * FROM rrtop) t
+         |JOIN exact e USING (probe_id, vec_id)
+         |GROUP BY t.mode, t.probe_id""".stripMargin,
     // MMR replay: the greedy selection loop as a recursive CTE carrying
     // (selected list, remaining candidates) per probe — the Ward/NSW
     // pattern: no window or aggregate in the recursive term, the argmax

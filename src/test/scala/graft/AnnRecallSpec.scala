@@ -59,4 +59,48 @@ class AnnRecallSpec extends SparkSpec {
     assert(drift(1L)._2.isFinite && drift(0L)._2.isFinite)
     assert(drift(1L)._2 > 0.0)
   }
+
+  test("PQ: encoding is the per-subspace argmin; exact re-rank dominates raw ADC") {
+    import org.apache.spark.sql.functions._
+    // encoding law: for every (vector, subspace), the assigned codeword
+    // minimizes the subspace distance over the whole codebook
+    val index = graft.queries.VectorQueries.pqIndex(spark, sf)
+    val sample = index.codes.limit(20).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Int]]("codes").toSeq).toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .filter(col("vec_id").isin(sample.keys.toSeq: _*))
+      .select(col("vec_id"), graft.functions.VectorOps.toDoubleArr(col("embedding")).as("e"))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Double]]("e").toArray).toMap
+    def sqd(e: Array[Double], off: Int, c: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < c.length) { val t = e(off + i) - c(i); d += t * t; i += 1 }
+      d
+    }
+    sample.foreach { case (id, codes) =>
+      assert(codes.length == index.m)
+      codes.zipWithIndex.foreach { case (code, j) =>
+        assert(code >= 0 && code < index.k)
+        val own = sqd(vecs(id), j * index.dSub, index.codebooks(j)(code))
+        index.codebooks(j).foreach { other =>
+          assert(own <= sqd(vecs(id), j * index.dSub, other) + 1e-12,
+            s"vec $id subspace $j: code $code is not the argmin")
+        }
+      }
+    }
+    // pipeline law: the exact re-rank of the ADC shortlist can only add
+    // true positives relative to taking the raw ADC head
+    val rec = SparkEntry.queries("q_ann_recall_pq")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("probe_id")) -> r.getAs[Long]("recall_bp"))
+      .toMap
+    Scratch.release(spark)
+    val probes = rec.keys.map(_._2).toSeq.distinct
+    assert(probes.size == 50)
+    // a probe with zero hits in a mode simply has no row — treat as 0
+    probes.foreach { p =>
+      assert(rec.getOrElse(("adc_rr", p), 0L) >= rec.getOrElse(("adc", p), 0L),
+        s"probe $p: exact re-rank lost recall vs raw ADC")
+    }
+  }
 }
