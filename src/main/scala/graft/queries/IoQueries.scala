@@ -134,6 +134,7 @@ object IoQueries {
   private val streamDedup: Q = (s, d) => StreamingTwins.dedupUsers(s, d)
   private val streamDedupWm: Q = (s, d) => StreamingTwins.dedupUsersWatermarked(s, d)
   private val streamSess: Q = (s, d) => StreamingTwins.sessionize(s, d)
+  private val streamHll: Q = (s, d) => StreamingTwins.hllRegisters(s, d)
   private val streamSessWm: Q = (s, d) => StreamingTwins.sessionizeBounded(s, d)
   private val streamJoin: Q = (s, d) => StreamingTwins.clickPurchaseJoin(s, d)
 
@@ -416,6 +417,7 @@ object IoQueries {
     "q_stream_hourly" -> streamHourly,
     "q_stream_hourly_append" -> streamHourlyAppend,
     "q_stream_dedup" -> streamDedup,
+    "q_stream_hll" -> streamHll,
     "q_stream_dedup_wm" -> streamDedupWm,
     "q_stream_sessionize" -> streamSess,
     "q_stream_sessionize_wm" -> streamSessWm,
@@ -478,6 +480,10 @@ object IoQueries {
          |WHERE (hour_epoch + 3600) * 1000000 <= wm_us""".stripMargin,
     "q_stream_dedup" -> "SELECT DISTINCT user_id FROM events",
     "q_stream_dedup_wm" -> "SELECT DISTINCT user_id FROM events",
+    // complete-mode register max is batching-independent, so the batch
+    // derivation over the same ids IS the oracle
+    "q_stream_hll" -> graft.queries.SketchQueries.registersSqlFrom(
+      "SELECT CAST(user_id AS VARCHAR) AS sh FROM events"),
     "q_stream_sessionize" -> RelationalQueries.oracle("q_sessionize"),
     "q_stream_sessionize_wm" -> RelationalQueries.oracle("q_sessionize"),
     "q_stream_join" ->

@@ -99,8 +99,12 @@ object SketchQueries {
           .cast("double")).as("est"))
       .head().getDouble(0)
 
-  private val registersSqlBody =
-    s"""WITH tok AS (SELECT sh FROM $shinglesSql),
+  /** The registers derivation over an arbitrary `(... AS sh)` token SQL
+    * — shared with the streaming twin (q_stream_hll accumulates the
+    * SAME registers over the event stream).
+    */
+  private[graft] def registersSqlFrom(tokSql: String): String =
+    s"""WITH tok AS ($tokSql),
        |r AS (SELECT ('0x' || substr(md5(sh), 1, 2))::BIGINT AS bucket,
        |             substr(md5(sh), 3, 10) AS tail FROM tok),
        |ranked AS (
@@ -113,6 +117,8 @@ object SketchQueries {
        |                        WHEN '7' THEN 1 ELSE 0 END + 1 AS BIGINT) END AS rnk
        |  FROM r)
        |SELECT bucket, max(rnk) AS max_rank FROM ranked GROUP BY bucket""".stripMargin
+
+  private val registersSqlBody = registersSqlFrom(s"SELECT sh FROM $shinglesSql")
 
   private val registersQ: Q = (s, d) => hllRegisters(s, d)
 

@@ -345,6 +345,23 @@ object StreamingTwins {
     runToTable(hourlyAppendPlan(eventsStreamSplit(spark, dir, 3)), "append",
       minDataBatches = 3, finalNoDataBatch = true)
 
+  /** Streaming twin of the HLL registers sketch (q_sketch_registers'
+    * derivation over the event stream's user ids): realtime distinct
+    * cardinality, the streaming face of the sketch family. Register
+    * max is DISTRIBUTIVE and MONOTONE, so the complete-mode final state
+    * equals the batch sketch under ANY batching — which is exactly the
+    * mergeability claim the sketch family makes, here exercised across
+    * genuine micro-batch boundaries (3 time-range files, one per
+    * trigger, minDataBatches = 3 so a layout change that collapses the
+    * batching fails loudly instead of silently proving less).
+    */
+  def hllRegisters(spark: SparkSession, dir: String): DataFrame =
+    runToTable(
+      graft.queries.SketchQueries.hllRegistersOf(
+        eventsStreamSplit(spark, dir, 3)
+          .select(col("user_id").cast("string").as("sh"))),
+      "complete", minDataBatches = 3, maxDataBatches = 3)
+
   /** The append-mode plan over ANY streaming events frame (ts ns LONG,
     * event_type, value) — factored out so tests can drive it from a
     * MemoryStream and pin the watermark-eviction boundary semantics the

@@ -66,4 +66,18 @@ class SketchSpec extends SparkSpec {
     assert(SketchQueries.bloomBitsFor(500) == 4096)
     assert(SketchQueries.bloomBitsFor(1L << 40) == (1L << 43))
   }
+
+  test("streaming hll: multi-batch complete-mode registers equal the batch sketch") {
+    val sf = "/root/testdata/sf0.001"
+    // the mergeability claim made concrete: 3 genuine micro-batches
+    // (enforced inside the twin) must finish in EXACTLY the batch state
+    val streamed = graft.streaming.StreamingTwins.hllRegisters(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = SketchQueries.hllRegistersOf(
+      Tables.events(spark, sf)
+        .select(col("user_id").cast("string").as("sh")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch,
+      s"streamed registers diverge from batch: ${streamed.size} vs ${batch.size}")
+  }
 }
