@@ -1,10 +1,10 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expressions for the vector hot path (O-54/O-56).
   *
@@ -134,6 +134,73 @@ case class DotProductExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Σⱼ lut[j·k + codes[j]] — the PQ asymmetric-distance fold over a
+  * per-probe subspace lookup table (PqOps scaladoc; Jégou et al. 2011).
+  * Children: codes ARRAY<INT> (length m), lut ARRAY<DOUBLE> (length
+  * m·k), k INT. Same left-to-right double accumulation as the HOF form
+  * `aggregate(sequence(0,m-1), 0.0, (acc,j) => acc + element_at(lut,
+  * j·k + codes[j+1] + 1))`, so swapping them cannot flip an oracle
+  * hash. NULL input, NULL element, or out-of-range lookup → NULL
+  * (element_at's non-ANSI behavior).
+  */
+case class PqAdcExpr(codes: Expression, lut: Expression, kExpr: Expression)
+    extends TernaryExpression {
+  override def prettyName: String = "pq_adc"
+  override def first: Expression = codes
+  override def second: Expression = lut
+  override def third: Expression = kExpr
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (codes.dataType, lut.dataType, kExpr.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(DoubleType, _), IntegerType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (c, l, kk) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<INT>, ARRAY<DOUBLE>, INT), " +
+        s"got ${c.simpleString}, ${l.simpleString}, ${kk.simpleString}")
+  }
+
+  override def nullSafeEval(codesV: Any, lutV: Any, kV: Any): Any = {
+    val cs = codesV.asInstanceOf[ArrayData]
+    val lt = lutV.asInstanceOf[ArrayData]
+    val k = kV.asInstanceOf[Int]
+    val m = cs.numElements(); val ln = lt.numElements()
+    var s = 0.0; var j = 0
+    while (j < m) {
+      if (cs.isNullAt(j)) return null
+      val idx = j * k + cs.getInt(j)
+      if (idx < 0 || idx >= ln || lt.isNullAt(idx)) return null
+      s += lt.getDouble(idx); j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (cs, lt, kV) => {
+      val m = ctx.freshName("m"); val ln = ctx.freshName("ln")
+      val j = ctx.freshName("j"); val idx = ctx.freshName("idx")
+      val s = ctx.freshName("s"); val anyNull = ctx.freshName("anyNull")
+      s"""int $m = $cs.numElements();
+         |int $ln = $lt.numElements();
+         |double $s = 0.0;
+         |boolean $anyNull = false;
+         |for (int $j = 0; $j < $m && !$anyNull; $j++) {
+         |  if ($cs.isNullAt($j)) { $anyNull = true; }
+         |  else {
+         |    int $idx = $j * $kV + $cs.getInt($j);
+         |    if ($idx < 0 || $idx >= $ln || $lt.isNullAt($idx)) { $anyNull = true; }
+         |    else { $s += $lt.getDouble($idx); }
+         |  }
+         |}
+         |if ($anyNull) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(codes = newFirst, lut = newSecond, kExpr = newThird)
 }
 
 /** √ Σ (aᵢ−bᵢ)² — Euclidean distance (graph_creator.py:350). */

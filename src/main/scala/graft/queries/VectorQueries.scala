@@ -258,16 +258,28 @@ object VectorQueries {
     val cbFlat: Seq[Seq[Double]] = (0 until index.m).flatMap(j =>
       (0 until index.k).map(c => index.codebooks(j)(c).toSeq))
     val cb = typedLit(cbFlat)
-    val adcCol = aggregate(sequence(lit(0), lit(index.m - 1)), lit(0.0),
-      (acc, j) => acc + aggregate(
+    // Standard ADC table hoist: each probe precomputes its m×k subspace
+    // distance LUT ONCE (lut[j·k+c] = ‖pv_subⱼ − cbⱼ[c]‖², the identical
+    // zip_with/aggregate fold the scan used to run per pair), so the
+    // corpus×probe scan is m element_at lookups per pair instead of
+    // m·dSub interpreted-lambda FLOPs. Same folds on the same inputs in
+    // the same order ⇒ bit-identical distances (hash-pinned at 2 SFs).
+    val lutCol = transform(sequence(lit(0), lit(index.m * index.k - 1)), i => {
+      val j = floor(i / lit(index.k)).cast("int")
+      aggregate(
         zip_with(
           slice(col("pv"), j * lit(index.dSub) + lit(1), lit(index.dSub)),
-          element_at(cb, (j * lit(index.k) + element_at(col("codes"), j + lit(1)) + lit(1)).cast("int")),
+          element_at(cb, (i + lit(1)).cast("int")),
           (x, y) => (x - y) * (x - y)),
-        lit(0.0), (sa, x) => sa + x))
+        lit(0.0), (sa, x) => sa + x)
+    })
+    val probesLut = probes.select(col("probe_id"), lutCol.as("lut"))
+    // native codegen'd fold (PqAdcExpr) — identical accumulation order
+    // to the HOF `aggregate(sequence(0,m-1), ...)` form it replaces
+    val adcCol = call_function("pq_adc", col("codes"), col("lut"), lit(index.k))
     // shortlist persisted: consumed by the adc arm AND the re-rank arm
     val shortlist = graft.Scratch.persist(
-      index.codes.crossJoin(broadcast(probes))
+      index.codes.crossJoin(broadcast(probesLut))
         .select(col("probe_id"), col("vec_id"),
           (round(adcCol, 6) + lit(0.0)).as("adc"))
         .withColumn("rk", row_number().over(

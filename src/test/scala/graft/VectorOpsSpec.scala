@@ -33,6 +33,27 @@ class VectorOpsSpec extends SparkSpec {
     assert(mismatches == 0, "native and HOF folds must be bit-identical")
   }
 
+  test("pq_adc matches the HOF fold bit-exactly and handles nulls/OOB") {
+    val k = 16; val m = 8
+    // codes in range, lut of m*k pseudo-random doubles per row
+    val df = spark.range(200).select(
+      transform(sequence(lit(0), lit(m - 1)),
+        j => pmod(col("id") * 7 + j * 3, lit(k)).cast("int")).as("codes"),
+      transform(sequence(lit(0), lit(m * k - 1)),
+        i => sin(col("id") * 1000 + i)).as("lut"))
+    val hof = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, j) => acc + element_at(col("lut"),
+        (j * lit(k) + element_at(col("codes"), j + lit(1)) + lit(1)).cast("int")))
+    val native = call_function("pq_adc", col("codes"), col("lut"), lit(k))
+    assert(df.filter(native =!= hof).count() == 0,
+      "pq_adc and the HOF fold must be bit-identical")
+    // null code element and OOB lookup both yield NULL (element_at parity)
+    val r = spark.sql(
+      "SELECT pq_adc(array(CAST(NULL AS INT)), array(1.0d), 1) AS a, " +
+        "pq_adc(array(5), array(1.0d, 2.0d), 2) AS b").head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("native exprs compile codegen'd inside a filter predicate (no janino fallback)") {
     // Generated predicate methods take the input row as a parameter named
     // `i` (ctx.INPUT_ROW) and Java forbids shadowing, so any fixed local
@@ -42,13 +63,15 @@ class VectorOpsSpec extends SparkSpec {
     // compile failure, so this test fails loudly where prod would degrade.
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.expressions.codegen.GeneratePredicate
-    import org.apache.spark.sql.types.{ArrayType, DoubleType}
-    import graft.functions.expressions.{CosineSimilarityExpr, DotProductExpr, L2DistanceExpr}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+    import graft.functions.expressions.{CosineSimilarityExpr, DotProductExpr, L2DistanceExpr, PqAdcExpr}
     val arrT = ArrayType(DoubleType, containsNull = true)
     val a = BoundReference(0, arrT, nullable = true)
     val b = BoundReference(1, arrT, nullable = true)
+    val codes = BoundReference(2, ArrayType(IntegerType, containsNull = true), nullable = true)
     Seq[Expression](
-      CosineSimilarityExpr(a, b), DotProductExpr(a, b), L2DistanceExpr(a, b)
+      CosineSimilarityExpr(a, b), DotProductExpr(a, b), L2DistanceExpr(a, b),
+      PqAdcExpr(codes, b, Literal(16))
     ).foreach { e =>
       val pred = GeneratePredicate.generate(GreaterThan(e, Literal(-1e18)))
       // and twice in ONE predicate (the q_dedup_embed shape: expr appears
