@@ -39,6 +39,7 @@ object ScaleProbe {
     else if (mode == "lm") println(lmProbe(spark, dir))
     else if (mode == "pack") println(packProbe(spark, dir))
     else if (mode == "sem") println(semProbe(spark, dir))
+    else if (mode == "pr") println(prProbe(spark, dir))
     else println(bitsProbe(spark, dir, mode))
     spark.stop()
   }
@@ -96,6 +97,43 @@ object ScaleProbe {
     f"semantic @ $dir: wall=$wallS%.3f s (warm index), drops=$drops%,d, " +
       f"nList=${lists.length}%,d, meanList=${lists.sum / math.max(1, lists.length)}%,d, " +
       f"within-list pair budget ~$pairWork%,d (linear in corpus at constant list length)"
+  }
+
+  /** q_graph_pagerank phase split: (a) edge build + distinct
+    * materialized, (b) degree count, (c) one join+agg iteration, (d) the
+    * full declared query cold — attributes the wall between the one-time
+    * edge derivation and the per-iteration cost.
+    */
+  private def prProbe(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions._
+    def wall[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime(); val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    val (tFull, rows) = wall(
+      graft.queries.GraphAnalyticsQueries.queries("q_graph_pagerank")(spark, dir).collect().length)
+    Scratch.release(spark)
+    val pairs = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val e = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+    val (tEdge, _) = wall { e.persist(); e.count() }
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edgesD = e.join(deg, "src"); edgesD.persist()
+    val (tDeg, n) = wall(deg.count())
+    val r0 = deg.select(col("src").as("node"), lit(1000000000000L / n).as("r"))
+    val oneIter = edgesD.join(r0.withColumnRenamed("node", "src"), "src")
+      .groupBy("dst").agg(sum(expr("r DIV outdeg")).as("c"))
+    val (tWarmEdges, _) = wall(edgesD.count())
+    val (tIter, _) = wall(oneIter.queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ())))
+    val (tIter2, _) = wall(oneIter.queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ())))
+    e.unpersist(); edgesD.unpersist()
+    f"pagerank @ $dir: full=$tFull%.2f s ($rows rows), edge build+distinct=$tEdge%.2f s, " +
+      f"deg count=$tDeg%.2f s (n=$n%,d), edgesD warm=$tWarmEdges%.2f s, " +
+      f"one iter (cold codegen)=$tIter%.2f s, one iter (warm)=$tIter2%.2f s"
   }
 
   /** Per-phase decomposition of the per-query driver floor (VERDICT r8

@@ -26,7 +26,8 @@ object SparkEntry {
       (ExtendedQueries.queries, ExtendedQueries.oracle),
       (IncrementalQueries.queries, IncrementalQueries.oracle),
       (BpeQueries.queries, BpeQueries.oracle),
-      (SketchQueries.queries, SketchQueries.oracle))
+      (SketchQueries.queries, SketchQueries.oracle),
+      (GraphAnalyticsQueries.queries, GraphAnalyticsQueries.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -106,7 +106,7 @@ object DedupQueries {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-  private val minhash: Q = (s, d) => {
+  private[graft] val minhash: Q = (s, d) => {
     // scratch-persisted: the band table feeds BOTH sides of the
     // self-join, and its lineage (shingle generation + 8-way min agg) is
     // the expensive part — without this Spark recomputes it per side.
@@ -424,7 +424,7 @@ object DedupQueries {
     "q_dedup_cc" -> ccGroups,
     "q_dedup_chunks" -> chunkDup)
 
-  private val minhashSql: String = {
+  private[graft] val minhashSql: String = {
     val mins = (0 to 7).map(k => s"min(substr(md5(sh), ${3 * k + 1}, 8)) AS mh$k").mkString(", ")
     val bandRows = (0 to 3).map(b =>
       s"SELECT doc_id, CAST($b AS BIGINT) AS band, " +

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Whole-graph analytics over graphs the engine already materializes —
+  * the batch-iterative layer that sits next to the traversal serving
+  * surface (reference anchor: the cluster graph the reference builds and
+  * serves, `graph_creator.py` / SURVEY §2.7; PageRank/triangles are the
+  * standard curation signals computed over such graphs at corpus scale).
+  *
+  *  - `q_graph_pagerank`: PageRank over the bipartite customer↔supplier
+  *    purchase graph (both directions of every distinct trading pair, so
+  *    rank flows and no node dangles). Fixed [[PrIters]] synchronous
+  *    iterations; each iteration is ONE equi-join of the edge list with
+  *    the current rank table plus one map-side-combined sum — the Pregel
+  *    shape. At cluster scale the edge list is hash-partitioned on `src`
+  *    once and every iteration reuses that partitioning; the rank table
+  *    is tiny relative to edges (one row per node). The driver loop
+  *    holds ONLY the iteration counter — no data ever collects.
+  *  - `q_graph_triangles`: per-node triangle counts on the MinHash-LSH
+  *    document similarity graph (the q_dedup_minhash candidate pairs —
+  *    near-dup cliques make triangle density a direct dedup-cluster
+  *    signal). Canonical a<b<c edge orientation counts each triangle
+  *    once with two equi-joins (the node-iterator shape); degrees are
+  *    bounded by the LSH band construction (BucketCap guards the
+  *    adversarial case), so the join fan-out is bounded at scale.
+  *
+  * Oracle-parity design: PageRank is EXACT INTEGER arithmetic end to
+  * end — ranks are scaled BIGINTs (Σ ranks ≈ 10¹²), per-edge
+  * contribution is `rank DIV outdeg`, damping is basis points
+  * (`d = 8500`), so every sum is order-independent and both engines
+  * truncate identically (all operands positive: trunc == floor == DuckDB
+  * `//`). The twin unrolls the fixed iterations as chained CTEs —
+  * no recursion, no aggregate-in-recursive-term limits. Triangles are
+  * pure joins over the already-proven minhash pair SQL.
+  */
+object GraphAnalyticsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private[graft] val PrIters = 6
+  private val PrScale = 1000000000000L // total rank mass 10^12
+  private val DampBp = 8500L           // d = 0.85 in basis points
+
+  // ---- PageRank over the purchase graph ----
+
+  /** Directed edge list: customer c and supplier s trade ⇒ c→s and s→c.
+    * Node ids are parity-tagged (cust·2, supp·2+1) so the two id spaces
+    * cannot collide.
+    */
+  private def purchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+  }
+
+  private val pagerank: Q = (s, d) => {
+    // edges ⋈ outdeg persisted ONCE: every iteration re-joins this frame
+    // (at cluster scale: hash-partitioned on src once, reused 6×)
+    val e = graft.Scratch.persist(purchaseEdges(s, d))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // persisted HASH-PARTITIONED on src: all 6 iteration joins read the
+    // cache's partitioning — only the (tiny) rank table shuffles per
+    // iteration, the edge list never moves again. This is the cluster
+    // shape too: partition the 100 TB edge list once, iterate in place.
+    val edgesD = graft.Scratch.persist(
+      e.join(deg, "src").repartition(col("src")))
+    val nNodes = deg.count() // one scalar; the only driver-side value
+    val base = PrScale / nNodes // integer floor == the twin's 10^12 // n
+    // Each iteration's rank table is consumed exactly once (by the next
+    // iteration), so the whole fixed-iteration computation is ONE lazy
+    // plan — no per-iteration materialization, one optimized job at the
+    // end (per-iteration persist+count measured 3.7× slower). Every node
+    // has indegree ≥ 1 by the symmetric-edge construction, so the
+    // contribution aggregate already covers all nodes — no re-join
+    // against the node table.
+    // Each iteration ends in an EAGER localCheckpoint: the rank table is
+    // one small row per node, and cutting lineage there keeps every
+    // iteration's plan shallow — a 6-deep nested chain re-pays Catalyst
+    // optimization + codegen of the whole history at every execution
+    // (measured: med 6.2 s nested vs ~0.11 s per warm shallow iteration).
+    // This is the standard iterative-dataflow shape (GraphX/Pregel
+    // checkpoint cadence); values are unaffected by materialization.
+    var ranks = deg.select(col("src").as("node"), lit(base).as("r"))
+    for (i <- 1 to PrIters) {
+      ranks = edgesD.join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy("dst").agg(sum(expr("r DIV outdeg")).as("c"))
+        .select(col("dst").as("node"), expr(
+          s"((10000 - $DampBp) * ${base}L + $DampBp * c) DIV 10000").as("r"))
+      // eager per-iteration checkpoint: measured the tightest rep profile
+      // (med 4.5 s / max 6.7) vs one deep plan (med 6.2 / max 8.0) or a
+      // cadence-3 hybrid — the deep chain re-pays Catalyst + codegen for
+      // the whole history at every execution
+      if (i < PrIters) ranks = ranks.localCheckpoint()
+    }
+    ranks.orderBy(col("r").desc, col("node")).limit(20)
+      .select(col("node"), col("r").as("rank"))
+  }
+
+  // integer division: Spark `a DIV b` == DuckDB `a // b` for positive
+  // operands; the damping expression is all-positive by construction.
+  private val pagerankSql: String = {
+    val chain = (1 to PrIters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |         ((10000 - $DampBp) * (SELECT base FROM n)
+         |          + $DampBp * sum(r // outdeg)) // 10000 AS r
+         |  FROM e JOIN deg USING (src) JOIN r${i - 1} ON r${i - 1}.node = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ep AS (
+       |  SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e AS (SELECT c AS src, s AS dst FROM ep
+       |      UNION ALL SELECT s AS src, c AS dst FROM ep),
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |n AS (SELECT $PrScale // count(*) AS base FROM deg),
+       |r0 AS (SELECT src AS node, (SELECT base FROM n) AS r FROM deg),
+       |$chain
+       |SELECT node, r AS rank FROM r$PrIters
+       |ORDER BY rank DESC, node LIMIT 20""".stripMargin
+  }
+
+  // ---- Triangle counts on the similarity graph ----
+
+  private val triangles: Q = (s, d) => {
+    // candidate pairs a<b from the proven LSH band join; persisted —
+    // three join legs read it
+    val pairs = graft.Scratch.persist(DedupQueries.minhash(s, d))
+    val tri = pairs.as("e1")
+      .join(pairs.as("e2"), col("e2.doc_a") === col("e1.doc_b"))
+      .join(pairs.as("e3"),
+        col("e3.doc_a") === col("e1.doc_a") && col("e3.doc_b") === col("e2.doc_b"))
+      .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"),
+        col("e2.doc_b").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("tri_count"))
+  }
+
+  private val trianglesSql: String =
+    s"""WITH pairs AS (${DedupQueries.minhashSql}),
+       |tri AS (
+       |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+       |  FROM pairs e1
+       |  JOIN pairs e2 ON e2.doc_a = e1.doc_b
+       |  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+       |SELECT doc_id, count(*) AS tri_count
+       |FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+       |GROUP BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_graph_pagerank" -> pagerank,
+    "q_graph_triangles" -> triangles)
+
+  val oracle: Map[String, String] = Map(
+    "q_graph_pagerank" -> pagerankSql,
+    "q_graph_triangles" -> trianglesSql)
+}
