@@ -263,7 +263,54 @@ object ExtendedQueries {
         .select("user_id"))
   }
 
+  /** Ordered event-sequence funnel: per user, the earliest view, the
+    * earliest click strictly AFTER that view, the earliest purchase
+    * strictly after that click — `stage` = how deep the user got. Each
+    * stage is a filtered scan (event_type pushed to parquet) + min-agg +
+    * equi-join against the previous stage's one-row-per-user table; the
+    * per-stage tables shrink monotonically, so at scale this is three
+    * pruned scans and two small-side joins, never a per-user sort.
+    * Timestamps emitted in µs (ns LONG DIV 1000 == the twin's
+    * epoch_ns // 1000) per the engine ts convention.
+    */
+  private val funnelQ: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val t2 = ev.filter(col("event_type") === "click").join(t1, "user_id")
+      .where(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase").join(t2, "user_id")
+      .where(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        expr("t1 DIV 1000").as("t1_us"),
+        expr("t2 DIV 1000").as("t2_us"),
+        expr("t3 DIV 1000").as("t3_us"),
+        (lit(1L) + when(col("t2").isNotNull, 1L).otherwise(0L)
+          + when(col("t3").isNotNull, 1L).otherwise(0L)).as("stage"))
+  }
+
+  /** Weekly cohort retention: cohort = a user's first active week (ns
+    * epoch DIV week), cell (cohort_week, week_offset) = users from that
+    * cohort active `offset` weeks later. One distinct (user, week) pass
+    * + a min-per-user cohort agg + one equi-join — all integer
+    * bucketing, order-independent everywhere.
+    */
+  private val WeekNs = 604800000000000L
+  private val retentionQ: Q = (s, d) => {
+    val wk = Tables.events(s, d)
+      .select(col("user_id"), expr(s"ts DIV ${WeekNs}L").as("w")).distinct()
+    val cohort = wk.groupBy("user_id").agg(min("w").as("cw"))
+    wk.join(cohort, "user_id")
+      .groupBy(col("cw").as("cohort_week"), (col("w") - col("cw")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_funnel" -> funnelQ,
+    "q_retention" -> retentionQ,
     "q_intersect" -> intersectQ,
     "q_except" -> exceptQ,
     "q_pivot" -> pivotQ,
@@ -279,6 +326,33 @@ object ExtendedQueries {
     "q_bucketed_join" -> bucketedQ)
 
   val oracle: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (
+        |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t2
+        |  FROM events e JOIN t1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > t1
+        |  GROUP BY e.user_id),
+        |t3 AS (
+        |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t3
+        |  FROM events e JOIN t2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > t2
+        |  GROUP BY e.user_id)
+        |SELECT t1.user_id, t1 // 1000 AS t1_us, t2 // 1000 AS t2_us,
+        |       t3 // 1000 AS t3_us,
+        |       1 + CAST(t2 IS NOT NULL AS BIGINT)
+        |         + CAST(t3 IS NOT NULL AS BIGINT) AS stage
+        |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)""".stripMargin,
+    "q_retention" ->
+      s"""WITH wk AS (
+         |  SELECT DISTINCT user_id, epoch_ns(ts) // $WeekNs AS w FROM events),
+         |cohort AS (SELECT user_id, min(w) AS cw FROM wk GROUP BY user_id)
+         |SELECT cw AS cohort_week, w - cw AS week_offset,
+         |       CAST(count(*) AS BIGINT) AS n_users
+         |FROM wk JOIN cohort USING (user_id)
+         |GROUP BY cw, w - cw""".stripMargin,
     "q_intersect" ->
       """SELECT user_id FROM events WHERE event_type = 'click'
         |INTERSECT
