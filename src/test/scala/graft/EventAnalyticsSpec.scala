@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the r14 event-sequence and whole-graph analytics
+  * queries over the sf0.001 testdata — the laws the oracle hash can't
+  * state directly (sequential funnel semantics recomputed independently,
+  * cohort partition identities, triangle multiplicity, PageRank
+  * determinism under re-execution).
+  */
+class EventAnalyticsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  // ---- q_funnel ----
+
+  test("funnel: stage counts nulls, stage timestamps strictly increase") {
+    val rows = run("q_funnel").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t1 = r.getAs[Long]("t1_us")
+      val t2 = Option(r.getAs[Any]("t2_us")).map(_.asInstanceOf[Long])
+      val t3 = Option(r.getAs[Any]("t3_us")).map(_.asInstanceOf[Long])
+      val stage = r.getAs[Long]("stage")
+      assert(stage == 1L + t2.size + t3.size, s"stage mismatch: $r")
+      t2.foreach(v => assert(v > t1, s"t2 !> t1: $r"))
+      // t3 implies t2 (stage 3 requires a click before the purchase)
+      t3.foreach { v => assert(t2.nonEmpty, s"t3 without t2: $r"); assert(v > t2.get) }
+    }
+    Scratch.release(spark)
+  }
+
+  test("funnel: matches an independent sequential recomputation per user") {
+    // the engine computes the funnel with min-aggs + shrinking joins;
+    // this recomputes it by literally scanning each user's ordered
+    // event list — the semantics the query CLAIMS, derived differently
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"), r.getAs[Long]("ts")))
+      .groupBy(_._1)
+    val expected = ev.flatMap { case (uid, evs) =>
+      val sorted = evs.sortBy(_._3)
+      val t1 = sorted.collectFirst { case (_, "view", t) => t }
+      t1.map { v =>
+        val t2 = sorted.collectFirst { case (_, "click", t) if t > v => t }
+        val t3 = t2.flatMap(c => sorted.collectFirst { case (_, "purchase", t) if t > c => t })
+        uid -> (v / 1000, t2.map(_ / 1000), t3.map(_ / 1000))
+      }
+    }
+    val got = run("q_funnel").collect().map { r =>
+      r.getAs[Long]("user_id") -> (r.getAs[Long]("t1_us"),
+        Option(r.getAs[Any]("t2_us")).map(_.asInstanceOf[Long]),
+        Option(r.getAs[Any]("t3_us")).map(_.asInstanceOf[Long]))
+    }.toMap
+    assert(got.keySet == expected.keySet, "funnel user set != users with a view")
+    expected.foreach { case (uid, e) =>
+      assert(got(uid) == e, s"user $uid: got ${got(uid)}, expected $e")
+    }
+    Scratch.release(spark)
+  }
+
+  // ---- q_retention ----
+
+  test("retention: cells partition the distinct (user, week) stream") {
+    val cells = run("q_retention").collect()
+    assert(cells.forall(_.getAs[Long]("week_offset") >= 0L))
+    val total = cells.map(_.getAs[Long]("n_users")).sum
+    val userWeeks = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts DIV 604800000000000").as("w"))
+      .distinct().count()
+    assert(total == userWeeks,
+      s"sum of cells $total != distinct user-weeks $userWeeks")
+    // offset-0 cells partition the user population: every user is in
+    // exactly one cohort and is active in their own first week
+    val offset0 = cells.filter(_.getAs[Long]("week_offset") == 0L)
+      .map(_.getAs[Long]("n_users")).sum
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(offset0 == users, s"offset-0 total $offset0 != user count $users")
+    Scratch.release(spark)
+  }
+
+  // ---- q_graph_pagerank ----
+
+  test("pagerank: deterministic under re-execution, ranks positive and ordered") {
+    val a = run("q_graph_pagerank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    Scratch.release(spark)
+    val b = run("q_graph_pagerank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    Scratch.release(spark)
+    assert(a.sameElements(b), "re-execution changed the top-20")
+    assert(a.length == 20)
+    assert(a.forall(_._2 > 0L))
+    // descending by rank with the node tie-break == already sorted
+    assert(a.sameElements(a.sortBy { case (n, r) => (-r, n) }))
+  }
+
+  // ---- q_graph_triangles ----
+
+  test("triangles: every triangle lands on exactly three nodes") {
+    val counts = run("q_graph_triangles").collect().map(_.getAs[Long]("tri_count"))
+    Scratch.release(spark)
+    assert(counts.forall(_ > 0L))
+    assert(counts.sum % 3 == 0,
+      s"per-node counts sum to ${counts.sum}, not a multiple of 3")
+  }
+}
