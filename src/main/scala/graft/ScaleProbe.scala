@@ -40,6 +40,7 @@ object ScaleProbe {
     else if (mode == "pack") println(packProbe(spark, dir))
     else if (mode == "sem") println(semProbe(spark, dir))
     else if (mode == "pr") println(prProbe(spark, dir))
+    else if (mode.startsWith("prx")) println(prxProbe(spark, dir, mode.drop(3).toInt))
     else println(bitsProbe(spark, dir, mode))
     spark.stop()
   }
@@ -134,6 +135,54 @@ object ScaleProbe {
     f"pagerank @ $dir: full=$tFull%.2f s ($rows rows), edge build+distinct=$tEdge%.2f s, " +
       f"deg count=$tDeg%.2f s (n=$n%,d), edgesD warm=$tWarmEdges%.2f s, " +
       f"one iter (cold codegen)=$tIter%.2f s, one iter (warm)=$tIter2%.2f s"
+  }
+
+  /** PageRank at a SCALED graph (r14): scalegen copies the TPC-H tables
+    * verbatim, so the purchase graph never grows with the 10× dataset —
+    * this probe scales it directly with `factor` DISJOINT offset
+    * replicas of the trading-pair list (identical structure, factor×
+    * nodes AND edges — conservative for the per-iteration claim, since
+    * real growth adds edges faster than nodes). Times the same phases
+    * as [[prProbe]] plus the full 6-iteration checkpointed loop, so the
+    * O(nodes)-per-iteration shuffle claim is measured, not argued.
+    */
+  private def prxProbe(spark: SparkSession, dir: String, factor: Int): String = {
+    import org.apache.spark.sql.functions._
+    def wall[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime(); val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    val base = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val maxId = base.agg(max(greatest(col("c"), col("s")))).head().getLong(0) + 1
+    val pairs = (0 until factor).map { k =>
+      base.select((col("c") + k * maxId).as("c"), (col("s") + k * maxId).as("s"))
+    }.reduce(_ unionAll _)
+    val e = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+    val (tEdge, nEdges) = wall { e.persist(); e.count() }
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edgesD = e.join(deg, "src").repartition(col("src")); edgesD.persist()
+    val (tDeg, n) = wall(deg.count())
+    edgesD.count() // warm the iteration input outside the timings
+    val baseR = 1000000000000L / n
+    var ranks = deg.select(col("src").as("node"), lit(baseR).as("r"))
+    val (tLoop, _) = wall {
+      for (i <- 1 to 6) {
+        ranks = edgesD.join(ranks.withColumnRenamed("node", "src"), "src")
+          .groupBy("dst").agg(sum(expr("r DIV outdeg")).as("c"))
+          .select(col("dst").as("node"),
+            expr(s"(1500 * ${baseR}L + 8500 * c) DIV 10000").as("r"))
+        if (i < 6) ranks = ranks.localCheckpoint()
+      }
+      ranks.queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
+    }
+    e.unpersist(); edgesD.unpersist()
+    f"pagerank ×$factor @ $dir: edges=$nEdges%,d nodes=$n%,d, " +
+      f"edge build=$tEdge%.2f s, deg=$tDeg%.2f s, 6-iter loop (warm edges)=$tLoop%.2f s"
   }
 
   /** Per-phase decomposition of the per-query driver floor (VERDICT r8
