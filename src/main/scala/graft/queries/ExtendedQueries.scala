@@ -308,7 +308,48 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Single-pass column profiler — the data-quality sweep (rows, nulls,
+    * exact distinct, min/max per column) every large-corpus pipeline
+    * runs before training. ONE aggregate over one scan computes all
+    * 5 columns × 4 metrics (multi-count-distinct plans as a single
+    * Expand + two-stage partial aggregate — one shuffle of map-side
+    * combined distinct sets, the scale-correct profiling shape), then a
+    * `stack` projection pivots the metric row into one row per column.
+    * min/max are emitted as 40-code-point string prefixes so the output
+    * schema is uniform across column types; the corpus is printable
+    * ASCII (pinned since r13), so Spark's UTF-16 string ordering and
+    * DuckDB's byte-wise collation agree.
+    */
+  private val profileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+  private val profileQ: Q = (s, d) => {
+    val df = Tables.documents(s, d)
+    val aggs = count(lit(1)).as("n") +: profileCols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}_nn"),
+        countDistinct(col(c)).as(s"${c}_nd"),
+        substring(min(col(c)).cast("string"), 1, 40).as(s"${c}_mn"),
+        substring(max(col(c)).cast("string"), 1, 40).as(s"${c}_mx"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = profileCols
+      .map(c => s"'$c', ${c}_nn, ${c}_nd, ${c}_mn, ${c}_mx").mkString(", ")
+    one.select(col("n"), expr(s"stack(${profileCols.size}, $stackArgs)")
+        .as(Seq("col", "n_nonnull", "n_distinct", "min_s", "max_s")))
+      .select(col("col"), col("n").as("n_rows"),
+        (col("n") - col("n_nonnull")).as("n_null"),
+        col("n_distinct"), col("min_s"), col("max_s"))
+  }
+
+  private val profileSql: String = profileCols.map { c =>
+    s"""SELECT '$c' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+       |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+       |  substr(CAST(min($c) AS VARCHAR), 1, 40) AS min_s,
+       |  substr(CAST(max($c) AS VARCHAR), 1, 40) AS max_s
+       |FROM documents""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
   val queries: Map[String, Q] = Map(
+    "q_profile" -> profileQ,
     "q_funnel" -> funnelQ,
     "q_retention" -> retentionQ,
     "q_intersect" -> intersectQ,
@@ -326,6 +367,7 @@ object ExtendedQueries {
     "q_bucketed_join" -> bucketedQ)
 
   val oracle: Map[String, String] = Map(
+    "q_profile" -> profileSql,
     "q_funnel" ->
       """WITH t1 AS (
         |  SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
