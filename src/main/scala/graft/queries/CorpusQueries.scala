@@ -95,6 +95,36 @@ object CorpusQueries {
           .cast("long").as("rk"))
       .filter(col("rk") <= SampleCap)
 
+  // ---- mixture upsampling to a uniform language target ----
+  // The training-mixture construction step: low-resource languages are
+  // upsampled to the epoch weight that levels the mixture (the
+  // multilingual-pretraining practice of running minority sources for
+  // >1 epoch). Weights are integer basis points — epochs_bp(lang) =
+  // (max_count·10⁴) DIV count(lang), capped at 4 epochs so a tiny
+  // source can't explode the output — and the fractional epoch is
+  // realized per-doc by the SAME Knuth key hash as q_data_split:
+  // hash(doc_id) mod 10⁴ < frac ⇒ one extra copy. Fully deterministic,
+  // reproducible under repartitioning, no rand(). Scale shape: one
+  // count agg (map-side combined), a broadcast of the per-lang weight
+  // table (|langs| rows), and a generator explode — output size is
+  // Σ count·epochs, never more than cap× the input, and no shuffle
+  // beyond the count.
+  private val MixCapBp = 40000L
+
+  private val mixUpsample: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val cnt = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    val maxc = cnt.agg(max(col("cnt")).as("maxc"))
+    val eb = cnt.crossJoin(broadcast(maxc))
+      .select(col("lang"),
+        least(expr("(maxc * 10000) DIV cnt"), lit(MixCapBp)).as("epochs_bp"))
+    docs.join(broadcast(eb), Seq("lang"))
+      .withColumn("n_copies",
+        expr("(epochs_bp DIV 10000) + (CASE WHEN (doc_id * 2654435761) % 4294967296 % 10000 < epochs_bp % 10000 THEN 1 ELSE 0 END)"))
+      .select(col("doc_id"), col("lang"), col("epochs_bp"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+  }
+
   // ---- distinctive terms per source (integer TF-IDF top-10) ----
   // score = tf·1e4 DIV df (integer basis points — ln-based idf would be
   // a last-ulp libm lottery across engines; the integer surrogate ranks
@@ -553,6 +583,7 @@ object CorpusQueries {
     "q_curation_pipeline" -> curationPipeline,
     "q_decontaminate" -> decontaminate,
     "q_sample_balanced" -> sampleBalanced,
+    "q_mix_upsample" -> mixUpsample,
     "q_tfidf_terms" -> tfidfTerms,
     "q_bm25_topk" -> bm25,
     "q_hybrid_retrieval" -> hybrid,
@@ -616,6 +647,19 @@ object CorpusQueries {
          |           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS BIGINT) AS rk
          |  FROM documents)
          |WHERE rk <= $SampleCap""".stripMargin,
+    "q_mix_upsample" ->
+      s"""WITH cnt AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+         |mx AS (SELECT max(cnt) AS maxc FROM cnt),
+         |eb AS (SELECT lang, least((maxc * 10000) // cnt, $MixCapBp) AS epochs_bp
+         |       FROM cnt CROSS JOIN mx),
+         |base AS (SELECT doc_id, lang, epochs_bp,
+         |                (epochs_bp // 10000) +
+         |                (CASE WHEN (doc_id * 2654435761) % 4294967296 % 10000
+         |                           < epochs_bp % 10000 THEN 1 ELSE 0 END) AS n_copies
+         |         FROM documents JOIN eb USING (lang))
+         |SELECT doc_id, lang, epochs_bp,
+         |       unnest(generate_series(1, n_copies)) AS copy
+         |FROM base""".stripMargin,
     "q_tfidf_terms" ->
       """WITH toks AS (
         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -352,6 +352,80 @@ object DedupQueries {
       .withColumn("dup_bp", expr("(n_dup * 10000) DIV n_chunks"))
   }
 
+  // ---- exact substring-duplication spans (Lee et al. 2022 shape) ----
+  // The ExactSubstr operator of "Deduplicating Training Data Makes
+  // Language Models Better": find the maximal token RANGES of each doc
+  // whose content recurs anywhere in the corpus — catches partial
+  // copies (quoted excerpts, syndicated paragraphs) that whole-doc and
+  // fixed-chunk hashing both miss. Published MapReduce formulation, not
+  // a suffix array: slide a k-token window at stride 1, count each
+  // window's global occurrences (ONE map-side-combined groupBy), keep
+  // positions whose window recurs, and merge overlapping windows into
+  // maximal spans with a per-doc gaps-and-islands pass (partitioned
+  // window). No n² anywhere; the shuffle key is the window text —
+  // production would hash it to 64 bits (collisions tolerable), the
+  // oracle keeps strings so no hash crosses engines. Planted signal: a
+  // 31-token mid-doc excerpt of every long-enough doc re-enters as its
+  // own doc (doc_id+300000) — originals then carry one dup span over
+  // tokens ~10..40, excerpts are fully duplicated, and span bounds are
+  // non-trivial. Window construction is posexplode + lead over a
+  // partitioned window, NOT transform+slice over an aliased split —
+  // CollapseProject inlines the alias and re-runs split per position
+  // (the documented HOF quadratic trap).
+  private val SpanK = 8
+
+  private[graft] def spanCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val exc = Tables.documents(s, d)
+      .filter(size(split(col("text"), " ")) >= 41)
+      .select((col("doc_id") + 300000L).as("doc_id"),
+        array_join(slice(split(col("text"), " "), 11, 31), " ").as("text"))
+    base.unionAll(exc)
+  }
+
+  private val dupSpans: Q = (s, d) => spanStats(spanCorpus(s, d))
+
+  /** The span machinery on any (doc_id, text) corpus — factored out so
+    * the multi-span merge cases (disjoint duplicated regions, touching
+    * windows) can be pinned on a controlled corpus in CurationOpsSpec.
+    */
+  private[graft] def spanStats(c: DataFrame): DataFrame = {
+    val toks = c.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    // all k-1 leads share one WindowExec (same spec); trailing positions
+    // (last lead null) have no full window and drop out
+    val withLeads = toks.select(
+      col("doc_id") +: col("pos") +: col("tok") +:
+        (1 until SpanK).map(i => lead(col("tok"), i).over(w).as(s"t$i")): _*)
+    val sh = withLeads.filter(col(s"t${SpanK - 1}").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ",
+          col("tok") +: (1 until SpanK).map(i => col(s"t$i")): _*).as("sh"))
+    // scratch-persisted: feeds the global count agg AND the join back
+    val shP = graft.Scratch.persist(sh)
+    val cnt = shP.groupBy("sh").agg(count(lit(1)).as("c"))
+    val dup = shP.join(cnt.filter(col("c") > 1), Seq("sh"))
+      .select(col("doc_id"), col("pos"))
+    // gaps-and-islands: windows at p1 < p2 overlap/touch iff p2 <= p1+k
+    val flagged = dup.withColumn("newgrp",
+      when(col("pos") - lag(col("pos"), 1).over(w) <= SpanK, 0L).otherwise(1L))
+    val grp = flagged.withColumn("grp",
+      sum(col("newgrp")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = grp.groupBy("doc_id", "grp")
+      .agg(min(col("pos")).as("sp_start"),
+        (max(col("pos")) + lit(SpanK - 1)).as("sp_end"))
+    val ntok = c.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("sp_end") - col("sp_start") + 1).as("dup_tokens"))
+      .join(ntok, Seq("doc_id"))
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
+        col("n_tokens"), expr("(dup_tokens * 10000) DIV n_tokens").as("dup_bp"))
+  }
+
   // ---- duplicate-GROUP resolution: pairs → components → keeper ----
   // Pairwise dedup output (exact/minhash/jaccard/embed above) is only
   // half the operator a training-data pipeline needs: keep-one-per-group
@@ -422,7 +496,8 @@ object DedupQueries {
     "q_dedup_embed_mp" -> embedDupMp,
     "q_dedup_semantic" -> semantic,
     "q_dedup_cc" -> ccGroups,
-    "q_dedup_chunks" -> chunkDup)
+    "q_dedup_chunks" -> chunkDup,
+    "q_dedup_spans" -> dupSpans)
 
   private[graft] val minhashSql: String = {
     val mins = (0 to 7).map(k => s"min(substr(md5(sh), ${3 * k + 1}, 8)) AS mh$k").mkString(", ")
@@ -569,6 +644,37 @@ object DedupQueries {
          |         // CAST(count(*) AS BIGINT) AS dup_bp
          |FROM chunks JOIN cnt USING (h)
          |GROUP BY doc_id""".stripMargin,
+    "q_dedup_spans" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id+300000 AS doc_id,
+        |         array_to_string(string_split(text, ' ')[11:41], ' ') AS text
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 41),
+        |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+        |p AS (SELECT doc_id, toks,
+        |             unnest(generate_series(1, len(toks)-7)) AS pos FROM tk),
+        |sh AS (SELECT doc_id, pos,
+        |              array_to_string(toks[pos:pos+7], ' ') AS sh FROM p),
+        |cnt AS (SELECT sh, count(*) AS c FROM sh GROUP BY sh),
+        |dup AS (SELECT doc_id, pos FROM sh JOIN cnt USING (sh) WHERE c > 1),
+        |flg AS (SELECT doc_id, pos,
+        |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |             THEN 0 ELSE 1 END AS newgrp FROM dup),
+        |grp AS (SELECT doc_id, pos,
+        |        sum(newgrp) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM flg),
+        |spans AS (SELECT doc_id, grp, min(pos) AS sp_start, max(pos)+7 AS sp_end
+        |          FROM grp GROUP BY doc_id, grp),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |               CAST(sum(sp_end - sp_start + 1) AS BIGINT) AS dup_tokens
+        |        FROM spans GROUP BY doc_id),
+        |nt AS (SELECT doc_id,
+        |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |       FROM corpus)
+        |SELECT a.doc_id, n_spans, dup_tokens, n_tokens,
+        |       (dup_tokens * 10000) // n_tokens AS dup_bp
+        |FROM agg a JOIN nt USING (doc_id)""".stripMargin,
     "q_dedup_cc" ->
       """WITH RECURSIVE und AS (
         |  SELECT doc_id AS a, doc_id + 1 AS b FROM documents

@@ -1,0 +1,100 @@
+package graft
+
+/** Invariants of the r14 curation additions that the hash-parity gate
+  * can't express directly: the exact-substring span merge (disjoint
+  * duplicated regions must stay separate spans; the one-token-gap
+  * boundary must NOT merge) and the mixture-upsampling copy counts
+  * (each doc's replication must follow the integer epoch formula
+  * exactly).
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("dup spans: planted excerpts fully duplicated, sources carry the excerpt span") {
+    val rows = SparkEntry.queries("q_dedup_spans")(spark, sf).collect()
+    Scratch.release(spark)
+    assert(rows.nonEmpty)
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // an excerpt doc (+300000) is a verbatim slice of its source — every
+    // one of its windows recurs, so its coverage is total
+    val excerpts = rows.filter(_.getAs[Long]("doc_id") >= 300000L)
+    assert(excerpts.nonEmpty)
+    excerpts.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") == 31L, s"excerpt length: $r")
+      assert(r.getAs[Long]("dup_bp") == 10000L, s"excerpt not fully covered: $r")
+    }
+    // the source of every excerpt carries a span at least as long as the
+    // excerpted 31 tokens
+    excerpts.foreach { r =>
+      val src = byId(r.getAs[Long]("doc_id") - 300000L)
+      assert(src.getAs[Long]("dup_tokens") >= 31L, s"source missing excerpt span: $src")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dup_tokens") <= r.getAs[Long]("n_tokens"), s"coverage overflow: $r")
+      assert(r.getAs[Long]("n_spans") >= 1L)
+    }
+  }
+
+  test("span merge: disjoint duplicated regions stay separate; 1-token gap does not merge") {
+    val sp = spark
+    import sp.implicits._
+    def toks(tag: String, n: Int) = (1 to n).map(i => s"$tag$i")
+    // docs 1/2 share two regions (10 and 12 tokens) separated by 20
+    // unique tokens -> exactly two spans of 10 and 12 tokens each
+    val s1 = toks("s", 10); val s2 = toks("t", 12)
+    val a = s1 ++ toks("a", 20) ++ s2 ++ toks("x", 5)
+    val b = s1 ++ toks("b", 20) ++ s2 ++ toks("y", 5)
+    // docs 3/4 share two 10-token regions separated by ONE unique token:
+    // dup window starts 0..2 and 11..13, island gap 11-2=9 > k=8, so the
+    // spans stay separate and the unique middle token is never counted
+    val g1 = toks("g", 10); val g2 = toks("h", 10)
+    val c3 = g1 ++ Seq("u1") ++ g2
+    val c4 = g1 ++ Seq("v1") ++ g2
+    val corpus = Seq(
+      (1L, a.mkString(" ")), (2L, b.mkString(" ")),
+      (3L, c3.mkString(" ")), (4L, c4.mkString(" "))).toDF("doc_id", "text")
+    val out = queries.DedupQueries.spanStats(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("dup_tokens")))).toMap
+    assert(out(1L) == ((2L, 22L)), s"doc 1: ${out.get(1L)}")
+    assert(out(2L) == ((2L, 22L)), s"doc 2: ${out.get(2L)}")
+    assert(out(3L) == ((2L, 20L)), s"doc 3: ${out.get(3L)}")
+    assert(out(4L) == ((2L, 20L)), s"doc 4: ${out.get(4L)}")
+  }
+
+  test("mix upsample: every doc's copy count follows the integer epoch formula") {
+    val rows = SparkEntry.queries("q_mix_upsample")(spark, sf).collect()
+    Scratch.release(spark)
+    val langCounts = Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val maxc = langCounts.values.max
+    val bpByLang = langCounts.map { case (l, n) =>
+      l -> math.min(maxc * 10000L / n, 40000L)
+    }
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.size.toLong == langCounts.values.sum,
+      "every doc must appear at least once (epochs >= 1)")
+    byDoc.foreach { case (id, rs) =>
+      val lang = rs.head.getAs[String]("lang")
+      val bp = bpByLang(lang)
+      assert(rs.forall(_.getAs[Long]("epochs_bp") == bp))
+      val want = bp / 10000L +
+        (if ((id * 2654435761L) % 4294967296L % 10000L < bp % 10000L) 1L else 0L)
+      assert(rs.length.toLong == want, s"doc $id ($lang): ${rs.length} copies != $want")
+      assert(rs.map(_.getAs[Long]("copy")).sorted.toSeq == (1L to want),
+        s"doc $id: copy ids not 1..$want")
+    }
+    // the mixture actually levels IN EXPECTATION: the Knuth hash
+    // realizes the fractional epoch per doc, so a lang's total lands
+    // within a few-sigma binomial band of the target, not exactly on it
+    val perLang = rows.groupBy(_.getAs[String]("lang")).map { case (l, rs) => l -> rs.length }
+    val upsampled = langCounts.filter(_._2 < maxc).keys
+    upsampled.foreach { l =>
+      val tol = math.max(5.0, 4.0 * math.sqrt(langCounts(l).toDouble))
+      assert(math.abs(perLang(l) - maxc.toInt) <= tol,
+        s"lang $l leveled to ${perLang(l)} vs target $maxc (tol $tol)")
+    }
+  }
+}
