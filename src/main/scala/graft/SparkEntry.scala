@@ -82,7 +82,7 @@ object SparkEntry {
     // graphs are built per IVF list), so it rides in this set too
     "build_ivf_index" -> Set("q_ann_ivf", "q_ann_ivf_upsert",
       "q_ann_recall_ivf", "q_ann_recall_nsw", "q_hybrid_retrieval_ivf",
-      "q_dedup_semantic", "build_nsw_graph"),
+      "q_dedup_semantic", "q_knn_eval", "build_nsw_graph"),
     "build_nsw_graph" -> Set("q_ann_recall_nsw"),
     "build_pq_codebooks" -> Set("q_pq_encode", "q_ann_recall_pq"),
     "build_bm25_index" -> Set("q_bm25_topk", "q_hybrid_retrieval",

@@ -311,6 +311,52 @@ object VectorQueries {
     graft.operators.AnnIvf.topK(index, probes, "pid", "embedding", k = 10, nProbe = 4)
   }
 
+  // ---- k-NN label eval: embedding quality as LOO classification ----
+  // The standard intrinsic eval of an embedding space: leave-one-out
+  // k-NN majority-vote classification against the `label` column. The
+  // neighbor search runs through the IVF probed lists (the 100 TB
+  // shape — candidates are nProbe/nList of the corpus, never a
+  // brute-force scan; probes are a deterministic 1-in-10 subset so the
+  // eval itself scales linearly). Vote is exact integer (count per
+  // neighbor label; tie → lowest label id), and the whole thing
+  // replays from the centroid export exactly like q_ann_ivf — search
+  // rules identical (probe ranking l2, strict row_number ties on
+  // cluster / vec_id, self excluded BEFORE ranking).
+  private val KnnK = 10
+  private val KnnProbeMod = 10
+  private val KnnNProbe = 4
+
+  private val knnEval: Q = (s, d) => {
+    val index = ivfIndex(s, d)
+    val p = emb(s, d).filter(pmod(col("vec_id"), lit(KnnProbeMod)) === 0)
+      .select(col("vec_id").as("probe_id"),
+        col("label").cast("long").as("truth"), col("e").as("pv"))
+    val lists = p.crossJoin(broadcast(index.centroids))
+      .withColumn("cdist", l2DistanceNative(col("pv"), col("centroid")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cdist"), col("cluster"))))
+      .filter(col("crk") <= KnnNProbe)
+      .select("probe_id", "truth", "pv", "cluster")
+    val labs = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("nlabel"))
+    lists.join(index.assigned, Seq("cluster"))
+      .filter(col("vec_id") =!= col("probe_id")) // leave-one-out
+      .select(col("probe_id"), col("truth"), col("vec_id"),
+        (round(cosineSimilarityNative(col("e"), col("pv")), 6) + lit(0.0)).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= KnnK)
+      .join(labs, Seq("vec_id"))
+      .groupBy(col("probe_id"), col("truth"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vrk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("votes").desc, col("nlabel"))))
+      .filter(col("vrk") === 1)
+      .select(col("probe_id"), col("nlabel").as("pred"), col("truth"),
+        col("votes"),
+        when(col("nlabel") === col("truth"), 1L).otherwise(0L).as("correct"))
+  }
+
   // ---- ANN recall@10 as a declared, oracle-checked metric ----
   // Recall of the sign-LSH bucketed ANN (the q_dedup_embed blocking
   // scheme) against the exact brute-force top-10, per probe, for both
@@ -553,6 +599,7 @@ object VectorQueries {
     "o54_vec_distance" -> o54,
     "o56_ann_topk" -> o56,
     "q_ann_ivf" -> ivf,
+    "q_knn_eval" -> knnEval,
     "q_ann_ivf_upsert" -> ivfUpsert,
     "q_ann_recall" -> annRecall,
     "q_ann_recall_ivf" -> ivfRecall,
@@ -795,6 +842,49 @@ object VectorQueries {
          |           ORDER BY round(${cosineSimilaritySql("a.e", "l.pv")}, 6) + 0.0 DESC, a.vec_id) AS BIGINT) AS rk
          |  FROM plists l JOIN assigned a ON a.cluster = l.cluster)
          |WHERE rk <= 10""".stripMargin
+    },
+    // Same centroid-export replay as q_ann_ivf with self excluded
+    // before ranking, plus the integer vote layer.
+    "q_knn_eval" -> {
+      val sqDist = (a: String, b: String) =>
+        s"list_sum(list_transform(generate_series(1, len($a)), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+      s"""WITH cents AS (SELECT cluster, centroid FROM '$ivfExportPath/*.parquet'),
+         |emb AS (SELECT vec_id, label, e FROM $embSql),
+         |assigned AS (
+         |  SELECT vec_id, e, cluster FROM (
+         |    SELECT a.vec_id, a.e, c.cluster,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY ${sqDist("a.e", "c.centroid")}, c.cluster) AS ark
+         |    FROM emb a CROSS JOIN cents c)
+         |  WHERE ark = 1),
+         |probes AS (SELECT vec_id AS probe_id, CAST(label AS BIGINT) AS truth, e AS pv
+         |           FROM emb WHERE vec_id % $KnnProbeMod = 0),
+         |plists AS (
+         |  SELECT probe_id, truth, pv, cluster FROM (
+         |    SELECT p.probe_id, p.truth, p.pv, c.cluster,
+         |           row_number() OVER (PARTITION BY p.probe_id
+         |             ORDER BY ${l2DistanceSql("p.pv", "c.centroid")}, c.cluster) AS crk
+         |    FROM probes p CROSS JOIN cents c)
+         |  WHERE crk <= $KnnNProbe),
+         |neigh AS (
+         |  SELECT probe_id, truth, vec_id FROM (
+         |    SELECT l.probe_id, l.truth, a.vec_id,
+         |           row_number() OVER (PARTITION BY l.probe_id
+         |             ORDER BY round(${cosineSimilaritySql("a.e", "l.pv")}, 6) + 0.0 DESC, a.vec_id) AS rk
+         |    FROM plists l JOIN assigned a
+         |      ON a.cluster = l.cluster AND a.vec_id <> l.probe_id)
+         |  WHERE rk <= $KnnK),
+         |votes AS (
+         |  SELECT probe_id, truth, CAST(e2.label AS BIGINT) AS nlabel,
+         |         CAST(count(*) AS BIGINT) AS votes
+         |  FROM neigh JOIN emb e2 USING (vec_id)
+         |  GROUP BY probe_id, truth, e2.label)
+         |SELECT probe_id, nlabel AS pred, truth, votes,
+         |       CAST(CASE WHEN nlabel = truth THEN 1 ELSE 0 END AS BIGINT) AS correct
+         |FROM (SELECT *, row_number() OVER (
+         |        PARTITION BY probe_id ORDER BY votes DESC, nlabel) AS vrk
+         |      FROM votes)
+         |WHERE vrk = 1""".stripMargin
     },
     // Same centroid-export replay, both nProbe variants at once (a
     // variants×ranked join), hits counted against the exact top-10 —

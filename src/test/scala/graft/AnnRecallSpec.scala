@@ -103,4 +103,30 @@ class AnnRecallSpec extends SparkSpec {
         s"probe $p: exact re-rank lost recall vs raw ADC")
     }
   }
+
+  test("knn eval: one verdict per probe, LOO holds, vote is a valid majority") {
+    val rows = SparkEntry.queries("q_knn_eval")(spark, sf).collect()
+    Scratch.release(spark)
+    // exactly one row per deterministic 1-in-10 probe
+    val nProbes = Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.lit(10)) === 0).count()
+    assert(rows.length.toLong == nProbes, s"${rows.length} verdicts for $nProbes probes")
+    assert(rows.map(_.getAs[Long]("probe_id")).distinct.length == rows.length)
+    val labelDomain = Tables.embeddings(spark, sf)
+      .select("label").distinct().collect().map(_.getInt(0).toLong).toSet
+    rows.foreach { r =>
+      val votes = r.getAs[Long]("votes")
+      // k=10 neighbors, so the winning label holds between ceil(10/|labels|) and 10 votes
+      assert(votes >= 1L && votes <= 10L, s"vote count out of range: $r")
+      assert(labelDomain.contains(r.getAs[Long]("pred")), s"pred outside label domain: $r")
+      assert(labelDomain.contains(r.getAs[Long]("truth")))
+      assert((r.getAs[Long]("correct") == 1L) ==
+        (r.getAs[Long]("pred") == r.getAs[Long]("truth")))
+      // majority plurality: winner must hold at least k/|domain| rounded up
+      assert(votes >= (10L + labelDomain.size - 1) / labelDomain.size,
+        s"winner below plurality floor: $r")
+    }
+  }
 }
