@@ -385,13 +385,16 @@ object DedupQueries {
 
   private val dupSpans: Q = (s, d) => spanStats(spanCorpus(s, d))
 
-  /** The span machinery on any (doc_id, text) corpus — factored out so
-    * the multi-span merge cases (disjoint duplicated regions, touching
-    * windows) can be pinned on a controlled corpus in CurationOpsSpec.
-    */
-  private[graft] def spanStats(c: DataFrame): DataFrame = {
-    val toks = c.select(col("doc_id"),
+  /** (doc_id, pos, tok) for a (doc_id, text) corpus — 0-based pos. */
+  private def docTokens(c: DataFrame): DataFrame =
+    c.select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+
+  /** Maximal duplicated ranges (doc_id, sp_start, sp_end) in window-
+    * start coordinates — the shared core of q_dedup_spans and the
+    * removal query.
+    */
+  private[graft] def dupSpanRanges(toks: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     // all k-1 leads share one WindowExec (same spec); trailing positions
     // (last lead null) have no full window and drop out
@@ -413,9 +416,18 @@ object DedupQueries {
     val grp = flagged.withColumn("grp",
       sum(col("newgrp")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val spans = grp.groupBy("doc_id", "grp")
+    grp.groupBy("doc_id", "grp")
       .agg(min(col("pos")).as("sp_start"),
         (max(col("pos")) + lit(SpanK - 1)).as("sp_end"))
+      .select("doc_id", "sp_start", "sp_end")
+  }
+
+  /** The span machinery on any (doc_id, text) corpus — factored out so
+    * the multi-span merge cases (disjoint duplicated regions, touching
+    * windows) can be pinned on a controlled corpus in CurationOpsSpec.
+    */
+  private[graft] def spanStats(c: DataFrame): DataFrame = {
+    val spans = dupSpanRanges(docTokens(c))
     val ntok = c.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
     spans.groupBy("doc_id")
@@ -425,6 +437,36 @@ object DedupQueries {
       .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
         col("n_tokens"), expr("(dup_tokens * 10000) DIV n_tokens").as("dup_bp"))
   }
+
+  // ---- the removal half of ExactSubstr: excise the duplicated spans ----
+  // Lee et al. don't just FIND duplicated substrings — they delete
+  // them. Kept text = tokens not covered by any span, in original
+  // order. Coverage explodes each span into its positions (bounded by
+  // doc length), kept tokens come from a LEFT ANTI join on (doc_id,
+  // pos), and per-doc reconstruction collects (pos, tok) structs,
+  // array_sorts them (struct order = field order, pos first — NEVER
+  // raw collect_list order, which is shuffle-dependent), and re-joins.
+  // Docs whose every token is covered come back via the corpus left
+  // join with n_kept = 0 and md5('') — full removal, not absence.
+  private[graft] def spanRemoval(c: DataFrame): DataFrame = {
+    val toks = graft.Scratch.persist(docTokens(c))
+    val covered = dupSpanRanges(toks)
+      .select(col("doc_id"),
+        explode(sequence(col("sp_start"), col("sp_end"))).as("pos"))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val agg = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        collect_list(struct(col("pos"), col("tok"))).as("lst"))
+      .select(col("doc_id"), col("n_kept"),
+        expr("md5(array_join(transform(array_sort(lst), x -> x.tok), ' '))")
+          .as("clean_hash"))
+    c.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_hash"), md5(lit(""))).as("clean_hash"))
+  }
+
+  private val dupSpansRemoval: Q = (s, d) => spanRemoval(spanCorpus(s, d))
 
   // ---- duplicate-GROUP resolution: pairs → components → keeper ----
   // Pairwise dedup output (exact/minhash/jaccard/embed above) is only
@@ -497,7 +539,8 @@ object DedupQueries {
     "q_dedup_semantic" -> semantic,
     "q_dedup_cc" -> ccGroups,
     "q_dedup_chunks" -> chunkDup,
-    "q_dedup_spans" -> dupSpans)
+    "q_dedup_spans" -> dupSpans,
+    "q_dedup_spans_removal" -> dupSpansRemoval)
 
   private[graft] val minhashSql: String = {
     val mins = (0 to 7).map(k => s"min(substr(md5(sh), ${3 * k + 1}, 8)) AS mh$k").mkString(", ")
@@ -675,6 +718,42 @@ object DedupQueries {
         |SELECT a.doc_id, n_spans, dup_tokens, n_tokens,
         |       (dup_tokens * 10000) // n_tokens AS dup_bp
         |FROM agg a JOIN nt USING (doc_id)""".stripMargin,
+    "q_dedup_spans_removal" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id+300000 AS doc_id,
+        |         array_to_string(string_split(text, ' ')[11:41], ' ') AS text
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 41),
+        |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+        |p AS (SELECT doc_id, toks,
+        |             unnest(generate_series(1, len(toks)-7)) AS pos FROM tk),
+        |sh AS (SELECT doc_id, pos,
+        |              array_to_string(toks[pos:pos+7], ' ') AS sh FROM p),
+        |cnt AS (SELECT sh, count(*) AS c FROM sh GROUP BY sh),
+        |dup AS (SELECT doc_id, pos FROM sh JOIN cnt USING (sh) WHERE c > 1),
+        |flg AS (SELECT doc_id, pos,
+        |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |             THEN 0 ELSE 1 END AS newgrp FROM dup),
+        |grp AS (SELECT doc_id, pos,
+        |        sum(newgrp) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM flg),
+        |spans AS (SELECT doc_id, grp, min(pos) AS sp_start, max(pos)+7 AS sp_end
+        |          FROM grp GROUP BY doc_id, grp),
+        |cov AS (SELECT doc_id,
+        |               unnest(generate_series(sp_start, sp_end)) AS pos FROM spans),
+        |tokpos AS (SELECT doc_id, pos, toks[pos] AS tok FROM
+        |           (SELECT doc_id, toks,
+        |                   unnest(generate_series(1, len(toks))) AS pos FROM tk) tp),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tokpos t
+        |         LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+        |         WHERE c.doc_id IS NULL),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |               md5(array_to_string(list(tok ORDER BY pos), ' ')) AS clean_hash
+        |        FROM kept GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |       coalesce(a.clean_hash, md5('')) AS clean_hash
+        |FROM corpus c LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "q_dedup_cc" ->
       """WITH RECURSIVE und AS (
         |  SELECT doc_id AS a, doc_id + 1 AS b FROM documents

@@ -348,7 +348,72 @@ object ExtendedQueries {
        |FROM documents""".stripMargin
   }.mkString("\nUNION ALL\n")
 
+  // ---- robust outlier detection (median / MAD) ----
+  // The data-QC primitive that survives the outliers it hunts: flag
+  // events whose |value − median| exceeds 3·MAD, per event type.
+  // Medians are PICKED, not computed — rank by (value, event_id) and
+  // take rn = ceil(n/2) (the q_quantiles rule), so no FP aggregation
+  // exists anywhere: dev = abs(value − med) and the 3·MAD compare are
+  // single IEEE ops on identical doubles in both engines. Two
+  // partitioned rank windows + two broadcast joins of the 5-row
+  // median/MAD tables; the deviation frame is Scratch-persisted (feeds
+  // the MAD ranking and the final count).
+  private val madQ: Q = (s, d) => {
+    val byType = Window.partitionBy("event_type")
+    val e = Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
+    val ranked = e
+      .withColumn("rn", row_number().over(byType.orderBy(col("value"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(byType))
+    val med = ranked.filter(expr("rn = (50 * n + 99) DIV 100"))
+      .select(col("event_type"), col("value").as("med"))
+    val dev = graft.Scratch.persist(
+      e.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev", abs(col("value") - col("med"))))
+    val mad = dev
+      .withColumn("drn", row_number().over(byType.orderBy(col("dev"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(byType))
+      .filter(expr("drn = (50 * n + 99) DIV 100"))
+      .select(col("event_type"), col("dev").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"),
+        (round(max(col("med")), 6) + lit(0.0)).as("med_r"),
+        (round(max(col("mad")), 6) + lit(0.0)).as("mad_r"))
+  }
+
+  // ---- Spearman rank correlation (integer closed form) ----
+  // Per-source rank correlation between document length (n_chars) and
+  // lexical diversity (distinct-token count) — the data-analysis
+  // primitive behind every "does X correlate with quality" check a
+  // curation pipeline runs. Deterministic-rank variant: ties broken by
+  // doc_id (average-rank Spearman needs FP midpoints; this integer
+  // variant is the hash-checkable analog). rho = 1 − 6Σd²/(n(n²−1)) in
+  // basis points; both sides of the division are widened through
+  // DECIMAL(38,0)/HUGEINT because n³ overflows BIGINT past ~2M rows
+  // per group — real at corpus scale; the penalty term is all-positive
+  // so Spark DIV == DuckDB // and the signed subtraction happens after.
+  // One shuffle on source; the two rankings are two sorts over the
+  // same exchange.
+  private val rankCorrQ: Q = (s, d) => {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      col("n_chars"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("ndist"))
+    val r1 = row_number().over(
+      Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))).cast("long")
+    val r2 = row_number().over(
+      Window.partitionBy("source").orderBy(col("ndist"), col("doc_id"))).cast("long")
+    base.select(col("source"), r1.as("r1"), r2.as("r2"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(expr("(r1-r2)*(r1-r2)")).as("sum_d2"))
+      .select(col("source"), col("n"), col("sum_d2"),
+        expr("10000L - CAST((CAST(sum_d2 AS DECIMAL(38,0)) * 60000) DIV " +
+          "greatest(CAST(n AS DECIMAL(38,0))*n*n - n, 1) AS BIGINT)").as("rho_bp"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_outliers_mad" -> madQ,
+    "q_rank_corr" -> rankCorrQ,
     "q_profile" -> profileQ,
     "q_funnel" -> funnelQ,
     "q_retention" -> retentionQ,
@@ -367,6 +432,40 @@ object ExtendedQueries {
     "q_bucketed_join" -> bucketedQ)
 
   val oracle: Map[String, String] = Map(
+    "q_outliers_mad" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events),
+        |ranked AS (SELECT event_id, event_type, value,
+        |       row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |       count(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |med AS (SELECT event_type, value AS med FROM ranked WHERE rn = (50*n+99)//100),
+        |dev AS (SELECT e.event_id, e.event_type, m.med, abs(e.value - m.med) AS dev
+        |        FROM e JOIN med m USING (event_type)),
+        |dr AS (SELECT event_type, dev,
+        |       row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS drn,
+        |       count(*) OVER (PARTITION BY event_type) AS n FROM dev),
+        |mad AS (SELECT event_type, dev AS mad FROM dr WHERE drn = (50*n+99)//100)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN d.dev > m.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       round(max(d.med), 6) + 0.0 AS med_r,
+        |       round(max(m.mad), 6) + 0.0 AS mad_r
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type""".stripMargin,
+    "q_rank_corr" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS ndist
+        |  FROM documents),
+        |rk AS (SELECT source,
+        |        CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS r1,
+        |        CAST(row_number() OVER (PARTITION BY source ORDER BY ndist, doc_id) AS BIGINT) AS r2
+        |       FROM base),
+        |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum((r1-r2)*(r1-r2)) AS BIGINT) AS sum_d2
+        |        FROM rk GROUP BY source)
+        |SELECT source, n, sum_d2,
+        |       10000 - CAST((CAST(sum_d2 AS HUGEINT) * 60000)
+        |         // greatest(CAST(n AS HUGEINT)*n*n - n, 1) AS BIGINT) AS rho_bp
+        |FROM agg""".stripMargin,
     "q_profile" -> profileSql,
     "q_funnel" ->
       """WITH t1 AS (

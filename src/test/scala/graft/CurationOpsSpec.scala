@@ -63,6 +63,59 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(4L) == ((2L, 20L)), s"doc 4: ${out.get(4L)}")
   }
 
+  test("span removal: excises exactly the covered tokens, preserves order") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.{md5, lit}
+    def toks(tag: String, n: Int) = (1 to n).map(i => s"$tag$i")
+    val g1 = toks("g", 10); val g2 = toks("h", 10)
+    val s1 = toks("s", 10); val s2 = toks("t", 12)
+    val a = s1 ++ toks("a", 20) ++ s2 ++ toks("x", 5)
+    val b = s1 ++ toks("b", 20) ++ s2 ++ toks("y", 5)
+    val corpus = Seq(
+      (1L, a.mkString(" ")), (2L, b.mkString(" ")),
+      (3L, (g1 ++ Seq("u1") ++ g2).mkString(" ")),
+      (4L, (g1 ++ Seq("v1") ++ g2).mkString(" "))).toDF("doc_id", "text")
+    val out = queries.DedupQueries.spanRemoval(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_kept"), r.getAs[String]("clean_hash")))).toMap
+    Scratch.release(spark)
+    def h(tokens: Seq[String]) = evalStr(md5(lit(tokens.mkString(" "))))
+    // doc 1/2: both shared regions excised, middles + tails survive in order
+    assert(out(1L) == ((25L, h(toks("a", 20) ++ toks("x", 5)))), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((25L, h(toks("b", 20) ++ toks("y", 5)))), s"doc 2: ${out(2L)}")
+    // doc 3/4: only the unique middle token survives
+    assert(out(3L) == ((1L, h(Seq("u1")))), s"doc 3: ${out(3L)}")
+    assert(out(4L) == ((1L, h(Seq("v1")))), s"doc 4: ${out(4L)}")
+  }
+
+  test("span removal on testdata: excerpt docs are fully removed, stats agree") {
+    val stats = SparkEntry.queries("q_dedup_spans")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_tokens")))).toMap
+    Scratch.release(spark)
+    val rem = SparkEntry.queries("q_dedup_spans_removal")(spark, sf).collect()
+    Scratch.release(spark)
+    val emptyHash = evalStr(org.apache.spark.sql.functions.md5(
+      org.apache.spark.sql.functions.lit("")))
+    rem.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val kept = r.getAs[Long]("n_kept")
+      stats.get(id) match {
+        case Some((nTok, dupTok)) =>
+          assert(kept == nTok - dupTok, s"doc $id: kept $kept != $nTok - $dupTok")
+        case None => // doc with no dup spans: everything kept
+          assert(kept > 0L, s"doc $id: no spans but nothing kept")
+      }
+      if (kept == 0L)
+        assert(r.getAs[String]("clean_hash") == emptyHash)
+    }
+    // the planted excerpts (fully duplicated) must be fully excised
+    val excised = rem.filter(r => r.getAs[Long]("doc_id") >= 300000L &&
+      r.getAs[Long]("n_kept") == 0L)
+    assert(excised.nonEmpty, "no excerpt was fully removed")
+  }
+
   test("mix upsample: every doc's copy count follows the integer epoch formula") {
     val rows = SparkEntry.queries("q_mix_upsample")(spark, sf).collect()
     Scratch.release(spark)
