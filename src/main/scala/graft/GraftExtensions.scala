@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{CleanSuffixExpr, CosineSimilarityExpr, DotProductExpr, L2DistanceExpr, PqAdcExpr, TokenShinglesExpr}
+import graft.functions.expressions.{CdcChunksExpr, CleanSuffixExpr, CosineSimilarityExpr, DotProductExpr, L2DistanceExpr, PqAdcExpr, TokenShinglesExpr}
 
 /** Session extension registering the engine's native expressions as SQL
   * functions (`cosine_similarity`, `l2_distance`) — enable with
@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("pq_adc"),
       new ExpressionInfo(classOf[PqAdcExpr].getName, "pq_adc"),
       (children: Seq[Expression]) => PqAdcExpr(children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunksExpr].getName, "cdc_chunks"),
+      (children: Seq[Expression]) => CdcChunksExpr(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("clean_suffix"),
       new ExpressionInfo(classOf[CleanSuffixExpr].getName, "clean_suffix"),

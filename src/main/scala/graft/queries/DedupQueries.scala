@@ -352,6 +352,38 @@ object DedupQueries {
       .withColumn("dup_bp", expr("(n_dup * 10000) DIV n_chunks"))
   }
 
+  // ---- content-defined chunk dedup (shift-robust) ----
+  // The CDC upgrade of q_dedup_chunks: chunk boundaries come from a
+  // rolling hash of the last 8 code points (native codegen'd
+  // `cdc_chunks` expression, CdcExpressions.scala), so an INSERTION
+  // near the start of a copy shifts only ~8 characters of boundaries
+  // and every later boundary re-synchronizes — fixed-size chunking
+  // shifts every boundary and finds nothing. Planted signal: every 5th
+  // doc re-enters with a deterministic 'p<doc_id> ' prefix
+  // (doc_id+400000) — exactly the mutation fixed chunking is blind to;
+  // CurationOpsSpec pins CDC >> fixed on this corpus. Scale shape
+  // identical to q_dedup_chunks: chunk → hash → ONE map-side-combined
+  // groupBy → equi-join back; chunking itself is stateless per row.
+  private val CdcD = 64
+
+  private val cdcDup: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val copies = Tables.documents(s, d).filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select((col("doc_id") + 400000L).as("doc_id"),
+        concat(lit("p"), col("doc_id").cast("string"), lit(" "), col("text")).as("text"))
+    val chunks = graft.Scratch.persist(
+      docs.unionAll(copies)
+        .select(col("doc_id"),
+          explode(call_function("cdc_chunks", col("text"), lit(CdcD))).as("chunk"))
+        .select(col("doc_id"), md5(col("chunk")).as("h")))
+    val cnt = chunks.groupBy("h").agg(count(lit(1)).as("c"))
+    chunks.join(cnt, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_bp", expr("(n_dup * 10000) DIV n_chunks"))
+  }
+
   // ---- exact substring-duplication spans (Lee et al. 2022 shape) ----
   // The ExactSubstr operator of "Deduplicating Training Data Makes
   // Language Models Better": find the maximal token RANGES of each doc
@@ -540,7 +572,8 @@ object DedupQueries {
     "q_dedup_cc" -> ccGroups,
     "q_dedup_chunks" -> chunkDup,
     "q_dedup_spans" -> dupSpans,
-    "q_dedup_spans_removal" -> dupSpansRemoval)
+    "q_dedup_spans_removal" -> dupSpansRemoval,
+    "q_dedup_cdc" -> cdcDup)
 
   private[graft] val minhashSql: String = {
     val mins = (0 to 7).map(k => s"min(substr(md5(sh), ${3 * k + 1}, 8)) AS mh$k").mkString(", ")
@@ -718,6 +751,42 @@ object DedupQueries {
         |SELECT a.doc_id, n_spans, dup_tokens, n_tokens,
         |       (dup_tokens * 10000) // n_tokens AS dup_bp
         |FROM agg a JOIN nt USING (doc_id)""".stripMargin,
+    // the identical integer polynomial, unrolled with literal powers of
+    // 31 (weight 1 on the NEWEST code point, 31^7 on the oldest of the
+    // 8-wide window) — corpus is printable ASCII so DuckDB's char
+    // positions equal code-point positions
+    "q_dedup_cdc" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id+400000 AS doc_id,
+        |         'p' || CAST(doc_id AS VARCHAR) || ' ' || text AS text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |b AS (SELECT doc_id, text,
+        |        [i FOR i IN generate_series(8, length(text))
+        |           IF (unicode(text[i])::BIGINT + unicode(text[i-1])*31::BIGINT +
+        |               unicode(text[i-2])*961::BIGINT + unicode(text[i-3])*29791::BIGINT +
+        |               unicode(text[i-4])*923521::BIGINT + unicode(text[i-5])*28629151::BIGINT +
+        |               unicode(text[i-6])*887503681::BIGINT +
+        |               unicode(text[i-7])*27512614111) % 64 = 63] AS bounds
+        |      FROM corpus),
+        |st AS (SELECT doc_id, text,
+        |              list_prepend(CAST(0 AS BIGINT), bounds) AS starts,
+        |              list_append(bounds, CAST(length(text) AS BIGINT)) AS ends
+        |       FROM b),
+        |chunks AS (SELECT doc_id,
+        |                  md5(substr(text, CAST(starts[k]+1 AS INT),
+        |                             CAST(ends[k]-starts[k] AS INT))) AS h
+        |           FROM (SELECT doc_id, text, starts, ends,
+        |                        unnest(generate_series(1, len(ends))) AS k
+        |                 FROM st) u),
+        |cnt AS (SELECT h, CAST(count(*) AS BIGINT) AS c FROM chunks GROUP BY h)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |       (CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+        |         // CAST(count(*) AS BIGINT) AS dup_bp
+        |FROM chunks JOIN cnt USING (h)
+        |GROUP BY doc_id""".stripMargin,
     "q_dedup_spans_removal" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

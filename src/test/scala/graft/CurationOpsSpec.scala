@@ -116,6 +116,74 @@ class CurationOpsSpec extends SparkSpec {
     assert(excised.nonEmpty, "no excerpt was fully removed")
   }
 
+  test("cdc kernel: parity with a reference implementation, code-point windows") {
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    val pow = Array.iterate(1L, 8)(_ * 31L)
+    def ref(s: String, d: Int): Seq[String] = {
+      val cps = s.codePoints.toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var start = 0
+      for (i <- cps.indices) {
+        if (i >= 7) {
+          val h = (0 to 7).map(j => cps(i - j).toLong * pow(j)).sum
+          if (h % d == d - 1) {
+            out += new String(cps, start, i + 1 - start)
+            start = i + 1
+          }
+        }
+      }
+      out += new String(cps, start, cps.length - start)
+      out.toSeq
+    }
+    val sp = spark
+    import sp.implicits._
+    val cases = Seq(
+      "", "short", "exactly8", // below/at the window width
+      "the quick brown fox jumps over the lazy dog repeatedly and then some more text",
+      ("ab " * 60).trim,
+      "emoji 🎉 mixes surrogate pairs 😀 into the rolling window of text here",
+      (32 to 121).map(_.toChar).mkString.repeat(3))
+    val got = cases.toDF("t")
+      .select(call_function("cdc_chunks", col("t"), lit(64)).as("c"))
+      .collect().map(_.getAs[scala.collection.Seq[String]]("c").toSeq)
+    cases.zip(got).foreach { case (s, g) =>
+      assert(g == ref(s, 64), s"kernel mismatch on: $s")
+      assert(g.mkString == s, s"chunks must concatenate back to the input: $s")
+    }
+  }
+
+  test("cdc dedup: survives the prefix insertion that blinds fixed-size chunking") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_dedup_cdc")(spark, sf).collect()
+    Scratch.release(spark)
+    def meanBp(rs: Seq[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Long]("dup_bp")).sum / math.max(rs.length, 1)
+    val copyBp = meanBp(rows.filter(_.getAs[Long]("doc_id") >= 400000L).toSeq)
+    assert(copyBp >= 5000L, s"CDC found only $copyBp bp dup on the prefixed copies")
+    // the SAME corpus through the fixed 64-char chunker: every boundary
+    // shifts by the prefix length, so the copies' chunks match ~nothing
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val copies = Tables.documents(spark, sf).filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select((col("doc_id") + 400000L).as("doc_id"),
+        concat(lit("p"), col("doc_id").cast("string"), lit(" "), col("text")).as("text"))
+    val chunks = graft.operators.Chunker
+      .chunkChars(docs.unionAll(copies), "text", 64, Seq("doc_id"))
+      .select(col("doc_id"), md5(col("chunk")).as("h"))
+    val cnt = chunks.groupBy("h").agg(count(lit(1)).as("c"))
+    val fixed = chunks.join(cnt, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_bp", expr("(n_dup * 10000) DIV n_chunks"))
+      .collect()
+    Scratch.release(spark)
+    val fixedCopyBp = meanBp(fixed.filter(_.getAs[Long]("doc_id") >= 400000L).toSeq)
+    assert(fixedCopyBp <= 1000L,
+      s"fixed chunking unexpectedly found $fixedCopyBp bp on shifted copies")
+    assert(copyBp >= fixedCopyBp * 5,
+      s"CDC ($copyBp bp) should dominate fixed chunking ($fixedCopyBp bp)")
+  }
+
   test("mix upsample: every doc's copy count follows the integer epoch formula") {
     val rows = SparkEntry.queries("q_mix_upsample")(spark, sf).collect()
     Scratch.release(spark)
