@@ -500,6 +500,28 @@ object DedupQueries {
 
   private val dupSpansRemoval: Q = (s, d) => spanRemoval(spanCorpus(s, d))
 
+  // ---- LSH parameter eval: candidate quality vs exact-Jaccard truth ----
+  // The tuning loop every LSH deployment runs: how good are the
+  // MinHash band-bucket candidates against ground truth? Truth = the
+  // exact df-capped Jaccard pairs at >= 0.5 (the q_dedup_jaccard
+  // definition); candidates = the q_dedup_minhash band join. One
+  // full-outer join of two already-proven pair generators, then exact
+  // integer precision/recall in basis points — the metric itself is
+  // the hash-checked result (the q_ann_recall pattern applied to
+  // dedup). Scale: both legs are the bounded equi-join shapes proven
+  // at 10×/100× in SCALE.md; the eval adds one join on pair keys.
+  private val lshEval: Q = (s, d) => {
+    val truth = jaccard(s, d).select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+    val cand = minhash(s, d).select(col("doc_a"), col("doc_b"), lit(1L).as("c"))
+    truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(sum(coalesce(col("t"), lit(0L))).as("n_truth"),
+        sum(coalesce(col("c"), lit(0L))).as("n_cand"),
+        sum(when(col("t").isNotNull && col("c").isNotNull, 1L).otherwise(0L)).as("tp"))
+      .select(col("n_truth"), col("n_cand"), col("tp"),
+        expr("(tp * 10000) DIV greatest(n_cand, 1)").as("precision_bp"),
+        expr("(tp * 10000) DIV greatest(n_truth, 1)").as("recall_bp"))
+  }
+
   // ---- duplicate-GROUP resolution: pairs → components → keeper ----
   // Pairwise dedup output (exact/minhash/jaccard/embed above) is only
   // half the operator a training-data pipeline needs: keep-one-per-group
@@ -573,7 +595,23 @@ object DedupQueries {
     "q_dedup_chunks" -> chunkDup,
     "q_dedup_spans" -> dupSpans,
     "q_dedup_spans_removal" -> dupSpansRemoval,
-    "q_dedup_cdc" -> cdcDup)
+    "q_dedup_cdc" -> cdcDup,
+    "q_lsh_eval" -> lshEval)
+
+  private[graft] val jaccardSql: String =
+    s"""WITH allsh AS (SELECT * FROM $shinglesSql),
+       |sh AS (SELECT a.* FROM allsh a
+       |       JOIN (SELECT sh FROM allsh GROUP BY sh HAVING count(*) <= $DfCap) r USING (sh)),
+       |cnt AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT doc_a, doc_b, (shared*10000) // (na + nb - shared) AS jac_bp
+       |FROM (SELECT s.doc_a, s.doc_b, s.shared, ca.nsh AS na, cb.nsh AS nb
+       |      FROM shared s JOIN cnt ca ON s.doc_a = ca.doc_id
+       |                    JOIN cnt cb ON s.doc_b = cb.doc_id)
+       |WHERE (shared*10000) // (na + nb - shared) >= 5000""".stripMargin
 
   private[graft] val minhashSql: String = {
     val mins = (0 to 7).map(k => s"min(substr(md5(sh), ${3 * k + 1}, 8)) AS mh$k").mkString(", ")
@@ -618,20 +656,7 @@ object DedupQueries {
         |SELECT doc_id,
         |       CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id""".stripMargin,
-    "q_dedup_jaccard" ->
-      s"""WITH allsh AS (SELECT * FROM $shinglesSql),
-         |sh AS (SELECT a.* FROM allsh a
-         |       JOIN (SELECT sh FROM allsh GROUP BY sh HAVING count(*) <= $DfCap) r USING (sh)),
-         |cnt AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
-         |shared AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
-         |SELECT doc_a, doc_b, (shared*10000) // (na + nb - shared) AS jac_bp
-         |FROM (SELECT s.doc_a, s.doc_b, s.shared, ca.nsh AS na, cb.nsh AS nb
-         |      FROM shared s JOIN cnt ca ON s.doc_a = ca.doc_id
-         |                    JOIN cnt cb ON s.doc_b = cb.doc_id)
-         |WHERE (shared*10000) // (na + nb - shared) >= 5000""".stripMargin,
+    "q_dedup_jaccard" -> jaccardSql,
     "q_dedup_embed" -> {
       val e = s"(SELECT vec_id, ${toDoubleArrSql("embedding")} AS e FROM embeddings)"
       // occupancy-scaled bit count (autoBits twin) + dynamic per-position
@@ -751,6 +776,20 @@ object DedupQueries {
         |SELECT a.doc_id, n_spans, dup_tokens, n_tokens,
         |       (dup_tokens * 10000) // n_tokens AS dup_bp
         |FROM agg a JOIN nt USING (doc_id)""".stripMargin,
+    "q_lsh_eval" ->
+      s"""WITH truth AS (SELECT doc_a, doc_b FROM ($jaccardSql) jt),
+         |cand AS (SELECT doc_a, doc_b FROM ($minhashSql) ct),
+         |j AS (SELECT t.doc_a AS ta, c.doc_a AS ca
+         |      FROM truth t FULL JOIN cand c
+         |        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+         |SELECT CAST(sum(CASE WHEN ta IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+         |       CAST(sum(CASE WHEN ca IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+         |       CAST(sum(CASE WHEN ta IS NOT NULL AND ca IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |       (CAST(sum(CASE WHEN ta IS NOT NULL AND ca IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+         |         // greatest(CAST(sum(CASE WHEN ca IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT), 1) AS precision_bp,
+         |       (CAST(sum(CASE WHEN ta IS NOT NULL AND ca IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+         |         // greatest(CAST(sum(CASE WHEN ta IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT), 1) AS recall_bp
+         |FROM j""".stripMargin,
     // the identical integer polynomial, unrolled with literal powers of
     // 31 (weight 1 on the NEWEST code point, 31^7 on the oldest of the
     // 8-wide window) — corpus is printable ASCII so DuckDB's char

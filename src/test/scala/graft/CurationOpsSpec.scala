@@ -184,6 +184,20 @@ class CurationOpsSpec extends SparkSpec {
       s"CDC ($copyBp bp) should dominate fixed chunking ($fixedCopyBp bp)")
   }
 
+  test("lsh eval: confusion counts are consistent and the banding finds real pairs") {
+    val r = SparkEntry.queries("q_lsh_eval")(spark, sf).collect().head
+    Scratch.release(spark)
+    val (nt, nc, tp) = (r.getAs[Long]("n_truth"), r.getAs[Long]("n_cand"), r.getAs[Long]("tp"))
+    assert(nt > 0L && nc > 0L, s"degenerate eval: $r")
+    assert(tp <= math.min(nt, nc), s"tp exceeds a leg: $r")
+    assert(r.getAs[Long]("precision_bp") == tp * 10000L / math.max(nc, 1L))
+    assert(r.getAs[Long]("recall_bp") == tp * 10000L / math.max(nt, 1L))
+    // 4 bands x 2 hashes is a ~0.5-threshold S-curve: it must find a
+    // real fraction of the >=0.5-Jaccard truth, not none and not all
+    assert(r.getAs[Long]("recall_bp") > 2000L && r.getAs[Long]("recall_bp") < 10000L,
+      s"recall outside the plausible S-curve band: $r")
+  }
+
   test("mix upsample: every doc's copy count follows the integer epoch formula") {
     val rows = SparkEntry.queries("q_mix_upsample")(spark, sf).collect()
     Scratch.release(spark)
