@@ -84,10 +84,17 @@ object DedupQueries {
     * adversarial corpus in `ScaleOpsSpec` (testdata itself has no hot
     * bucket; the declared query joins the table uncapped).
     */
-  private[graft] def minhashBands(c: DataFrame): DataFrame = {
+  private[graft] def minhashBands(c: DataFrame): DataFrame =
+    minhashBandsFromShingles(shingles(c))
+
+  /** Band table from an existing (doc_id, sh) shingle frame — so a
+    * caller that needs BOTH the bands and the raw shingles (q_lsh_eval)
+    * can persist the shingle generation once and feed both legs.
+    */
+  private[graft] def minhashBandsFromShingles(sh: DataFrame): DataFrame = {
     val seedAggs = (0 to 7).map(k =>
       min(substring(col("h"), 3 * k + 1, 8)).as(s"mh$k"))
-    val sig = shingles(c).withColumn("h", md5(col("sh")))
+    val sig = sh.withColumn("h", md5(col("sh")))
       .groupBy("doc_id")
       .agg(seedAggs.head, seedAggs.tail: _*)
     val bandCols = (0 to 3).map(b =>
@@ -140,13 +147,16 @@ object DedupQueries {
   // consistent). Planted near-dup pairs survive on their rare shingles.
   private val DfCap = 10
 
-  private val jaccard: Q = (s, d) => {
-    // scratch-persisted: the shingle table is consumed 3× (df stats,
-    // both sides of the inverted-index self-join) and its generation
-    // (explode + 3-gram construction) dominates the query — the .explain
-    // without the persist shows SIX full recomputes of the Generate
-    // subtree.
-    val all = graft.Scratch.persist(shingles(corpus(s, d)))
+  // scratch-persisted: the shingle table is consumed 3× (df stats,
+  // both sides of the inverted-index self-join) and its generation
+  // (explode + 3-gram construction) dominates the query — the .explain
+  // without the persist shows SIX full recomputes of the Generate
+  // subtree.
+  private val jaccard: Q = (s, d) =>
+    jaccardPairs(graft.Scratch.persist(shingles(corpus(s, d))))
+
+  /** Jaccard pairs from an already-persisted (doc_id, sh) frame. */
+  private[graft] def jaccardPairs(all: DataFrame): DataFrame = {
     val rare = all.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select("sh")
     val sh = graft.Scratch.persist(all.join(rare, Seq("sh")))
@@ -511,8 +521,16 @@ object DedupQueries {
   // dedup). Scale: both legs are the bounded equi-join shapes proven
   // at 10×/100× in SCALE.md; the eval adds one join on pair keys.
   private val lshEval: Q = (s, d) => {
-    val truth = jaccard(s, d).select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
-    val cand = minhash(s, d).select(col("doc_a"), col("doc_b"), lit(1L).as("c"))
+    // ONE persisted shingle generation feeds BOTH legs. Measured ~flat
+    // at sf0.1 (2.2 s either way — the native token_shingles kernel is
+    // cheap; the legs' joins dominate), kept because it is the right
+    // shape: at cluster scale the shingle table is a real scan+explode
+    // whose duplication would double the dominant I/O.
+    val all = graft.Scratch.persist(shingles(corpus(s, d)))
+    val truth = jaccardPairs(all)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+    val cand = bandPairs(graft.Scratch.persist(minhashBandsFromShingles(all)))
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("c"))
     truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
       .agg(sum(coalesce(col("t"), lit(0L))).as("n_truth"),
         sum(coalesce(col("c"), lit(0L))).as("n_cand"),
