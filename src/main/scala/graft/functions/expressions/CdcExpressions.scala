@@ -57,8 +57,9 @@ object CdcChunks {
         var h = 0L
         var j = 0
         while (j < W) {
-          // cp(i-j): j steps back from the newest entry in the ring
-          h += win((cpSeen - 1 - j + W * W) % W) * Pow(j)
+          // cp(i-j): j steps back from the newest entry in the ring;
+          // cpSeen >= W and j < W keep the operand non-negative
+          h += win((cpSeen - 1 - j) % W) * Pow(j)
           j += 1
         }
         if (h % d == d - 1) {

@@ -113,7 +113,11 @@ object CorpusQueries {
 
   private val mixUpsample: Q = (s, d) => {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
-    val cnt = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    // persisted: cnt feeds BOTH the maxc aggregate and the weight-table
+    // projection — without it the broadcast side embeds two full scans
+    // + two aggregations of documents (|langs| rows, trivially cheap)
+    val cnt = graft.Scratch.persist(
+      docs.groupBy("lang").agg(count(lit(1)).as("cnt")))
     val maxc = cnt.agg(max(col("cnt")).as("maxc"))
     val eb = cnt.crossJoin(broadcast(maxc))
       .select(col("lang"),

@@ -764,7 +764,7 @@ object DedupQueries {
          |FROM chunks JOIN cnt USING (h)
          |GROUP BY doc_id""".stripMargin,
     "q_dedup_spans" ->
-      """WITH corpus AS (
+      s"""WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id+300000 AS doc_id,
@@ -772,18 +772,18 @@ object DedupQueries {
         |  FROM documents WHERE len(string_split(text, ' ')) >= 41),
         |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
         |p AS (SELECT doc_id, toks,
-        |             unnest(generate_series(1, len(toks)-7)) AS pos FROM tk),
+        |             unnest(generate_series(1, len(toks)-${SpanK - 1})) AS pos FROM tk),
         |sh AS (SELECT doc_id, pos,
-        |              array_to_string(toks[pos:pos+7], ' ') AS sh FROM p),
+        |              array_to_string(toks[pos:pos+${SpanK - 1}], ' ') AS sh FROM p),
         |cnt AS (SELECT sh, count(*) AS c FROM sh GROUP BY sh),
         |dup AS (SELECT doc_id, pos FROM sh JOIN cnt USING (sh) WHERE c > 1),
         |flg AS (SELECT doc_id, pos,
-        |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $SpanK
         |             THEN 0 ELSE 1 END AS newgrp FROM dup),
         |grp AS (SELECT doc_id, pos,
         |        sum(newgrp) OVER (PARTITION BY doc_id ORDER BY pos
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM flg),
-        |spans AS (SELECT doc_id, grp, min(pos) AS sp_start, max(pos)+7 AS sp_end
+        |spans AS (SELECT doc_id, grp, min(pos) AS sp_start, max(pos)+${SpanK - 1} AS sp_end
         |          FROM grp GROUP BY doc_id, grp),
         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
         |               CAST(sum(sp_end - sp_start + 1) AS BIGINT) AS dup_tokens
@@ -813,7 +813,7 @@ object DedupQueries {
     // 8-wide window) — corpus is printable ASCII so DuckDB's char
     // positions equal code-point positions
     "q_dedup_cdc" ->
-      """WITH corpus AS (
+      s"""WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id+400000 AS doc_id,
@@ -825,7 +825,7 @@ object DedupQueries {
         |               unicode(text[i-2])*961::BIGINT + unicode(text[i-3])*29791::BIGINT +
         |               unicode(text[i-4])*923521::BIGINT + unicode(text[i-5])*28629151::BIGINT +
         |               unicode(text[i-6])*887503681::BIGINT +
-        |               unicode(text[i-7])*27512614111) % 64 = 63] AS bounds
+        |               unicode(text[i-7])*27512614111) % $CdcD = ${CdcD - 1}] AS bounds
         |      FROM corpus),
         |st AS (SELECT doc_id, text,
         |              list_prepend(CAST(0 AS BIGINT), bounds) AS starts,
@@ -845,7 +845,7 @@ object DedupQueries {
         |FROM chunks JOIN cnt USING (h)
         |GROUP BY doc_id""".stripMargin,
     "q_dedup_spans_removal" ->
-      """WITH corpus AS (
+      s"""WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id+300000 AS doc_id,
@@ -853,18 +853,18 @@ object DedupQueries {
         |  FROM documents WHERE len(string_split(text, ' ')) >= 41),
         |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
         |p AS (SELECT doc_id, toks,
-        |             unnest(generate_series(1, len(toks)-7)) AS pos FROM tk),
+        |             unnest(generate_series(1, len(toks)-${SpanK - 1})) AS pos FROM tk),
         |sh AS (SELECT doc_id, pos,
-        |              array_to_string(toks[pos:pos+7], ' ') AS sh FROM p),
+        |              array_to_string(toks[pos:pos+${SpanK - 1}], ' ') AS sh FROM p),
         |cnt AS (SELECT sh, count(*) AS c FROM sh GROUP BY sh),
         |dup AS (SELECT doc_id, pos FROM sh JOIN cnt USING (sh) WHERE c > 1),
         |flg AS (SELECT doc_id, pos,
-        |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $SpanK
         |             THEN 0 ELSE 1 END AS newgrp FROM dup),
         |grp AS (SELECT doc_id, pos,
         |        sum(newgrp) OVER (PARTITION BY doc_id ORDER BY pos
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM flg),
-        |spans AS (SELECT doc_id, grp, min(pos) AS sp_start, max(pos)+7 AS sp_end
+        |spans AS (SELECT doc_id, grp, min(pos) AS sp_start, max(pos)+${SpanK - 1} AS sp_end
         |          FROM grp GROUP BY doc_id, grp),
         |cov AS (SELECT doc_id,
         |               unnest(generate_series(sp_start, sp_end)) AS pos FROM spans),

@@ -358,26 +358,29 @@ object ExtendedQueries {
   // partitioned rank windows + two broadcast joins of the 5-row
   // median/MAD tables; the deviation frame is Scratch-persisted (feeds
   // the MAD ranking and the final count).
-  private val madQ: Q = (s, d) => {
+  /** Deterministic median PICK per event_type: rank by (valCol,
+    * event_id), keep rn = ceil(n/2) — the q_quantiles rule at p=50,
+    * shared by the median and MAD passes so the percentile-pick rule
+    * lives in one place. The count(*)-over-partition window rides the
+    * ranking's existing exchange+sort (A/B-measured FASTER than a
+    * groupBy-count broadcast join, whose two extra exchanges cost more
+    * than the window pass: 0.92 vs 1.21 s min at sf0.1).
+    */
+  private def medianPick(df: DataFrame, valCol: String, outCol: String): DataFrame = {
     val byType = Window.partitionBy("event_type")
-    val e = Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
-    // the count(*)-over-partition window rides the ranking's existing
-    // exchange+sort (A/B-measured FASTER than a groupBy-count broadcast
-    // join, whose two extra exchanges cost more than the window pass:
-    // 0.92 vs 1.21 s min at sf0.1)
-    val ranked = e
-      .withColumn("rn", row_number().over(byType.orderBy(col("value"), col("event_id"))))
+    df.withColumn("rn", row_number().over(byType.orderBy(col(valCol), col("event_id"))))
       .withColumn("n", count(lit(1)).over(byType))
-    val med = ranked.filter(expr("rn = (50 * n + 99) DIV 100"))
-      .select(col("event_type"), col("value").as("med"))
+      .filter(expr("rn = (50 * n + 99) DIV 100"))
+      .select(col("event_type"), col(valCol).as(outCol))
+  }
+
+  private val madQ: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
+    val med = medianPick(e, "value", "med")
     val dev = graft.Scratch.persist(
       e.join(broadcast(med), Seq("event_type"))
         .withColumn("dev", abs(col("value") - col("med"))))
-    val mad = dev
-      .withColumn("drn", row_number().over(byType.orderBy(col("dev"), col("event_id"))))
-      .withColumn("n", count(lit(1)).over(byType))
-      .filter(expr("drn = (50 * n + 99) DIV 100"))
-      .select(col("event_type"), col("dev").as("mad"))
+    val mad = medianPick(dev, "dev", "mad")
     dev.join(broadcast(mad), Seq("event_type"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
@@ -407,11 +410,17 @@ object ExtendedQueries {
       Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))).cast("long")
     val r2 = row_number().over(
       Window.partitionBy("source").orderBy(col("ndist"), col("doc_id"))).cast("long")
+    // the SUM itself is widened, not just the ratio: Σd² reaches
+    // n(n²−1)/3, past BIGINT at ~3M rows/group — aggregating in long
+    // and casting after would overflow exactly in the regime the
+    // widening exists for. sum_d2 is therefore not emitted (it has no
+    // BIGINT-safe output type at scale); n and rho_bp are.
     base.select(col("source"), r1.as("r1"), r2.as("r2"))
       .groupBy("source")
-      .agg(count(lit(1)).as("n"), sum(expr("(r1-r2)*(r1-r2)")).as("sum_d2"))
-      .select(col("source"), col("n"), col("sum_d2"),
-        expr("10000L - CAST((CAST(sum_d2 AS DECIMAL(38,0)) * 60000) DIV " +
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST((r1-r2)*(r1-r2) AS DECIMAL(38,0))")).as("sum_d2"))
+      .select(col("source"), col("n"),
+        expr("10000L - CAST((sum_d2 * 60000) DIV " +
           "greatest(CAST(n AS DECIMAL(38,0))*n*n - n, 1) AS BIGINT)").as("rho_bp"))
   }
 
@@ -464,9 +473,9 @@ object ExtendedQueries {
         |        CAST(row_number() OVER (PARTITION BY source ORDER BY ndist, doc_id) AS BIGINT) AS r2
         |       FROM base),
         |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
-        |               CAST(sum((r1-r2)*(r1-r2)) AS BIGINT) AS sum_d2
+        |               sum((r1-r2)*(r1-r2)) AS sum_d2
         |        FROM rk GROUP BY source)
-        |SELECT source, n, sum_d2,
+        |SELECT source, n,
         |       10000 - CAST((CAST(sum_d2 AS HUGEINT) * 60000)
         |         // greatest(CAST(n AS HUGEINT)*n*n - n, 1) AS BIGINT) AS rho_bp
         |FROM agg""".stripMargin,

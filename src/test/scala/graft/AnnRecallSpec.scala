@@ -124,9 +124,9 @@ class AnnRecallSpec extends SparkSpec {
       assert(labelDomain.contains(r.getAs[Long]("truth")))
       assert((r.getAs[Long]("correct") == 1L) ==
         (r.getAs[Long]("pred") == r.getAs[Long]("truth")))
-      // majority plurality: winner must hold at least k/|domain| rounded up
-      assert(votes >= (10L + labelDomain.size - 1) / labelDomain.size,
-        s"winner below plurality floor: $r")
+      // NOT asserted: a k/|domain| plurality floor — it only holds when
+      // the rk <= 10 filter saturates, and a probe whose 4 probed lists
+      // hold fewer than 10 LOO candidates is a legal output
     }
   }
 }

@@ -225,7 +225,11 @@ class CurationOpsSpec extends SparkSpec {
     // realizes the fractional epoch per doc, so a lang's total lands
     // within a few-sigma binomial band of the target, not exactly on it
     val perLang = rows.groupBy(_.getAs[String]("lang")).map { case (l, rs) => l -> rs.length }
-    val upsampled = langCounts.filter(_._2 < maxc).keys
+    // only languages whose weight did NOT hit the 4-epoch cap can level
+    // to maxc; a capped lang targets 4*count by design
+    val upsampled = langCounts.filter { case (_, n) =>
+      n < maxc && maxc * 10000L / n < 40000L
+    }.keys
     upsampled.foreach { l =>
       val tol = math.max(5.0, 4.0 * math.sqrt(langCounts(l).toDouble))
       assert(math.abs(perLang(l) - maxc.toInt) <= tol,
