@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{coalesce, col, expr, lit, max, sum}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr, lit, max, min, row_number, sum}
 import org.apache.spark.sql.types.{LongType, StructField}
 
 /** Scale-safe global ordinals.
@@ -63,6 +63,52 @@ object Ordinals {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       df.withColumn(name, sum(col(valueCol)).over(w))
     } else bucketedPrefixSum(graft.Scratch.persist(df), part, ord, valueCol, name)
+  }
+
+  /** Adaptive per-group rank (VERDICT r14 #2's corpus-shape switch for
+    * RANK, the analog of [[prefixSum]]): appends `rnName` = row_number
+    * within `part` under `order` (which MUST include a unique tie-break
+    * column — same total-order precondition as [[withGlobalOrdinal]])
+    * and, when `nName` is set, the group size; both BIGINT.
+    *
+    * Plain two-window form while EVERY group fits one bounded window
+    * task (≤ `smallGroupMax` rows — the count window rides the rank's
+    * existing exchange+sort, A/B-measured faster than a groupBy-count
+    * broadcast join at bench SFs). Past the gate — an O(5-10)-cardinality
+    * partition key at 100× funnels n/5 rows through ONE sort task — the
+    * rank becomes a range-partitioned global ordinal over
+    * (part, order...) (distributed sort + zipWithIndex, no
+    * single-partition stage) re-based per group by a broadcast
+    * min-ordinal join: bit-identical to the window because the ordinal
+    * is taken under the same total order, so within a group
+    * `ordinal − min(ordinal) + 1` IS the row_number. The gate is the
+    * same one-column count [[prefixSum]] uses.
+    */
+  def rankAndCount(df: DataFrame, part: String, order: Seq[Column],
+      rnName: String, nName: Option[String],
+      smallGroupMax: Long = 65536L): DataFrame = {
+    val maxGroup = df.select(col(part)).groupBy(col(part)).count()
+      .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
+    if (maxGroup <= smallGroupMax) {
+      val w = Window.partitionBy(col(part))
+      val ranked = df.withColumn(rnName,
+        row_number().over(w.orderBy(order: _*)).cast(LongType))
+      nName.fold(ranked)(n => ranked.withColumn(n, count(lit(1)).over(w)))
+    } else {
+      // two consumers (offsets + re-base join) — persist the ordinal pass
+      val withOrd = graft.Scratch.persist(
+        withGlobalOrdinal(df, "_gord", (col(part) +: order): _*))
+      val offs = withOrd.groupBy(col(part))
+        .agg(min(col("_gord")).as("_goff"),
+          count(lit(1)).as(nName.getOrElse("_n_drop")))
+        .withColumnRenamed(part, "_part_r")
+      // null-safe on the group key for parity with the window branch
+      // (same reasoning as bucketedPrefixSum)
+      withOrd.join(broadcast(offs), col(part) <=> col("_part_r"))
+        .withColumn(rnName, col("_gord") - col("_goff") + lit(1L))
+        .drop("_gord", "_goff", "_part_r",
+          nName.fold("_n_drop")(_ => "_gone"))
+    }
   }
 
   /** Appends `name` = inclusive running Σ`valueCol` (BIGINT) within each

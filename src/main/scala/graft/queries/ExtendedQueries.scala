@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.SkewJoin
+import graft.operators.{Ordinals, SkewJoin}
 
 /** Extended relational surface (SURVEY §2.5/§2.6 "come free from Spark
   * built-ins"): rollup, anti join, and an as-of join — the ops the
@@ -361,15 +361,19 @@ object ExtendedQueries {
   /** Deterministic median PICK per event_type: rank by (valCol,
     * event_id), keep rn = ceil(n/2) — the q_quantiles rule at p=50,
     * shared by the median and MAD passes so the percentile-pick rule
-    * lives in one place. The count(*)-over-partition window rides the
-    * ranking's existing exchange+sort (A/B-measured FASTER than a
-    * groupBy-count broadcast join, whose two extra exchanges cost more
-    * than the window pass: 0.92 vs 1.21 s min at sf0.1).
+    * lives in one place. Rank + group count go through the adaptive
+    * [[graft.operators.Ordinals.rankAndCount]] gate (VERDICT r14 #2):
+    * event_type has O(5) distinct values, so past 64k rows/group the
+    * naive partitioned window is one task sorting n/5 rows — the gate
+    * switches to the range-partitioned global-ordinal rank there
+    * (bit-identical; the twin keeps the plain-window SQL). Below the
+    * gate the count window rides the ranking's existing exchange+sort
+    * (A/B-measured FASTER than a groupBy-count broadcast join, whose
+    * two extra exchanges cost more: 0.92 vs 1.21 s min at sf0.1).
     */
   private def medianPick(df: DataFrame, valCol: String, outCol: String): DataFrame = {
-    val byType = Window.partitionBy("event_type")
-    df.withColumn("rn", row_number().over(byType.orderBy(col(valCol), col("event_id"))))
-      .withColumn("n", count(lit(1)).over(byType))
+    Ordinals.rankAndCount(df, "event_type",
+        Seq(col(valCol), col("event_id")), "rn", Some("n"))
       .filter(expr("rn = (50 * n + 99) DIV 100"))
       .select(col("event_type"), col(valCol).as(outCol))
   }
@@ -406,16 +410,20 @@ object ExtendedQueries {
     val base = Tables.documents(s, d).select(col("doc_id"), col("source"),
       col("n_chars"),
       size(array_distinct(split(col("text"), " "))).cast("long").as("ndist"))
-    val r1 = row_number().over(
-      Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))).cast("long")
-    val r2 = row_number().over(
-      Window.partitionBy("source").orderBy(col("ndist"), col("doc_id"))).cast("long")
+    // both rankings through the adaptive rank gate (VERDICT r14 #2) —
+    // source has O(5-10) distinct values, the same vacuous-partition
+    // shape as medianPick; below 64k rows/group the two windows share
+    // one exchange, past it each rank is a distributed range sort
+    val ranked = Ordinals.rankAndCount(
+      Ordinals.rankAndCount(base, "source",
+        Seq(col("n_chars"), col("doc_id")), "r1", None),
+      "source", Seq(col("ndist"), col("doc_id")), "r2", None)
     // the SUM itself is widened, not just the ratio: Σd² reaches
     // n(n²−1)/3, past BIGINT at ~3M rows/group — aggregating in long
     // and casting after would overflow exactly in the regime the
     // widening exists for. sum_d2 is therefore not emitted (it has no
     // BIGINT-safe output type at scale); n and rho_bp are.
-    base.select(col("source"), r1.as("r1"), r2.as("r2"))
+    ranked.select(col("source"), col("r1"), col("r2"))
       .groupBy("source")
       .agg(count(lit(1)).as("n"),
         sum(expr("CAST((r1-r2)*(r1-r2) AS DECIMAL(38,0))")).as("sum_d2"))

@@ -109,8 +109,8 @@ object GraphAnalyticsQueries {
     val chain = (1 to PrIters).map { i =>
       s"""r$i AS (
          |  SELECT e.dst AS node,
-         |         ((10000 - $DampBp) * (SELECT base FROM n)
-         |          + $DampBp * sum(r // outdeg)) // 10000 AS r
+         |         CAST(((10000 - $DampBp) * (SELECT base FROM n)
+         |          + $DampBp * sum(r // outdeg)) // 10000 AS BIGINT) AS r
          |  FROM e JOIN deg USING (src) JOIN r${i - 1} ON r${i - 1}.node = e.src
          |  GROUP BY e.dst)""".stripMargin
     }.mkString(",\n")

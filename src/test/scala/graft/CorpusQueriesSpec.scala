@@ -270,4 +270,42 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(bN.count() === rows.size.toLong)
     assert(wN.collect().map(keyN).sorted.toSeq === bN.collect().map(keyN).sorted.toSeq)
   }
+
+  test("adaptive rankAndCount: ordinal branch is bit-identical to the window branch") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // duplicate values within groups (ties broken by unique id), a
+    // single-row group, and a NULL group key — the shapes that differ
+    // between a window rank and the global-ordinal re-base
+    val rows = Seq(
+      ("a", 5L, 1L), ("a", 5L, 2L), ("a", 3L, 3L), ("a", 9L, 4L),
+      ("b", 7L, 5L), ("b", 7L, 6L), ("c", 1L, 7L),
+      (null.asInstanceOf[String], 4L, 8L), (null.asInstanceOf[String], 2L, 9L))
+    val df = rows.toDF("g", "v", "id")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (Option(r.getAs[String]("g")), r.getAs[Long]("v"), r.getAs[Long]("id"),
+        r.getAs[Long]("rn"), r.getAs[Long]("n"))
+    val window = graft.operators.Ordinals.rankAndCount(
+      df, "g", Seq(col("v"), col("id")), "rn", Some("n"), smallGroupMax = 1000L)
+    val ordinal = graft.operators.Ordinals.rankAndCount(
+      df, "g", Seq(col("v"), col("id")), "rn", Some("n"), smallGroupMax = 1L)
+    assert(window.collect().map(key).sorted.toSeq ===
+      ordinal.collect().map(key).sorted.toSeq)
+    assert(ordinal.count() === rows.size.toLong) // NULL group survives
+    // nName=None path: same columns out of both branches, no stray _n
+    val wNone = graft.operators.Ordinals.rankAndCount(
+      df, "g", Seq(col("v"), col("id")), "rn", None, smallGroupMax = 1000L)
+    val oNone = graft.operators.Ordinals.rankAndCount(
+      df, "g", Seq(col("v"), col("id")), "rn", None, smallGroupMax = 1L)
+    assert(wNone.columns.sorted.toSeq === oNone.columns.sorted.toSeq)
+    val keyR = (r: org.apache.spark.sql.Row) =>
+      (Option(r.getAs[String]("g")), r.getAs[Long]("id"), r.getAs[Long]("rn"))
+    assert(wNone.collect().map(keyR).sorted.toSeq ===
+      oNone.collect().map(keyR).sorted.toSeq)
+    // empty input must not NPE the gate
+    assert(graft.operators.Ordinals.rankAndCount(
+      df.filter($"v" < 0L), "g", Seq(col("v"), col("id")), "rn", Some("n"))
+      .count() === 0L)
+    graft.Scratch.release(spark)
+  }
 }

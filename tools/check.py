@@ -61,6 +61,18 @@ def main():
             oq = con.execute(oracles[name])
             o_cols = [d[0] for d in oq.description]
             o_rows = oq.fetchall()
+            # Twin-type lint (r15): no HUGEINT/DECIMAL output column may
+            # ever ship — DuckDB releases canonicalize them differently
+            # (r10 q_pack_sequences, r14 q_graph_pagerank both red from
+            # an un-CAST sum promotion).
+            bad_types = [
+                (r[0], r[1]) for r in con.execute(
+                    f"DESCRIBE ({oracles[name]})").fetchall()
+                if "HUGEINT" in r[1] or "DECIMAL" in r[1]]
+            if bad_types:
+                n_fail += 1
+                print(f"{name:28s} FAIL twin-type lint: {bad_types}")
+                continue
             ok_rows = len(s_rows) == len(o_rows)
             ok_schema = sorted(s_cols) == sorted(o_cols)
             ok_hash = (ok_rows and ok_schema and
