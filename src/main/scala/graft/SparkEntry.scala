@@ -62,7 +62,8 @@ object SparkEntry {
     "build_pq_codebooks" -> VectorQueries.rebuildPq,
     "build_bm25_index" -> CorpusQueries.rebuildBm25,
     "build_bpe_model" -> BpeQueries.rebuildBpe,
-    "build_e1_model" -> IoQueries.rebuildE1)
+    "build_e1_model" -> IoQueries.rebuildE1,
+    "build_pagerank_edges" -> GraphAnalyticsQueries.rebuildEdges)
 
   /** build_* entry → the declared queries that read its memo. Lives
     * NEXT TO [[benchArtifacts]] so adding an artifact or a consumer is
@@ -89,7 +90,8 @@ object SparkEntry {
       "q_hybrid_retrieval_ivf"),
     "build_bpe_model" -> Set("q_tokenize_bpe", "q_bpe_terms",
       "q_pack_sequences_bpe", "q_token_windows_bpe"),
-    "build_e1_model" -> Set("q_e1_pipeline", "q_e1_features"))
+    "build_e1_model" -> Set("q_e1_pipeline", "q_e1_features"),
+    "build_pagerank_edges" -> Set("q_graph_pagerank"))
 
   /** Drop all memoized build artifacts (graph build, IVF index, E1
     * pipeline) so the next invocation pays the full cost — used by Bench
@@ -102,6 +104,7 @@ object SparkEntry {
     DedupQueries.clearCache()
     CorpusQueries.clearCache()
     BpeQueries.clearCache()
+    GraphAnalyticsQueries.clearCache()
     Scratch.releaseAll()
   }
 }

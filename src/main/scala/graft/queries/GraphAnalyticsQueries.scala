@@ -60,18 +60,50 @@ object GraphAnalyticsQueries {
       .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
   }
 
+  /** The persisted purchase graph PageRank iterates over: the edge list
+    * joined with per-src outdegree, hash-partitioned on `src` once
+    * (`edges`), the one-row-per-node degree table (`deg`), and the node
+    * count. Memoized per (session, dir) like the IVF/BM25 artifacts —
+    * a user builds the graph once and ranks many times; Bench times the
+    * build as an explicit `build_pagerank_edges` entry (r15, VERDICT r14
+    * #3: edge build + distinct + persist was ~2/3 of every pagerank rep).
+    */
+  private[graft] case class PrGraph(edges: DataFrame, deg: DataFrame, nNodes: Long)
+
+  private val prCache = new graft.SessionCache[PrGraph]
+
+  def clearCache(): Unit = prCache.clearAll().foreach { g =>
+    g.edges.unpersist(); g.deg.unpersist()
+  }
+
+  private[graft] def prGraph(s: SparkSession, d: String): PrGraph =
+    prCache.getOrElseUpdate(s, d) {
+      // the raw pair list feeds both the degree agg and the edge join —
+      // persisted transiently for the build, dropped before returning
+      val e = purchaseEdges(s, d).persist()
+      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+      // persisted HASH-PARTITIONED on src: all iteration joins read the
+      // cache's partitioning — only the (tiny) rank table shuffles per
+      // iteration, the edge list never moves again. This is the cluster
+      // shape too: partition the 100 TB edge list once, iterate in place.
+      val edgesD = e.join(deg, "src").repartition(col("src")).persist()
+      val nNodes = deg.count() // one scalar; the only driver-side value
+      edgesD.count()           // materialize before the pair list is freed
+      e.unpersist()
+      PrGraph(edgesD, deg, nNodes)
+    }
+
+  /** Bench artifact hook: builds (or re-materializes) the memoized
+    * purchase graph so `q_graph_pagerank` reps measure ITERATION work
+    * over the warm graph, and the one-time build cost is timed exactly
+    * once per pass (the r11 artifact-split rule).
+    */
+  private[graft] val rebuildEdges: Q = (s, d) => prGraph(s, d).edges
+
   private val pagerank: Q = (s, d) => {
-    // edges ⋈ outdeg persisted ONCE: every iteration re-joins this frame
-    // (at cluster scale: hash-partitioned on src once, reused 6×)
-    val e = graft.Scratch.persist(purchaseEdges(s, d))
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // persisted HASH-PARTITIONED on src: all 6 iteration joins read the
-    // cache's partitioning — only the (tiny) rank table shuffles per
-    // iteration, the edge list never moves again. This is the cluster
-    // shape too: partition the 100 TB edge list once, iterate in place.
-    val edgesD = graft.Scratch.persist(
-      e.join(deg, "src").repartition(col("src")))
-    val nNodes = deg.count() // one scalar; the only driver-side value
+    val g = prGraph(s, d)
+    val edgesD = g.edges
+    val nNodes = g.nNodes
     val base = PrScale / nNodes // integer floor == the twin's 10^12 // n
     // Each iteration's rank table is consumed exactly once (by the next
     // iteration), so the whole fixed-iteration computation is ONE lazy
@@ -80,24 +112,23 @@ object GraphAnalyticsQueries {
     // has indegree ≥ 1 by the symmetric-edge construction, so the
     // contribution aggregate already covers all nodes — no re-join
     // against the node table.
-    // Each iteration ends in an EAGER localCheckpoint: the rank table is
-    // one small row per node, and cutting lineage there keeps every
-    // iteration's plan shallow — a 6-deep nested chain re-pays Catalyst
-    // optimization + codegen of the whole history at every execution
-    // (measured: med 6.2 s nested vs ~0.11 s per warm shallow iteration).
-    // This is the standard iterative-dataflow shape (GraphX/Pregel
-    // checkpoint cadence); values are unaffected by materialization.
-    var ranks = deg.select(col("src").as("node"), lit(base).as("r"))
+    // Lineage is cut by an EAGER localCheckpoint every third iteration:
+    // the rank table is one small row per node, and bounding plan depth
+    // at 3 keeps Catalyst + codegen cost per materialization small —
+    // the full 6-deep chain re-pays optimization of the whole history at
+    // every execution (measured med 6.2 s nested vs 1.7 s cadence-3),
+    // while checkpointing EVERY iteration pays 6 eager jobs where 2
+    // suffice (r15 A/B over the warm edge memo: min 2.08 s cadence-1,
+    // 1.67 cadence-2, 1.63 cadence-3). The standard iterative-dataflow
+    // shape (GraphX/Pregel checkpoint cadence); values are unaffected
+    // by materialization.
+    var ranks = g.deg.select(col("src").as("node"), lit(base).as("r"))
     for (i <- 1 to PrIters) {
       ranks = edgesD.join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy("dst").agg(sum(expr("r DIV outdeg")).as("c"))
         .select(col("dst").as("node"), expr(
           s"((10000 - $DampBp) * ${base}L + $DampBp * c) DIV 10000").as("r"))
-      // eager per-iteration checkpoint: measured the tightest rep profile
-      // (med 4.5 s / max 6.7) vs one deep plan (med 6.2 / max 8.0) or a
-      // cadence-3 hybrid — the deep chain re-pays Catalyst + codegen for
-      // the whole history at every execution
-      if (i < PrIters) ranks = ranks.localCheckpoint()
+      if (i < PrIters && i % 3 == 0) ranks = ranks.localCheckpoint()
     }
     ranks.orderBy(col("r").desc, col("node")).limit(20)
       .select(col("node"), col("r").as("rank"))
