@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{CdcChunksExpr, CleanSuffixExpr, CosineSimilarityExpr, DotProductExpr, L2DistanceExpr, PqAdcExpr, TokenShinglesExpr}
+import graft.functions.expressions.{CdcChunksExpr, CleanSuffixExpr, CosineSimilarityExpr, DotProductExpr, L2DistanceExpr, PqAdcExpr, TokenShinglesAllExpr, TokenShinglesExpr}
 
 /** Session extension registering the engine's native expressions as SQL
   * functions (`cosine_similarity`, `l2_distance`) — enable with
@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("token_shingles"),
       new ExpressionInfo(classOf[TokenShinglesExpr].getName, "token_shingles"),
       (children: Seq[Expression]) => TokenShinglesExpr(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("token_shingles_all"),
+      new ExpressionInfo(classOf[TokenShinglesAllExpr].getName, "token_shingles_all"),
+      (children: Seq[Expression]) => TokenShinglesAllExpr(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("pq_adc"),
       new ExpressionInfo(classOf[PqAdcExpr].getName, "pq_adc"),

@@ -37,6 +37,8 @@ object ScaleProbe {
     else if (mode == "floor") println(floorProbe(spark, dir))
     else if (mode == "graph") println(graphProbe(spark, dir))
     else if (mode == "lm") println(lmProbe(spark, dir))
+    else if (mode == "lm2") println(lm2Probe(spark, dir))
+    else if (mode == "mad") println(madProbe(spark, dir))
     else if (mode == "pack") println(packProbe(spark, dir))
     else if (mode == "sem") println(semProbe(spark, dir))
     else if (mode == "pr") println(prProbe(spark, dir))
@@ -380,6 +382,97 @@ object ScaleProbe {
     val fullS = (System.nanoTime() - t0) / 1e9
     cached.unpersist()
     f"""{"n_bigrams":$n,"n_model":$nModel,"n_docs":$nW,"explode_sec":$explodeS%.3f,"cache_sec":$cacheS%.3f,"model_sec":$modelS%.3f,"window_agg_sec":$winS%.3f,"full_sec":$fullS%.3f}"""
+  }
+
+  /** r15 lm_score stage attribution over the CURRENT declared shape:
+    * (1) bigram emission alone, (2) dm aggregate + persist, (3) model +
+    * total, (4) the score join + final agg, (5) full query warm. Each
+    * stage re-derives from the one before, barriers between.
+    */
+  private def lm2Probe(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions._
+    def wall[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime(); val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    val docs = graft.Tables.documents(spark, dir)
+    val docBi = graft.operators.Scans.spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        explode(call_function("token_shingles_all", col("text"), lit(2))).as("bigram"))
+    val (tBi, nBi) = wall(docBi.count())
+    val dm = docBi.groupBy("doc_id", "bigram").agg(count(lit(1)).as("k")).persist()
+    val (tDm, nDm) = wall(dm.count())
+    val model = dm.groupBy("bigram").agg(sum("k").as("cnt")).persist()
+    val (tModel, nModel) = wall(model.count())
+    val total = model.agg(sum("cnt").as("total"))
+    val scored = dm.join(model, Seq("bigram"))
+      .crossJoin(broadcast(total))
+      .withColumn("freq_ppb",
+        expr("CAST((CAST(cnt AS DECIMAL(28,0)) * 1000000000) DIV total AS BIGINT)"))
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_bigrams"), sum(expr("k * freq_ppb")).as("s"))
+    val (tScore, nSc) = wall(
+      scored.queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ())))
+    val (tFull1, _) = wall(
+      graft.SparkEntry.queries("q_lm_score")(spark, dir)
+        .queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ())))
+    graft.Scratch.release(spark)
+    val (tFull2, _) = wall(
+      graft.SparkEntry.queries("q_lm_score")(spark, dir)
+        .queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ())))
+    dm.unpersist(); model.unpersist()
+    // warm A/B of the two emission forms feeding the same dm aggregate
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    def winForm() = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead("tok", 1).over(byDoc))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat(col("tok"), lit(" "), col("nxt")).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("k"))
+    def kerForm() = docBi.groupBy("doc_id", "bigram").agg(count(lit(1)).as("k"))
+    def runIt(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
+    runIt(winForm()); runIt(kerForm()) // warm both
+    val tW = (1 to 3).map(_ => wall(runIt(winForm()))._1).min
+    val tK = (1 to 3).map(_ => wall(runIt(kerForm()))._1).min
+    f"""lm2 @ $dir: bigrams=$nBi%,d dm=$nDm%,d model=$nModel%,d; emit=$tBi%.2f s, dm agg=$tDm%.2f s, model=$tModel%.2f s, score join+agg=$tScore%.2f s, full#1=$tFull1%.2f s, full#2=$tFull2%.2f s, dm-via-window=$tW%.3f s, dm-via-kernel=$tK%.3f s"""
+  }
+
+  /** r15 q_outliers_mad stage attribution: scan+repartition+persist,
+    * the count/gate action, and the main action, warm reps of the full
+    * query after.
+    */
+  private def madProbe(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions._
+    def wall[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime(); val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    def full(): Double = {
+      val t = wall(graft.SparkEntry.queries("q_outliers_mad")(spark, dir)
+        .queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ())))._1
+      graft.Scratch.release(spark)
+      t
+    }
+    full() // warm codegen/scan
+    val reps = (1 to 5).map(_ => full())
+    val e = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .repartition(col("event_type")).persist()
+    val (tPersist, nE) = wall(e.count())
+    val cnts = e.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val (tGate, _) = wall(cnts.agg(max(col("n"))).head())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    val ranked = e.withColumn("rn", row_number().over(w))
+      .join(broadcast(cnts), Seq("event_type"))
+      .filter(expr("rn = (50 * n + 99) DIV 100"))
+    val (tRank, _) = wall(
+      ranked.queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ())))
+    e.unpersist()
+    f"mad @ $dir: full reps=${reps.map(t => f"$t%.2f").mkString(",")} s; " +
+      f"persist(e)=$tPersist%.2f s ($nE%,d rows), gate=$tGate%.2f s, one rank pass=$tRank%.2f s"
   }
 
   /** Phase decomposition of the O-51..O-53 graph build (SCALE.md r10):

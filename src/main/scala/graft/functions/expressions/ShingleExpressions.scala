@@ -58,6 +58,38 @@ object TokenShingles {
     while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
     new GenericArrayData(out)
   }
+
+  /** INSTANCE variant (r15, the q_lm_score kernel): every k-token
+    * window in order, duplicates preserved, and EMPTY when the text has
+    * fewer than k tokens — exactly the multiset the posexplode +
+    * lead()-window formulation emits (windows there exist only where a
+    * full k-run does), where [[compute]] would return the whole text as
+    * one short shingle. Same one-pass boundary scan, no dedup set.
+    */
+  def computeAll(text: UTF8String, k: Int): ArrayData = {
+    val s = text.toString
+    var nTok = 1
+    var p = 0
+    while (p < s.length) { if (s.charAt(p) == ' ') nTok += 1; p += 1 }
+    if (nTok < k) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var t = 0
+    starts(0) = 0
+    p = 0
+    while (p < s.length) {
+      if (s.charAt(p) == ' ') { ends(t) = p; t += 1; starts(t) = p + 1 }
+      p += 1
+    }
+    ends(t) = s.length
+    val out = new Array[Any](nTok - k + 1)
+    var i = 0
+    while (i <= nTok - k) {
+      out(i) = UTF8String.fromString(s.substring(starts(i), ends(i + k - 1)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `token_shingles(text, k)` → ARRAY<STRING> of the distinct k-token
@@ -89,6 +121,40 @@ case class TokenShinglesExpr(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (t, k) =>
       s"${ev.value} = graft.functions.expressions.TokenShingles.compute($t, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `token_shingles_all(text, k)` → ARRAY<STRING> of ALL k-token sliding
+  * windows of `text` in order, duplicates preserved, empty below k
+  * tokens (k a foldable positive literal) — [[TokenShinglesExpr]]'s
+  * instance-multiset sibling for frequency queries.
+  */
+case class TokenShinglesAllExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "token_shingles_all"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != StringType || right.dataType != IntegerType || !right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (STRING, foldable INT), got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    else right.eval() match {
+      case k: java.lang.Integer if k >= 1 => TypeCheckResult.TypeCheckSuccess
+      case k => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires k >= 1, got $k")
+    }
+
+  override def nullSafeEval(text: Any, k: Any): Any =
+    TokenShingles.computeAll(text.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, k) =>
+      s"${ev.value} = graft.functions.expressions.TokenShingles.computeAll($t, $k);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

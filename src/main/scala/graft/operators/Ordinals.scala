@@ -86,9 +86,14 @@ object Ordinals {
     */
   def rankAndCount(df: DataFrame, part: String, order: Seq[Column],
       rnName: String, nName: Option[String],
-      smallGroupMax: Long = 65536L): DataFrame = {
-    val maxGroup = df.select(col(part)).groupBy(col(part)).count()
-      .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
+      smallGroupMax: Long = 65536L,
+      knownMaxGroup: Option[Long] = None): DataFrame = {
+    // callers that already hold the group-size table (q_outliers_mad
+    // derives n per group anyway) pass the max through and skip the
+    // gate's count job
+    val maxGroup = knownMaxGroup.getOrElse(
+      df.select(col(part)).groupBy(col(part)).count()
+        .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0))
     if (maxGroup <= smallGroupMax) {
       val w = Window.partitionBy(col(part))
       val ranked = df.withColumn(rnName,

@@ -286,6 +286,12 @@ object CorpusQueries {
         "CAST((CAST(tf AS DECIMAL(38,0)) * 2200000 * t * 10000) DIV " +
           "(CAST(tf AS DECIMAL(38,0)) * 1000000 * t + CAST(300000 AS DECIMAL(38,0)) * t " +
           "+ CAST(900000 AS DECIMAL(38,0)) * len * n) AS BIGINT)"))
+      // ONE exchange for agg + downstream top-k: HashPartitioning on
+      // probe_id alone satisfies BOTH the (probe_id, doc_id) group
+      // clustering (subset rule) and the consumers' per-probe window,
+      // where letting the aggregate pick (probe_id, doc_id) forces the
+      // window to re-shuffle (r15: one serial stage wave saved)
+      .repartition(col("probe_id"))
       .groupBy("probe_id", "doc_id")
       .agg(sum(expr("idf_e6 * tp_bp")).as("score"))
   }

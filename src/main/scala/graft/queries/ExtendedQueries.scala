@@ -361,30 +361,48 @@ object ExtendedQueries {
   /** Deterministic median PICK per event_type: rank by (valCol,
     * event_id), keep rn = ceil(n/2) — the q_quantiles rule at p=50,
     * shared by the median and MAD passes so the percentile-pick rule
-    * lives in one place. Rank + group count go through the adaptive
+    * lives in one place. The rank goes through the adaptive
     * [[graft.operators.Ordinals.rankAndCount]] gate (VERDICT r14 #2):
     * event_type has O(5) distinct values, so past 64k rows/group the
     * naive partitioned window is one task sorting n/5 rows — the gate
     * switches to the range-partitioned global-ordinal rank there
-    * (bit-identical; the twin keeps the plain-window SQL). Below the
-    * gate the count window rides the ranking's existing exchange+sort
-    * (A/B-measured FASTER than a groupBy-count broadcast join, whose
-    * two extra exchanges cost more: 0.92 vs 1.21 s min at sf0.1).
+    * (bit-identical; the twin keeps the plain-window SQL). The group
+    * size n comes from the caller's shared 5-row count table
+    * (broadcast), and the gate statistic is passed through — neither
+    * pays a per-ranking job.
     */
-  private def medianPick(df: DataFrame, valCol: String, outCol: String): DataFrame = {
+  private def medianPick(df: DataFrame, valCol: String, outCol: String,
+      cnts: DataFrame, maxGroup: Long): DataFrame = {
     Ordinals.rankAndCount(df, "event_type",
-        Seq(col(valCol), col("event_id")), "rn", Some("n"))
+        Seq(col(valCol), col("event_id")), "rn", None,
+        knownMaxGroup = Some(maxGroup))
+      .join(broadcast(cnts), Seq("event_type"))
       .filter(expr("rn = (50 * n + 99) DIV 100"))
       .select(col("event_type"), col(valCol).as(outCol))
   }
 
   private val madQ: Q = (s, d) => {
-    val e = Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
-    val med = medianPick(e, "value", "med")
+    // ONE exchange for the whole query (r15): events are hash-partitioned
+    // on event_type up front, so both rank sorts, the deviation join
+    // (broadcast), and the final aggregate all run exchange-free on the
+    // persisted partitioning. The 5-row group-count table is computed
+    // once and reused as the ceil(n/2) filter's n (broadcast join) AND
+    // as the adaptive rank gate's statistic — the old shape paid a
+    // count-over-window pass inside each ranking plus a gate job per
+    // rank (r15 A/B: min 0.90 → 0.49 s at sf0.1).
+    val e = graft.Scratch.persist(
+      Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
+        .repartition(col("event_type")))
+    val cnts = e.groupBy("event_type").agg(count(lit(1)).as("n"))
+    // the gate statistic is catalog state (Stats doc) — one job per
+    // (session, dir), not one per rep
+    val maxGroup = graft.Stats.scalar(s, d, "events.event_type:maxGroup")(
+      cnts.agg(coalesce(max(col("n")), lit(0L))).head().getLong(0))
+    val med = medianPick(e, "value", "med", cnts, maxGroup)
     val dev = graft.Scratch.persist(
       e.join(broadcast(med), Seq("event_type"))
         .withColumn("dev", abs(col("value") - col("med"))))
-    val mad = medianPick(dev, "dev", "mad")
+    val mad = medianPick(dev, "dev", "mad", cnts, maxGroup)
     dev.join(broadcast(mad), Seq("event_type"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
@@ -413,11 +431,17 @@ object ExtendedQueries {
     // both rankings through the adaptive rank gate (VERDICT r14 #2) —
     // source has O(5-10) distinct values, the same vacuous-partition
     // shape as medianPick; below 64k rows/group the two windows share
-    // one exchange, past it each rank is a distributed range sort
+    // one exchange, past it each rank is a distributed range sort. The
+    // shared gate statistic is memoized catalog state (Stats doc).
+    val maxG = graft.Stats.scalar(s, d, "documents.source:maxGroup")(
+      Tables.documents(s, d).select(col("source")).groupBy("source").count()
+        .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0))
     val ranked = Ordinals.rankAndCount(
       Ordinals.rankAndCount(base, "source",
-        Seq(col("n_chars"), col("doc_id")), "r1", None),
-      "source", Seq(col("ndist"), col("doc_id")), "r2", None)
+        Seq(col("n_chars"), col("doc_id")), "r1", None,
+        knownMaxGroup = Some(maxG)),
+      "source", Seq(col("ndist"), col("doc_id")), "r2", None,
+      knownMaxGroup = Some(maxG))
     // the SUM itself is widened, not just the ratio: Σd² reaches
     // n(n²−1)/3, past BIGINT at ~3M rows/group — aggregating in long
     // and casting after would overflow exactly in the regime the

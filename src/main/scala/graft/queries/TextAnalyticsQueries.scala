@@ -279,20 +279,29 @@ object TextAnalyticsQueries {
   // 100 TB corpus this targets (DuckDB promotes to HUGEINT; un-widened
   // Spark would wrap silently and diverge).
   private val lmScore: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
-    // Bigrams via posexplode + lead, NOT a transform() lambda over the
-    // token array: CollapseProject inlines `toks = split(text)` into
-    // every lambda reference, so the HOF form re-tokenizes the document
-    // TWICE PER BIGRAM — O(len²) per doc, measured 12.6 s at sf0.1 for
-    // a 0.3 s job. Here split runs once inside a codegen'd Generate and
-    // the adjacent token comes from a lead() over the per-doc window.
-    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val docBi = docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .withColumn("nxt", lead("tok", 1).over(byDoc))
-      .filter(col("nxt").isNotNull)
-      .select(col("doc_id"), concat(col("tok"), lit(" "), col("nxt")).as("bigram"))
+    // Bigram instances via the native `token_shingles_all` codegen
+    // kernel (r15): one boundary scan emitting substring slices —
+    // exactly the posexplode + lead()-window multiset (that r11 form
+    // paid an exchange + sort of the full exploded token stream just to
+    // pair adjacent tokens: 0.70 s at sf0.1), and exactly what the HOF
+    // zip_with-of-slices rewrite computes interpreted (HOFs are
+    // CodegenFallback — measured SLOWER than the window, 1.14 s). Both
+    // alternates sit in git history; the r10 indexing-lambda trap
+    // (split inlined per bigram) is documented in ShingleExpressions.
+    // ONE exchange for the whole query: hash-partitioning the raw text
+    // on doc_id up front makes every downstream clustering requirement
+    // (dm's groupBy(doc_id, bigram) — doc_id partitioning satisfies the
+    // superset-key ClusteredDistribution — the per-doc score groupBy,
+    // and the final doc_id join) exchange-free, the same single-shuffle
+    // plan the old lead()-window form got from its window exchange but
+    // WITHOUT the per-doc sort, and it fans the sub-MB single-split
+    // bench scan out of its one-task map side as a side effect.
+    val docBi = docs.select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(call_function("token_shingles_all", col("text"), lit(2)))
+          .as("bigram"))
     // Scratch-persisted: dm feeds both the model aggregate and the score
     // join probe side.
     val dm = graft.Scratch.persist(

@@ -547,18 +547,23 @@ object VectorQueries {
     val vecs = emb(s, d).select(col("vec_id"), col("e"))
     val probes = vecs.filter(col("vec_id") < MmrProbes)
       .select(col("vec_id").as("probe_id"), col("e").as("pv"))
-    // persisted: feeds the pair-sim self-join (twice) + the packing join
+    // persisted: feeds the pair-sim self-join (twice) + the packing
+    // join. The candidate VECTOR rides along (≤C·probes rows of 128
+    // doubles) so the pair sims never rescan-and-join the full vector
+    // table (r15: the old withVec join re-streamed all of `vecs` for
+    // rows cand already saw), and everything downstream of the top-C
+    // window reuses its probe_id partitioning — the self-join and both
+    // collect aggregates are exchange-free behind it.
     val cand = graft.Scratch.persist(
       vecs.crossJoin(broadcast(probes))
         .filter(col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id"),
+        .select(col("probe_id"), col("vec_id"), col("e"),
           (round(cosineSimilarityNative(col("e"), col("pv")), 6) + lit(0.0)).as("rel"))
         .withColumn("rk", row_number().over(
           Window.partitionBy("probe_id").orderBy(col("rel").desc, col("vec_id"))))
         .filter(col("rk") <= MmrCand)
-        .select("probe_id", "vec_id", "rel"))
-    val withVec = cand.join(vecs, "vec_id")
-    val sims = withVec.as("a").join(withVec.as("b"),
+        .select("probe_id", "vec_id", "rel", "e"))
+    val sims = cand.as("a").join(cand.as("b"),
         col("a.probe_id") === col("b.probe_id") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.probe_id").as("probe_id"), col("a.vec_id").as("cid"),
         col("b.vec_id").as("sid"),
@@ -566,7 +571,8 @@ object VectorQueries {
     val simLists = sims.groupBy("probe_id", "cid")
       .agg(collect_list(struct(col("sid"), col("sim"))).as("sl"))
       .withColumnRenamed("cid", "vec_id")
-    val packed = cand.join(simLists, Seq("probe_id", "vec_id"), "left")
+    val packed = cand.select("probe_id", "vec_id", "rel")
+      .join(simLists, Seq("probe_id", "vec_id"), "left")
       .withColumn("sl", coalesce(col("sl"),
         expr("CAST(array() AS ARRAY<STRUCT<sid: BIGINT, sim: DOUBLE>>)")))
       .groupBy("probe_id")

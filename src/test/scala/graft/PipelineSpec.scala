@@ -49,4 +49,29 @@ class PipelineSpec extends SparkSpec {
       .map(_.getAs[Long]("count")).sum
     assert(leafSum == movies, "leaves must partition the movies")
   }
+
+  test("e1 features: the wide (DECIMAL) face is bit-identical to the LONG face") {
+    // bench SFs never cross the widening gate (maxCnt > 1e5), so the
+    // DECIMAL path is pinned here against the LONG path on a synthetic
+    // quantized-window frame with uneven acts and boundary e4 values
+    import spark.implicits._
+    val labels = graft.operators.Inference.EmotionLabels
+    val rows = for {
+      doc <- 1L to 7L
+      w <- 1L to (3 + doc % 4)
+    } yield (doc, w, ((doc * 31 + w * 17) % 3 + 1).toInt)
+    val base = rows.toDF("doc_id", "window_id", "_act")
+    val df = labels.zipWithIndex.foldLeft(base) { case (acc, (m, i)) =>
+      acc.withColumn(s"${m}_e4",
+        expr(s"(doc_id * 997 + window_id * ${131 + i * 7}) % 10001"))
+    }
+    val long = graft.queries.IoQueries.e1FeatureFrame(df, labels, wide = false)
+    val wide = graft.queries.IoQueries.e1FeatureFrame(df, labels, wide = true)
+    assert(long.columns.toSeq === wide.columns.toSeq)
+    assert(long.schema === wide.schema,
+      "wide face must CAST every output back to BIGINT")
+    val key = (r: org.apache.spark.sql.Row) => r.toSeq.map(String.valueOf).mkString("|")
+    assert(long.collect().map(key).sorted.toSeq ===
+      wide.collect().map(key).sorted.toSeq)
+  }
 }
