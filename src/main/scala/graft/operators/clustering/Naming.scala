@@ -84,6 +84,94 @@ object Naming {
     }
   }
 
+  /** Sample EXTERNAL namer (r15, VERDICT r14 #7): the production seam a
+    * real deployment points at its LLM gateway. One HTTP POST per
+    * attempt — request `{"parent": ..., "attempt": N, "groups":
+    * [{"titles": [...], "shift": ...}, ...]}`, response a JSON array of
+    * exactly `groups.size` strings. ANY transport, status, or parse
+    * failure just throws: [[nameChildren]]'s retry loop already treats a
+    * thrown attempt as failed (utils.py:126-127), so the deterministic
+    * fallback remains the terminal path and a flaky or down endpoint can
+    * never fail a build. Deliberately dependency-free (JDK HttpClient +
+    * a minimal JSON string-array reader) and driver-side like every
+    * namer — one call per tree node, never per data row. Exercised
+    * end-to-end against a local mock endpoint in NamingRetrySpec; the
+    * engine's declared default stays [[DeterministicNamer]]
+    * (reproducible, oracle-friendly).
+    */
+  final class HttpNamer(endpoint: java.net.URI, timeoutMs: Long = 10000L)
+      extends Namer {
+    private val client = java.net.http.HttpClient.newHttpClient()
+
+    override def propose(parentName: String, groups: Seq[NamingGroup],
+        attempt: Int): Seq[String] = {
+      val body = {
+        def q(s: String): String = "\"" + s.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case '\n' => "\\n"
+          case '\r' => "\\r"
+          case '\t' => "\\t"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\""
+        val gs = groups.map(g =>
+          s"""{"titles": [${g.titles.map(q).mkString(", ")}], "shift": ${q(g.shift)}}""")
+        s"""{"parent": ${q(parentName)}, "attempt": $attempt, "groups": [${gs.mkString(", ")}]}"""
+      }
+      val req = java.net.http.HttpRequest.newBuilder(endpoint)
+        .timeout(java.time.Duration.ofMillis(timeoutMs))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        .build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() == 200, s"namer endpoint HTTP ${resp.statusCode()}")
+      parseStringArray(resp.body())
+    }
+  }
+
+  /** Minimal JSON string-array reader for [[HttpNamer]] responses —
+    * `["a", "b\nc", ...]` with the standard escapes. Anything malformed
+    * throws (which the retry loop absorbs as a failed attempt).
+    */
+  private[graft] def parseStringArray(s: String): Seq[String] = {
+    val t = s.trim
+    require(t.nonEmpty && t.head == '[' && t.last == ']',
+      "namer response must be a JSON array of strings")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 1
+    val end = t.length - 1
+    while (i < end) {
+      while (i < end && (t(i).isWhitespace || t(i) == ',')) i += 1
+      if (i < end) {
+        require(t(i) == '"', s"expected string element at offset $i")
+        i += 1
+        val sb = new StringBuilder
+        while (t(i) != '"') {
+          if (t(i) == '\\') {
+            i += 1
+            t(i) match {
+              case 'n' => sb += '\n'
+              case 'r' => sb += '\r'
+              case 't' => sb += '\t'
+              case 'b' => sb += '\b'
+              case 'f' => sb += '\f'
+              case 'u' =>
+                sb += Integer.parseInt(t.substring(i + 1, i + 5), 16).toChar
+                i += 4
+              case c => sb += c // covers \" \\ \/
+            }
+          } else sb += t(i)
+          i += 1
+        }
+        out += sb.toString
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
   /** validate_names (utils.py:36-57): non-empty, 1–4 whitespace words. */
   private[clustering] def validName(name: String): Boolean = {
     val words = name.trim.split("\\s+").filter(_.nonEmpty)
