@@ -59,6 +59,7 @@ object SparkEntry {
     "build_graph_depth" -> GraphQueries.rebuildDepthTable,
     "build_ivf_index" -> VectorQueries.rebuildIvf,
     "build_nsw_graph" -> VectorQueries.rebuildNsw,
+    "build_hnsw_layers" -> VectorQueries.rebuildHnsw,
     "build_pq_codebooks" -> VectorQueries.rebuildPq,
     "build_bm25_index" -> CorpusQueries.rebuildBm25,
     "build_bpe_model" -> BpeQueries.rebuildBpe,
@@ -82,9 +83,16 @@ object SparkEntry {
     // build_nsw_graph is itself a dependent of the IVF memo (the NSW
     // graphs are built per IVF list), so it rides in this set too
     "build_ivf_index" -> Set("q_ann_ivf", "q_ann_ivf_upsert",
-      "q_ann_recall_ivf", "q_ann_recall_nsw", "q_hybrid_retrieval_ivf",
+      "q_ann_recall_ivf", "q_ann_recall_nsw", "q_ann_recall_hnsw",
+      "q_hybrid_retrieval_ivf",
       "q_dedup_semantic", "q_knn_eval", "build_nsw_graph"),
-    "build_nsw_graph" -> Set("q_ann_recall_nsw"),
+    // build_hnsw_layers rides build_nsw_graph's memo (layer 0 IS the
+    // NSW graph), so it is a dependent of that build too. Convention:
+    // every set lists its TRANSITIVE query dependents directly (the
+    // SPARK_GRAFT_ONLY closure is single-pass).
+    "build_nsw_graph" -> Set("q_ann_recall_nsw", "q_ann_recall_hnsw",
+      "build_hnsw_layers"),
+    "build_hnsw_layers" -> Set("q_ann_recall_hnsw"),
     "build_pq_codebooks" -> Set("q_pq_encode", "q_ann_recall_pq"),
     "build_bm25_index" -> Set("q_bm25_topk", "q_hybrid_retrieval",
       "q_hybrid_retrieval_ivf"),

@@ -41,10 +41,50 @@ object CdcChunks {
     p
   }
 
+  private val Pow8: Long = Pow(W - 1) * 31L // 31^8 ≈ 2^39.6
+
+  /** Production path (r15, ADVICE r14 #3): the window hash is maintained
+    * INCREMENTALLY — h' = 31·h − cp_out·31^8 + cp_in, one multiply-add
+    * per code point instead of re-evaluating the 8-term polynomial.
+    * Exactly the same Long value as the reference loop: every
+    * intermediate is bounded by 31·h_max < 2^61 (h < 2^57, doc header),
+    * so no wrap ever occurs and the arithmetic is bit-identical —
+    * pinned against [[computeReference]] in CurationOpsSpec.
+    */
   def compute(text: UTF8String, d: Int): ArrayData = {
     val s = text.toString
     val out = new java.util.ArrayList[Any]
     val win = new Array[Int](W) // ring buffer of the last W code points
+    var h = 0L
+    var cpSeen = 0
+    var charIdx = 0
+    var chunkStart = 0
+    while (charIdx < s.length) {
+      val cp = s.codePointAt(charIdx)
+      val slot = cpSeen % W
+      // warm-up (window not yet full): h accumulates 31·h + cp, which IS
+      // the k-term polynomial with the newest point at weight 31^0
+      h = if (cpSeen < W) h * 31L + cp
+          else h * 31L - win(slot) * Pow8 + cp // evict the point 8 back
+      win(slot) = cp
+      cpSeen += 1
+      charIdx += Character.charCount(cp)
+      if (cpSeen >= W && h % d == d - 1) {
+        out.add(UTF8String.fromString(s.substring(chunkStart, charIdx)))
+        chunkStart = charIdx
+      }
+    }
+    out.add(UTF8String.fromString(s.substring(chunkStart)))
+    new GenericArrayData(out.toArray)
+  }
+
+  /** The original O(8n) re-evaluating form, kept as the parity-test
+    * reference for [[compute]] (ADVICE r14 #3).
+    */
+  private[graft] def computeReference(text: UTF8String, d: Int): ArrayData = {
+    val s = text.toString
+    val out = new java.util.ArrayList[Any]
+    val win = new Array[Int](W)
     var cpSeen = 0
     var charIdx = 0
     var chunkStart = 0

@@ -43,7 +43,7 @@ object AnnNsw {
   final case class ProbeRow(cluster: Int, probe_id: Long, pv: Seq[Double])
   final case class Hit(probe_id: Long, vec_id: Long, cos: Double)
 
-  private def cosine(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+  private[operators] def cosine(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
     if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
@@ -102,6 +102,40 @@ object AnnNsw {
     NswIndex(graph, index.centroids, index.idCol)
   }
 
+  /** The bounded best-first walk over one list's adjacency, from a given
+    * entry — extracted (r15) so [[AnnHnsw]]'s layered search runs the
+    * IDENTICAL base-layer walk after its descent (bit-compatible with
+    * the recursive-CTE replay both twins share). Returns the kept
+    * results, unordered.
+    */
+  private[operators] def walkList(byId: Map[Long, GraphRow], entry: Long,
+      pv: IndexedSeq[Double], efSearch: Int): Iterator[(Double, Long)] = {
+    val visited = scala.collection.mutable.Set.empty[Long]
+    // frontier: best candidate first; results: worst kept on
+    // top so the bound check is O(1)
+    val frontier = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+      Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (c, -id) })
+    val results = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+      Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (-c, id) })
+    def score(id: Long): Double = cosine(byId(id).e.toIndexedSeq, pv)
+    def push(id: Long): Unit = if (visited.add(id)) {
+      val c = score(id)
+      frontier.enqueue((c, id))
+      results.enqueue((c, id))
+      if (results.size > efSearch) results.dequeue()
+    }
+    push(entry)
+    var continue = true
+    while (continue && frontier.nonEmpty) {
+      val (c, id) = frontier.dequeue()
+      // stop when the best unexplored candidate can't improve
+      // the worst kept result (standard NSW termination)
+      if (results.size >= efSearch && c < results.head._1) continue = false
+      else byId(id).nbrs.foreach(push)
+    }
+    results.dequeueAll.iterator
+  }
+
   /** Greedy best-first walk per (probe, list): classic NSW search with
     * a bounded frontier (`efSearch`). Entry point = the list's min
     * vec_id (deterministic; a centroid-nearest entry is the same walk,
@@ -134,34 +168,8 @@ object AnnNsw {
           val entry = if (rows.isEmpty) -1L else rows.iterator.map(_.vec_id).min
           ps.iterator.flatMap { p =>
             if (entry < 0) Iterator.empty
-            else {
-              val pv = p.pv.toIndexedSeq
-              val visited = scala.collection.mutable.Set.empty[Long]
-              // frontier: best candidate first; results: worst kept on
-              // top so the bound check is O(1)
-              val frontier = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
-                Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (c, -id) })
-              val results = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
-                Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (-c, id) })
-              def score(id: Long): Double = cosine(byId(id).e.toIndexedSeq, pv)
-              def push(id: Long): Unit = if (visited.add(id)) {
-                val c = score(id)
-                frontier.enqueue((c, id))
-                results.enqueue((c, id))
-                if (results.size > efSearch) results.dequeue()
-              }
-              push(entry)
-              var continue = true
-              while (continue && frontier.nonEmpty) {
-                val (c, id) = frontier.dequeue()
-                // stop when the best unexplored candidate can't improve
-                // the worst kept result (standard NSW termination)
-                if (results.size >= efSearch && c < results.head._1) continue = false
-                else byId(id).nbrs.foreach(push)
-              }
-              results.dequeueAll.iterator
-                .map((t: (Double, Long)) => Hit(p.probe_id, t._2, t._1))
-            }
+            else walkList(byId, entry, p.pv.toIndexedSeq, efSearch)
+              .map((t: (Double, Long)) => Hit(p.probe_id, t._2, t._1))
           }
         }
       }

@@ -119,6 +119,7 @@ object VectorQueries {
   def clearCache(): Unit = {
     ivfCache.clearAll().foreach(_.assigned.unpersist())
     nswCache.clearAll().foreach(_.graph.unpersist())
+    hnswCache.clearAll().foreach(_.layers.unpersist())
     pqCache.clearAll().foreach(_.codes.unpersist())
   }
 
@@ -187,6 +188,25 @@ object VectorQueries {
     }
 
   private[graft] val rebuildNsw: Q = (s, d) => nswIndex(s, d).graph
+
+  /** Where the HNSW upper-layer adjacency is exported for the
+    * q_ann_recall_hnsw oracle (r15 — VERDICT r14 "missing" #3). Layer 0
+    * is the NSW export; this file carries layers ≥ 1 only:
+    * (cluster, layer, vec_id, nbrs), vectors joined from the NSW export.
+    */
+  private[graft] def hnswExportPath: String = java.nio.file.Paths
+    .get(sys.props("java.io.tmpdir"), "graft_hnsw_layers").toString
+
+  private val hnswCache = new graft.SessionCache[graft.operators.AnnHnsw.HnswIndex]
+
+  private[graft] def hnswIndex(s: SparkSession, d: String): graft.operators.AnnHnsw.HnswIndex =
+    hnswCache.getOrElseUpdate(s, d) {
+      val ix = graft.operators.AnnHnsw.buildLayers(nswIndex(s, d))
+      ix.layers.write.mode("overwrite").parquet(hnswExportPath)
+      ix
+    }
+
+  private[graft] val rebuildHnsw: Q = (s, d) => hnswIndex(s, d).layers
 
   /** Where the trained PQ codebooks are exported for the q_pq_encode /
     * q_ann_recall_pq oracles — the AnnIvf centroid-export pattern: the
@@ -488,6 +508,42 @@ object VectorQueries {
     rec(math.max(1, nL / 4)).unionAll(rec(nL))
   }
 
+  private val HnswProbes = 20
+
+  /** HNSW recall@10 (r15 — closes VERDICT r14 "What's missing" #3, the
+    * multi-layer entry hierarchy of the reference's pgvector `hnsw`
+    * index): greedy descent down the per-list layer hierarchy picks the
+    * base-walk entry, then the UNCHANGED efSearch-bounded NSW walk —
+    * recall vs the global exact top-10. Oracle-checked end to end: the
+    * twin replays the descent (a second recursive CTE over the layers
+    * export) in front of the proven walk replay. Fewer probes than the
+    * NSW metric (20 vs 50) and one nProbe variant keep the twin's
+    * walk-replay cost bounded. Build invariants (nested membership,
+    * degree bound, descent entry validity, exhaustive-walk parity) in
+    * AnnNswSpec.
+    */
+  private val hnswRecall: Q = (s, d) => {
+    val embT = Tables.embeddings(s, d)
+    val index = ivfIndex(s, d)
+    val hnsw = hnswIndex(s, d)
+    val probes = embT.filter(col("vec_id") < HnswProbes)
+      .select(col("vec_id").as("pid"), col("embedding"))
+    val exact = exactTopK(emb(s, d).select(col("vec_id"), col("e")),
+      emb(s, d).filter(col("vec_id") < HnswProbes)
+        .select(col("vec_id").as("probe_id"), col("e").as("pv")))
+    val nL = index.centroids.count().toInt
+    val walked = graft.operators.AnnHnsw
+      .topK(hnsw, probes, "pid", "embedding", RecallK, math.max(1, nL / 4))
+      .select(col("probe_id"), col("vec_id"))
+    probes.select(col("pid").cast("long").as("probe_id"))
+      .join(walked.join(exact, Seq("probe_id", "vec_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("h")),
+        Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        expr(s"(coalesce(h, 0) * 10000) DIV $RecallK").as("recall_bp"))
+  }
+
   /** IVF index maintenance (oracle-checked since r12: at nProbe ==
     * nList the probe is exact search over the upserted corpus, so the
     * twin needs no quantizer knowledge at all):
@@ -610,6 +666,7 @@ object VectorQueries {
     "q_ann_recall" -> annRecall,
     "q_ann_recall_ivf" -> ivfRecall,
     "q_ann_recall_nsw" -> nswRecall,
+    "q_ann_recall_hnsw" -> hnswRecall,
     "q_pq_encode" -> pqEncode,
     "q_ann_recall_pq" -> pqRecall,
     "q_mmr_rerank" -> mmrRerank,
@@ -756,7 +813,138 @@ object VectorQueries {
        |LEFT JOIN hs ON hs.n_probe = v.n_probe AND hs.probe_id = p.probe_id""".stripMargin
   }
 
+  /** q_ann_recall_hnsw twin (r15): the descent over the layers export as
+    * a recursive CTE — state (layer, cur, curc) per (probe, list); one
+    * step = argmax neighbour by (cos desc, id asc) at the current layer
+    * (the proven list_sort-struct idiom), move only on a STRICT cosine
+    * improvement, else drop a layer; rows stop recursing at layer 0 —
+    * feeding the descended entries into the UNCHANGED bounded-walk CTE
+    * of [[nswRecallSql]]. Both cosines are the AnnNsw form
+    * (dot / sqrt(na·nb)); the exact leg uses the o56 form, as in the
+    * NSW twin. Layer membership is nested by construction, so `cur` is
+    * always a key of every layer below it.
+    */
+  private def hnswRecallSql: String = {
+    val EF = 32
+    val dotS = (a: String, b: String) =>
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i]*$b[i]))"
+    val cosNsw = (a: String, b: String) =>
+      s"(CASE WHEN ${dotS(a, a)} = 0 OR ${dotS(b, b)} = 0 THEN 0.0 " +
+        s"ELSE ${dotS(a, b)} / sqrt(${dotS(a, a)} * ${dotS(b, b)}) END)"
+    s"""WITH RECURSIVE
+       |cents AS (SELECT cluster, centroid FROM '$ivfExportPath/*.parquet'),
+       |emb AS (SELECT vec_id, e FROM $embSql),
+       |probes AS (SELECT vec_id AS probe_id, e AS pv FROM emb WHERE vec_id < $HnswProbes),
+       |ranked AS (
+       |  SELECT p.probe_id, p.pv, c.cluster,
+       |         row_number() OVER (PARTITION BY p.probe_id
+       |           ORDER BY ${l2DistanceSql("p.pv", "c.centroid")}, c.cluster) AS crk
+       |  FROM probes p CROSS JOIN cents c),
+       |np AS (SELECT CAST(greatest(1, count(*) // 4) AS BIGINT) AS n_probe FROM cents),
+       |graph AS (SELECT cluster, vec_id, e, nbrs FROM '$nswExportPath/*.parquet'),
+       |layers AS (SELECT cluster, layer, vec_id, nbrs FROM '$hnswExportPath/*.parquet'),
+       |gmap AS (
+       |  SELECT cluster, map(list(vec_id), list(struct_pack(e := e, nbrs := nbrs))) AS gm
+       |  FROM graph GROUP BY cluster),
+       |lmap AS (
+       |  SELECT cluster, layer, map(list(vec_id), list(nbrs)) AS lm
+       |  FROM layers GROUP BY cluster, layer),
+       |entries AS (SELECT cluster, min(vec_id) AS entry FROM graph GROUP BY cluster),
+       |tops AS (
+       |  SELECT l.cluster, l.layer AS top_layer, min(l.vec_id) AS tentry
+       |  FROM layers l
+       |  JOIN (SELECT cluster, max(layer) AS ml FROM layers GROUP BY cluster) t
+       |    ON t.cluster = l.cluster AND l.layer = t.ml
+       |  GROUP BY l.cluster, l.layer),
+       |pairs AS (
+       |  SELECT r.probe_id, r.pv, r.cluster
+       |  FROM ranked r, np WHERE r.crk <= np.n_probe),
+       |descent AS (
+       |  SELECT p.probe_id, p.cluster, p.pv,
+       |         CAST(coalesce(t.top_layer, 0) AS BIGINT) AS layer,
+       |         coalesce(t.tentry, en.entry) AS cur,
+       |         ${cosNsw("g.gm[coalesce(t.tentry, en.entry)][1].e", "p.pv")} AS curc
+       |  FROM pairs p
+       |  JOIN entries en USING (cluster)
+       |  LEFT JOIN tops t USING (cluster)
+       |  JOIN gmap g USING (cluster)
+       |  UNION ALL
+       |  SELECT probe_id, cluster, pv,
+       |         CASE WHEN moved THEN layer ELSE layer - 1 END AS layer,
+       |         CASE WHEN moved THEN -best.nid ELSE cur END AS cur,
+       |         CASE WHEN moved THEN best.c ELSE curc END AS curc
+       |  FROM (
+       |    SELECT probe_id, cluster, pv, layer, cur, curc, best,
+       |           best IS NOT NULL AND best.c > curc AS moved
+       |    FROM (
+       |      SELECT d.probe_id, d.cluster, d.pv, d.layer, d.cur, d.curc,
+       |             list_sort(list_transform(l.lm[d.cur][1],
+       |               x -> struct_pack(c := ${cosNsw("g.gm[x][1].e", "d.pv")}, nid := -x)),
+       |               'DESC')[1] AS best
+       |      FROM descent d
+       |      JOIN lmap l ON l.cluster = d.cluster AND l.layer = d.layer
+       |      JOIN gmap g ON g.cluster = d.cluster
+       |      WHERE d.layer >= 1))),
+       |fentries AS (
+       |  SELECT probe_id, cluster, pv, cur AS entry FROM descent WHERE layer = 0),
+       |walk AS (
+       |  SELECT f.probe_id, f.cluster, f.pv,
+       |         [f.entry] AS visited,
+       |         [struct_pack(c := ${cosNsw("g.gm[f.entry][1].e", "f.pv")}, nid := -f.entry)] AS frontier,
+       |         [struct_pack(c := ${cosNsw("g.gm[f.entry][1].e", "f.pv")}, nid := -f.entry)] AS results,
+       |         false AS done
+       |  FROM fentries f JOIN gmap g USING (cluster)
+       |  UNION ALL
+       |  SELECT probe_id, cluster, pv,
+       |         CASE WHEN stop THEN visited ELSE visited || unvis END AS visited,
+       |         CASE WHEN stop THEN frontier_rest ELSE frontier_rest || news END AS frontier,
+       |         CASE WHEN stop THEN results ELSE list_sort(results || news, 'DESC')[1:$EF] END AS results,
+       |         stop AS done
+       |  FROM (
+       |    SELECT probe_id, cluster, pv, visited, frontier_rest, results, stop,
+       |           CASE WHEN stop THEN [] ELSE list_filter(gm[-best.nid][1].nbrs,
+       |             x -> NOT list_contains(visited, x)) END AS unvis,
+       |           CASE WHEN stop THEN [] ELSE list_transform(
+       |             list_filter(gm[-best.nid][1].nbrs, x -> NOT list_contains(visited, x)),
+       |             x -> struct_pack(c := ${cosNsw("gm[x][1].e", "pv")}, nid := -x)) END AS news
+       |    FROM (
+       |      SELECT w.probe_id, w.cluster, w.pv, w.visited, w.results, g.gm,
+       |             list_sort(w.frontier, 'DESC')[1] AS best,
+       |             list_sort(w.frontier, 'DESC')[2:] AS frontier_rest,
+       |             len(w.frontier) = 0 OR (len(w.results) >= $EF AND
+       |               list_sort(w.frontier, 'DESC')[1].c <
+       |                 list_min(list_transform(w.results, r -> r.c))) AS stop
+       |      FROM walk w JOIN gmap g USING (cluster)
+       |      WHERE NOT w.done))),
+       |hits AS (
+       |  SELECT probe_id, cluster, unnest(results, recursive := true)
+       |  FROM walk WHERE done),
+       |walked_topk AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT h.probe_id, -h.nid AS vec_id,
+       |           row_number() OVER (PARTITION BY h.probe_id
+       |             ORDER BY round(h.c, 6) + 0.0 DESC, -h.nid) AS rk
+       |    FROM hits h)
+       |  WHERE rk <= $RecallK),
+       |exact AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT p.probe_id, a.vec_id,
+       |           row_number() OVER (PARTITION BY p.probe_id
+       |             ORDER BY round(${cosineSimilaritySql("a.e", "p.pv")}, 6) + 0.0 DESC, a.vec_id) AS rk
+       |    FROM emb a CROSS JOIN probes p)
+       |  WHERE rk <= $RecallK),
+       |he AS (
+       |  SELECT probe_id, CAST(count(*) AS BIGINT) AS h
+       |  FROM walked_topk JOIN exact USING (probe_id, vec_id)
+       |  GROUP BY probe_id)
+       |SELECT p.probe_id AS probe_id,
+       |       CAST(coalesce(he.h, 0) AS BIGINT) AS n_hits,
+       |       CAST((coalesce(he.h, 0) * 10000) // $RecallK AS BIGINT) AS recall_bp
+       |FROM probes p LEFT JOIN he USING (probe_id)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_ann_recall_hnsw" -> hnswRecallSql,
     "q_ann_recall_nsw" -> nswRecallSql,
     "o54_vec_distance" ->
       s"""SELECT a.vec_id,

@@ -150,6 +150,20 @@ class CurationOpsSpec extends SparkSpec {
       assert(g == ref(s, 64), s"kernel mismatch on: $s")
       assert(g.mkString == s, s"chunks must concatenate back to the input: $s")
     }
+    // r15 (ADVICE r14 #3): the incremental rolling form must stay
+    // bit-identical to the retained O(8n) re-evaluating reference —
+    // stress with max-magnitude code points (2^21-ish) where a wrap in
+    // the 31·h − cp·31^8 update would first show
+    val stress = cases :+
+      (0 until 400).map(i => String.valueOf(Character.toChars(
+        0x10000 + (i * 2654435761L % 0xFFFF).toInt))).mkString :+
+      String.valueOf(Character.toChars(0x10FFFF)).repeat(64)
+    for (s <- stress; d <- Seq(2, 17, 64)) {
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      val fast = graft.functions.expressions.CdcChunks.compute(u, d)
+      val slow = graft.functions.expressions.CdcChunks.computeReference(u, d)
+      assert(fast.array.toSeq == slow.array.toSeq, s"d=$d on: ${s.take(40)}")
+    }
   }
 
   test("cdc dedup: survives the prefix insertion that blinds fixed-size chunking") {
