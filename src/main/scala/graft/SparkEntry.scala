@@ -27,7 +27,8 @@ object SparkEntry {
       (IncrementalQueries.queries, IncrementalQueries.oracle),
       (BpeQueries.queries, BpeQueries.oracle),
       (SketchQueries.queries, SketchQueries.oracle),
-      (GraphAnalyticsQueries.queries, GraphAnalyticsQueries.oracle))
+      (GraphAnalyticsQueries.queries, GraphAnalyticsQueries.oracle),
+      (SelectionQueries.queries, SelectionQueries.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -185,11 +185,83 @@ object GraphAnalyticsQueries {
        |FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri)
        |GROUP BY doc_id""".stripMargin
 
+  // ---- Label-propagation communities on the similarity graph ----
+  // Synchronous LPA (Raghavan et al. 2007), [[LpaIters]] fixed rounds:
+  // every node starts as its own label and adopts the most frequent
+  // label among its neighbors AND itself each round (tie → smallest
+  // label). The self-vote is load-bearing, not a flourish: an isolated
+  // pair edge u—v under pure neighbor voting SWAPS labels every
+  // synchronous round (u:v, v:u → u:u, v:v → …) and never converges —
+  // and isolated pairs dominate an LSH near-dup graph; with the
+  // self-vote the tie on each side resolves to min(u, v) in one round
+  // (the keeper=min-id convention the dedup family already uses). On
+  // the LSH graph the converged labels ARE the dup-cluster assignment —
+  // the soft-clustering complement to q_dedup_cc's exact connected
+  // components (LPA splits chains that CC merges). Determinism: fixed
+  // synchronous iterations over exact integers, argmax by (count desc,
+  // label asc) — no convergence test, no randomized node order.
+  //
+  // Scale shape: each round is ONE equi-join of the (bounded, BucketCap-
+  // guarded) edge list with the one-row-per-node label table plus two
+  // map-side-combined aggregations — the Pregel shape again; the label
+  // table is what shuffles, never the corpus. The per-(node, label)
+  // argmax is a groupBy max(struct), NOT a window — nothing funnels.
+  private[graft] val LpaIters = 4
+
+  private val communities: Q = (s, d) => {
+    // persisted: the symmetrized edge view is consumed once per round
+    val pairs = graft.Scratch.persist(DedupQueries.minhash(s, d))
+    val und = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionAll(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    // the self-vote rides the edge list as one self-loop per node
+    val g = und.unionAll(
+      und.select(col("a")).distinct().select(col("a"), col("a").as("b")))
+    var labels = und.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (i <- 1 to LpaIters) {
+      // max(struct(c, -label)) = lexicographic argmax: highest count,
+      // then smallest label — one aggregate, no per-node sort
+      labels = g.join(labels.withColumnRenamed("node", "b"), "b")
+        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("a"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("a").as("node"), (-col("m.nl")).as("label"))
+      // same plan-depth bound as pagerank: cut lineage mid-chain so no
+      // execution re-optimizes the full iteration history
+      if (i < LpaIters && i % 2 == 0) labels = labels.localCheckpoint()
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("community"))
+  }
+
+  // Twin: unrolled chained CTEs (the pagerank precedent — no recursion,
+  // so windows are allowed); argmax via row_number in a nested subquery.
+  private val communitiesSql: String = {
+    val chain = (1 to LpaIters).map { i =>
+      s"""l$i AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |           row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+         |    FROM (SELECT e.a AS node, l.label, CAST(count(*) AS BIGINT) AS c
+         |          FROM g e JOIN l${i - 1} l ON l.node = e.b
+         |          GROUP BY e.a, l.label)) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (${DedupQueries.minhashSql}),
+       |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |        UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |g AS (SELECT a, b FROM und
+       |      UNION ALL SELECT DISTINCT a, a AS b FROM und),
+       |l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+       |$chain
+       |SELECT node AS doc_id, label AS community FROM l$LpaIters""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_graph_pagerank" -> pagerank,
-    "q_graph_triangles" -> triangles)
+    "q_graph_triangles" -> triangles,
+    "q_graph_communities" -> communities)
 
   val oracle: Map[String, String] = Map(
     "q_graph_pagerank" -> pagerankSql,
-    "q_graph_triangles" -> trianglesSql)
+    "q_graph_triangles" -> trianglesSql,
+    "q_graph_communities" -> communitiesSql)
 }

@@ -71,7 +71,7 @@ object TextAnalyticsQueries {
   // operands positive) — a weighted sum of rounded doubles lands on
   // x.xxxx5 half-boundaries where Spark and DuckDB round differently in
   // the last ulp; integer arithmetic is exact in both engines.
-  private val quality: Q = (s, d) =>
+  private[graft] val quality: Q = (s, d) =>
     Tables.documents(s, d)
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
       .withColumn("_stop", size(regexp_extract_all(col("text"), lit(stopPat), lit(0))).cast("long"))
@@ -82,6 +82,25 @@ object TextAnalyticsQueries {
       .withColumn("len_bp", least(col("n_tokens") * 200L, lit(10000L)))
       .withColumn("quality_bp", expr("(len_bp*4 + stop_bp*3 + alpha_bp*3) DIV 10"))
       .select("doc_id", "n_tokens", "stop_bp", "alpha_bp", "quality_bp")
+
+  // Shared with SelectionQueries (q_token_budget ranks by this score);
+  // the twin text lives here so the Spark and SQL formulations cannot
+  // drift apart between consumers.
+  private[graft] val qualitySql: String =
+    s"""SELECT doc_id, n_tokens, stop_bp, alpha_bp,
+       |       (len_bp*4 + stop_bp*3 + alpha_bp*3) // 10 AS quality_bp
+       |FROM (
+       |  SELECT doc_id, n_tokens,
+       |         (_stop * 10000) // n_tokens AS stop_bp,
+       |         (_alpha * 10000) // greatest(_nch, 1) AS alpha_bp,
+       |         least(n_tokens * 200, 10000) AS len_bp
+       |  FROM (
+       |    SELECT doc_id,
+       |           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |           CAST(len(regexp_extract_all(text, '$stopPat')) AS BIGINT) AS _stop,
+       |           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS _alpha,
+       |           CAST(length(text) AS BIGINT) AS _nch
+       |    FROM documents))""".stripMargin
 
   // ---- document fingerprinting (md5 + min-shingle rolling hash) ----
   // min over md5 of all trigrams == min over the DISTINCT trigram set,
@@ -418,21 +437,7 @@ object TextAnalyticsQueries {
          |              ELSE 'es' END AS pred_lang
          |  FROM (SELECT doc_id, lang, $scores FROM documents))""".stripMargin
     },
-    "q_quality_score" ->
-      s"""SELECT doc_id, n_tokens, stop_bp, alpha_bp,
-         |       (len_bp*4 + stop_bp*3 + alpha_bp*3) // 10 AS quality_bp
-         |FROM (
-         |  SELECT doc_id, n_tokens,
-         |         (_stop * 10000) // n_tokens AS stop_bp,
-         |         (_alpha * 10000) // greatest(_nch, 1) AS alpha_bp,
-         |         least(n_tokens * 200, 10000) AS len_bp
-         |  FROM (
-         |    SELECT doc_id,
-         |           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |           CAST(len(regexp_extract_all(text, '$stopPat')) AS BIGINT) AS _stop,
-         |           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS _alpha,
-         |           CAST(length(text) AS BIGINT) AS _nch
-         |    FROM documents))""".stripMargin,
+    "q_quality_score" -> qualitySql,
     "q_fingerprint" ->
       """SELECT doc_id, substr(md5(text), 1, 16) AS fp,
         |       list_min(list_transform(
