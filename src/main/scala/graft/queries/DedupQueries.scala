@@ -600,7 +600,88 @@ object DedupQueries {
       .select(col("doc_id"), col("keeper").cast("long").as("keeper"))
   }
 
+  // ---- winnowing fingerprints (Schleimer et al. 2003, SIGMOD) ----
+  // The local-minimum fingerprint selection MOSS uses: hash every
+  // k-token gram, slide a w-gram window, select each window's minimum
+  // hash (tie → RIGHTMOST position — the paper's robust-winnowing rule),
+  // and pair documents sharing ≥2 selected fingerprints. Guarantees a
+  // match for any shared run of ≥ w+k−1 tokens while keeping ~1/w of
+  // the grams — the published density/guarantee trade the plain
+  // min-shingle fingerprint (q_fingerprint) can't make.
+  //
+  // Determinism trick: hash and tie-break are ONE BIGINT —
+  // code = h36·2²⁴ + (2²⁴−1−pos), so min(code) IS (min hash, rightmost
+  // position) and both engines take a plain integer window MIN (h36 =
+  // first 9 md5 hex chars; max code 2⁶⁰ < 2⁶³, positions < 16.7M grams
+  // per doc — a ≥67 MB document, outside any corpus row this engine
+  // reads). Scale: the only windows are per-doc (bounded by doc
+  // length), fingerprints per doc ≈ grams/w, and the pair join is the
+  // same df-capped inverted index as q_dedup_jaccard.
+  private val WinnowK = 3
+  private val WinnowW = 4
+  private val WinnowDfCap = 10L
+  private val WinnowShift = 16777216L // 2^24 position field
+
+  private val winnow: Q = (s, d) => {
+    val grams = corpus(s, d).select(col("doc_id"),
+      posexplode(call_function("token_shingles_all", col("text"), lit(WinnowK))))
+      .toDF("doc_id", "pos", "gram")
+    val coded = grams.select(col("doc_id"), col("pos"),
+      (conv(substring(md5(col("gram")), 1, 9), 16, 10).cast("long") * WinnowShift
+        + (lit(WinnowShift - 1) - col("pos"))).as("code"))
+    val wp = Window.partitionBy("doc_id")
+    // both windows share the doc_id exchange; the frame min is the
+    // window-of-w-grams selection, the partition count bounds the last
+    // legal window start (short docs keep pos 0 = min of what exists)
+    val sel = coded
+      .withColumn("wmin", min(col("code"))
+        .over(wp.orderBy("pos").rowsBetween(0, WinnowW - 1)))
+      .withColumn("n", count(lit(1)).over(wp))
+      .filter(col("pos") <= greatest(col("n") - WinnowW, lit(0L)))
+      .select(col("doc_id"), expr(s"wmin DIV $WinnowShift").as("fp"))
+      .distinct()
+    // scratch-persisted: df stats + both legs of the pair join
+    val fps = graft.Scratch.persist(sel)
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinnowDfCap).select("fp")
+    val kept = fps.join(rare, "fp")
+    kept.as("a").join(kept.as("b"),
+      col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+  }
+
+  // 9-hex-char md5 prefix as an integer (the simhash per-digit idiom,
+  // horner-ed across 9 digits)
+  private def hex9Sql(h: String): String =
+    (0 until 9).map { j =>
+      s"(instr('0123456789abcdef', substr($h, ${j + 1}, 1)) - 1) * ${1L << (4 * (8 - j))}"
+    }.mkString("(", " + ", ")")
+
+  private val winnowSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $corpusSql),
+       |g AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |         ${hex9Sql(s"md5(array_to_string(toks[i:i+${WinnowK - 1}], ' '))")}
+       |           * $WinnowShift + (${WinnowShift - 1} - (i - 1)) AS code
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${WinnowK - 1})) AS i
+       |        FROM t WHERE len(toks) >= $WinnowK)),
+       |sel AS (
+       |  SELECT DISTINCT doc_id, wmin // $WinnowShift AS fp FROM (
+       |    SELECT doc_id, pos,
+       |           min(code) OVER (PARTITION BY doc_id ORDER BY pos
+       |             ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wmin,
+       |           count(*) OVER (PARTITION BY doc_id) AS n
+       |    FROM g) WHERE pos <= greatest(n - $WinnowW, 0)),
+       |rare AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= $WinnowDfCap),
+       |k AS (SELECT s.doc_id, s.fp FROM sel s JOIN rare USING (fp))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared
+       |FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_dedup_winnow" -> winnow,
     "q_dedup_minhash_groups" -> minhashGroups,
     "q_dedup_exact" -> exact,
     "q_dedup_minhash" -> minhash,
@@ -646,6 +727,7 @@ object DedupQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_winnow" -> winnowSql,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper, count(*) AS n
         |FROM (SELECT doc_id, text FROM documents

@@ -456,7 +456,85 @@ object ExtendedQueries {
           "greatest(CAST(n AS DECIMAL(38,0))*n*n - n, 1) AS BIGINT)").as("rho_bp"))
   }
 
+  // ---- two-sample Kolmogorov–Smirnov drift per source ----
+  // Distribution-shift monitoring for a corpus assembled from many
+  // sources: for each source, the two-sample KS statistic between its
+  // doc-length distribution and the rest of the corpus,
+  // D = max_x |F_s(x) − F_rest(x)| — the standard drift alarm a 100 TB
+  // ingest pipeline runs per-source per-batch.
+  //
+  // Exact integer formulation: D's numerator is evaluated at every
+  // observed length x (a step function attains its max at jump points)
+  // as |cum_s(x)·n_rest − cum_rest(x)·n_s| — cross-multiplied so no
+  // division happens before the final basis points. Products reach N²
+  // (past BIGINT at ~3e9 docs), so they widen through
+  // DECIMAL(38,0)/HUGEINT and only ks_bp casts back — the q_rank_corr
+  // widening rule.
+  //
+  // Scale shape: the evaluation grid is |sources| × |distinct lengths| —
+  // VALUE-DOMAIN bounded (lengths are bounded by the max doc size),
+  // independent of corpus row count; the per-source cumulative counts
+  // ride `Ordinals.prefixSum`'s adaptive gate, so a degenerate domain
+  // (millions of distinct lengths in O(10) source groups) takes the
+  // range-partitioned two-level form instead of funneling.
+  private val ksDriftQ: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("source"), col("n_chars"))
+    val xs = docs.select(col("n_chars").as("x")).distinct()
+    val srcs = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val tot = docs.agg(count(lit(1)).as("n"))
+    val c = docs.groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+      .withColumnRenamed("n_chars", "x")
+    val grid = xs.crossJoin(broadcast(srcs.select(col("source"))))
+      .join(c, Seq("source", "x"), "left")
+      .select(col("source"), col("x"), coalesce(col("c"), lit(0L)).as("c"))
+    val cumS = Ordinals.prefixSum(grid, "source", "x", "c", "cum_s")
+    val cx = docs.groupBy(col("n_chars").as("x")).agg(count(lit(1)).as("ca"))
+      .withColumn("_g", pmod(col("x"), lit(1L)))
+    val cumAll = Ordinals.prefixSum(cx, "_g", "x", "ca", "cum_all")
+      .select(col("x"), col("cum_all"))
+    cumS.join(cumAll, Seq("x"))
+      .join(broadcast(srcs), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("diff", expr(
+        "abs(CAST(cum_s AS DECIMAL(38,0)) * (n - n_s) " +
+          "- CAST(cum_all - cum_s AS DECIMAL(38,0)) * n_s)"))
+      .groupBy("source", "n_s", "n")
+      .agg(max(col("diff")).as("dmax"))
+      .select(col("source"), col("n_s"), expr(
+        "CAST((dmax * 10000) DIV greatest(CAST(n_s AS DECIMAL(38,0)) * (n - n_s), 1) AS BIGINT)")
+        .as("ks_bp"))
+  }
+
+  private val ksDriftSql: String =
+    """WITH xs AS (SELECT DISTINCT n_chars AS x FROM documents),
+      |srcs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |c AS (SELECT source, n_chars AS x, CAST(count(*) AS BIGINT) AS c
+      |      FROM documents GROUP BY source, n_chars),
+      |grid AS (
+      |  SELECT s.source, xs.x, coalesce(c.c, 0) AS c
+      |  FROM xs CROSS JOIN srcs s
+      |  LEFT JOIN c ON c.source = s.source AND c.x = xs.x),
+      |cum AS (
+      |  SELECT source, x, CAST(sum(c) OVER (PARTITION BY source ORDER BY x
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_s
+      |  FROM grid),
+      |ca AS (
+      |  SELECT x, CAST(sum(ca) OVER (ORDER BY x
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_all
+      |  FROM (SELECT n_chars AS x, CAST(count(*) AS BIGINT) AS ca
+      |        FROM documents GROUP BY n_chars))
+      |SELECT source, n_s,
+      |       CAST((max(abs(CAST(cum_s AS HUGEINT) * (n - n_s)
+      |              - CAST(cum_all - cum_s AS HUGEINT) * n_s)) * 10000)
+      |         // greatest(CAST(n_s AS HUGEINT) * (n - n_s), 1) AS BIGINT) AS ks_bp
+      |FROM cum
+      |JOIN ca USING (x) JOIN srcs USING (source) CROSS JOIN tot
+      |GROUP BY source, n_s, n""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_ks_drift" -> ksDriftQ,
     "q_outliers_mad" -> madQ,
     "q_rank_corr" -> rankCorrQ,
     "q_profile" -> profileQ,
@@ -477,6 +555,7 @@ object ExtendedQueries {
     "q_bucketed_join" -> bucketedQ)
 
   val oracle: Map[String, String] = Map(
+    "q_ks_drift" -> ksDriftSql,
     "q_outliers_mad" ->
       """WITH e AS (SELECT event_id, event_type, value FROM events),
         |ranked AS (SELECT event_id, event_type, value,

@@ -212,6 +212,54 @@ class CurationOpsSpec extends SparkSpec {
       s"recall outside the plausible S-curve band: $r")
   }
 
+  test("winnow: planted near-dups are paired, pairs share real fingerprints") {
+    val rows = SparkEntry.queries("q_dedup_winnow")(spark, sf).collect()
+    Scratch.release(spark)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Long]("shared") >= 2L)
+    }
+    // the dedup corpus plants doc_id+100000 (first token dropped) — a
+    // shared suffix far longer than the w+k−1 = 6-token winnowing
+    // guarantee, so the overwhelming majority must be paired (a doc can
+    // escape only when its suffix fingerprints are df-capped away)
+    val pairs = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val docs = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0))
+    val found = docs.count(id => pairs((id, id + 100000L)))
+    assert(found * 10 >= docs.length * 9,
+      s"only $found/${docs.length} planted winnow pairs found")
+  }
+
+  test("ks drift: bounds, one row per source, and a planted shift is detected") {
+    val rows = SparkEntry.queries("q_ks_drift")(spark, sf).collect()
+    Scratch.release(spark)
+    val nSrc = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(rows.length == nSrc)
+    rows.foreach { r =>
+      val ks = r.getAs[Long]("ks_bp")
+      assert(ks >= 0L && ks <= 10000L, s"ks_bp out of [0,1]: $r")
+    }
+    // same generator for every source ⇒ no source should look like a
+    // different distribution (KS well below the rejection region)
+    assert(rows.forall(_.getAs[Long]("ks_bp") < 5000L))
+    // sanity of the statistic itself on a planted shift: doubling one
+    // source's lengths must push ITS ks far above the undrifted ones
+    val docs = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.expr(
+          "CASE WHEN source = 'src0' THEN n_chars * 2 ELSE n_chars END").as("n_chars"))
+    val dir = java.nio.file.Files.createTempDirectory("ks_drift").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val drifted = SparkEntry.queries("q_ks_drift")(spark, dir).collect()
+    Scratch.release(spark)
+    val m = drifted.map(r => r.getAs[String]("source") -> r.getAs[Long]("ks_bp")).toMap
+    val rest = m.filterNot(_._1 == "src0").values
+    assert(m("src0") > 2L * rest.max,
+      s"planted drift not separated: src0=${m("src0")} max-rest=${rest.max}")
+  }
+
   test("mix upsample: every doc's copy count follows the integer epoch formula") {
     val rows = SparkEntry.queries("q_mix_upsample")(spark, sf).collect()
     Scratch.release(spark)
