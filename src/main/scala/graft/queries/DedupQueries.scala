@@ -680,7 +680,89 @@ object DedupQueries {
        |FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2""".stripMargin
 
+  // ---- tf-idf weighted cosine similarity (CCNet-style lexical) ----
+  // The weighted complement to binary n-gram Jaccard, composed the way
+  // production near-dup pipelines actually run: CANDIDATES from the
+  // proven MinHash-LSH band join (a rare-UNIGRAM index finds nothing —
+  // unigram df is high everywhere; shingle-based LSH is the published
+  // candidate generator), then each candidate pair VERIFIED by the
+  // weighted cosine of integer tf-idf vectors — exact-integer
+  // dot/norms, ONE final IEEE expression (the q_dedup_embed/NSW cosine
+  // rule: integer sums → dot/sqrt(na·nb) → round 6 → +0.0).
+  //
+  // Both weight factors are CAPPED (tf at 100, idf_c at 1e6), so
+  // w ≤ 1e8 independent of corpus size — wa·wb ≤ 1e16 always fits
+  // BIGINT and only the per-pair SUMS widen through DECIMAL(38,0)/
+  // HUGEINT (Σ over up to a doc's distinct tokens reaches 1e20).
+  // tf saturation is standard lexical-similarity practice (BM25's tf
+  // ceiling); the idf cap bounds the rarest-token weight the same way
+  // the BM25 idf floor bounds the commonest.
+  private val TfIdfCosMin = 0.90
+
+  private val tfidfCos: Q = (s, d) => {
+    // (doc_id, tok, w) persisted — consumed by the norms and both legs
+    // of the candidate-pair scoring join
+    val c = corpus(s, d)
+    val nd = c.agg(count(lit(1)).as("nd"))
+    val terms0 = c.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = terms0.groupBy("tok").agg(count(lit(1)).as("df"))
+    val terms = graft.Scratch.persist(
+      terms0.join(df, Seq("tok")).crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("tok"),
+          expr("least(tf, 100) * least((nd * 100) DIV df, 1000000)").as("w")))
+    val ssq = terms.groupBy("doc_id")
+      .agg(sum(expr("CAST(w AS DECIMAL(38,0)) * w")).as("ssq"))
+    val cand = minhash(s, d)
+    val dot = cand
+      .join(terms.select(col("doc_id").as("doc_a"), col("tok"), col("w").as("wa")),
+        Seq("doc_a"))
+      .join(terms.select(col("doc_id").as("doc_b"), col("tok"), col("w").as("wb")),
+        Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(expr("CAST(wa AS DECIMAL(38,0)) * wb")).as("dot"))
+    dot.join(ssq.select(col("doc_id").as("doc_a"), col("ssq").as("sa")), Seq("doc_a"))
+      .join(ssq.select(col("doc_id").as("doc_b"), col("ssq").as("sb")), Seq("doc_b"))
+      .withColumn("cos", expr(
+        "round(CAST(dot AS DOUBLE) / sqrt(CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)), 6) + 0.0"))
+      .filter(col("cos") >= TfIdfCosMin)
+      .select("doc_a", "doc_b", "cos")
+  }
+
+  // def, not val: references minhashSql, declared LATER in this object —
+  // a val would capture null at initialization order
+  private def tfidfCosSql: String =
+    s"""WITH t0 AS (
+       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $corpusSql)
+       |  GROUP BY doc_id, tok),
+       |dfx AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM t0 GROUP BY tok),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM $corpusSql),
+       |terms AS MATERIALIZED (
+       |  SELECT doc_id, tok,
+       |         least(tf, 100) * least((nd * 100) // df, 1000000) AS w
+       |  FROM t0 JOIN dfx USING (tok) CROSS JOIN nd),
+       |ssq AS (SELECT doc_id, CAST(sum(CAST(w AS HUGEINT) * w) AS HUGEINT) AS ssq
+       |        FROM terms GROUP BY doc_id),
+       |cand AS MATERIALIZED ($minhashSql),
+       |ca AS MATERIALIZED (
+       |  SELECT c.doc_a, c.doc_b, t.tok, t.w AS wa
+       |  FROM cand c JOIN terms t ON t.doc_id = c.doc_a),
+       |dot AS (
+       |  SELECT ca.doc_a, ca.doc_b, CAST(sum(CAST(ca.wa AS HUGEINT) * tb.w) AS HUGEINT) AS dot
+       |  FROM ca
+       |  JOIN terms tb ON tb.doc_id = ca.doc_b AND tb.tok = ca.tok
+       |  GROUP BY ca.doc_a, ca.doc_b)
+       |SELECT doc_a, doc_b, cos FROM (
+       |  SELECT d.doc_a, d.doc_b,
+       |         round(CAST(d.dot AS DOUBLE) / sqrt(CAST(sa.ssq AS DOUBLE) * CAST(sb.ssq AS DOUBLE)), 6) + 0.0 AS cos
+       |  FROM dot d
+       |  JOIN ssq sa ON sa.doc_id = d.doc_a
+       |  JOIN ssq sb ON sb.doc_id = d.doc_b)
+       |WHERE cos >= $TfIdfCosMin""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_doc_sim_tfidf" -> tfidfCos,
     "q_dedup_winnow" -> winnow,
     "q_dedup_minhash_groups" -> minhashGroups,
     "q_dedup_exact" -> exact,
@@ -727,6 +809,7 @@ object DedupQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_doc_sim_tfidf" -> tfidfCosSql,
     "q_dedup_winnow" -> winnowSql,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper, count(*) AS n

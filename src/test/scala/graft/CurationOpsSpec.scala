@@ -232,6 +232,28 @@ class CurationOpsSpec extends SparkSpec {
       s"only $found/${docs.length} planted winnow pairs found")
   }
 
+  test("tfidf cosine: planted near-dups score near 1, scores bounded, pairs canonical") {
+    val rows = SparkEntry.queries("q_doc_sim_tfidf")(spark, sf).collect()
+    Scratch.release(spark)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val c = r.getAs[Double]("cos")
+      assert(c >= 0.90 && c <= 1.000001, s"cos out of range: $r")
+    }
+    // planted mutations drop one token of ~dozens — weighted cosine of
+    // the pair must be very high, and most planted pairs must survive
+    // both the LSH candidate stage and the 0.90 verify threshold
+    val planted = rows.filter(r =>
+      r.getAs[Long]("doc_b") == r.getAs[Long]("doc_a") + 100000L)
+    assert(planted.length * 10 >= 500 * 8, s"only ${planted.length}/500 planted pairs scored")
+    // a short doc can lose a high-idf token to the mutation, so the
+    // floor is the output threshold; the bulk must still score ≥0.97
+    val high = planted.count(_.getAs[Double]("cos") >= 0.97)
+    assert(high * 10 >= planted.length * 7,
+      s"only $high/${planted.length} planted pairs scored >= 0.97")
+  }
+
   test("ks drift: bounds, one row per source, and a planted shift is detected") {
     val rows = SparkEntry.queries("q_ks_drift")(spark, sf).collect()
     Scratch.release(spark)
