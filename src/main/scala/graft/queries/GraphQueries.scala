@@ -222,6 +222,70 @@ object GraphQueries {
 
   private val o51: Q = (s, d) => built(s, d).labels
 
+  /** Prototype-distance data pruning (Sorscher et al. 2022, "Beyond
+    * neural scaling laws"): rank every vector by its squared distance to
+    * its assigned cluster centroid (in the SAME scaled space the o51
+    * build uses) and keep the HARDEST half of each cluster — the
+    * published self-supervised pruning rule for abundant data (easy,
+    * prototypical examples go first). Rides the build_graph_tree memo:
+    * labels + scaling stats + centroids come from the already-built
+    * KMeans, the twin replays scaling/assignment/distance from the SAME
+    * stats+centroid exports the o51 oracle reads.
+    *
+    * Determinism: d2 is an index-order float fold on identical scaled
+    * inputs (the fold ≡ list_sum precedent), ranking ties break on
+    * vec_id, and the keep rule is integer (rk ≤ ⌈n_c/2⌉). The rank rides
+    * `Ordinals.rankAndCount`'s adaptive gate — cluster count is bounded
+    * (≤800 by the two-level contract) while cluster SIZE grows with the
+    * corpus, exactly the skewed-group shape the ordinal branch bounds.
+    */
+  private val prune: Q = (s, d) => {
+    val bt = built(s, d)
+    val sp = s
+    import sp.implicits._
+    val cents = bt.centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+      .select(col("cluster"), col("centroid").cast("array<double>").as("centroid"))
+    val scaled = Tables.embeddings(s, d).select(col("vec_id"),
+      GraphBuild.scaleWith(bt.scaleStats, "embedding").as("se"))
+    val d2c = bt.labels.join(scaled, "vec_id")
+      .join(broadcast(cents), Seq("cluster"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(se, centroid, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"))
+    graft.operators.Ordinals.rankAndCount(
+      d2c.select(col("vec_id"), col("cluster"), col("d2")),
+      "cluster", Seq(col("d2").desc, col("vec_id")), "rk", Some("n_c"))
+      .filter(expr("rk <= (n_c + 1) DIV 2"))
+      .select(col("vec_id"), col("cluster"),
+        (round(col("d2"), 6) + lit(0.0)).as("d2"), col("rk"))
+  }
+
+  private def pruneSql: String =
+    s"""WITH sv AS (
+       |  SELECT list(mu ORDER BY dim) AS mus, list(sigma ORDER BY dim) AS sigmas
+       |  FROM '$kmeansStatsPath/*.parquet'),
+       |cents AS (SELECT cluster, centroid FROM '$kmeansCentsPath/*.parquet'),
+       |scaled AS (
+       |  SELECT e.vec_id,
+       |         list_transform(generate_series(1, len(e.embedding)),
+       |           i -> (CAST(e.embedding[i] AS DOUBLE) - sv.mus[i]) / sv.sigmas[i]) AS se
+       |  FROM embeddings e CROSS JOIN sv),
+       |scored AS (
+       |  SELECT s.vec_id, c.cluster,
+       |         list_sum(list_transform(generate_series(1, len(s.se)),
+       |           i -> (s.se[i]-c.centroid[i])*(s.se[i]-c.centroid[i]))) AS d2
+       |  FROM scaled s CROSS JOIN cents c),
+       |asg AS (SELECT vec_id, cluster, d2 FROM (
+       |  SELECT vec_id, cluster, d2,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS ark
+       |  FROM scored) WHERE ark = 1),
+       |rk AS (SELECT vec_id, cluster, d2,
+       |         CAST(row_number() OVER (PARTITION BY cluster ORDER BY d2 DESC, vec_id) AS BIGINT) AS rk,
+       |         CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_c
+       |       FROM asg)
+       |SELECT vec_id, cluster, round(d2, 6) + 0.0 AS d2, rk
+       |FROM rk WHERE rk <= (n_c + 1) // 2""".stripMargin
+
   /** O-52's core, oracle-checked (r13): the Ward merge SEQUENCE over the
     * exported micro-cluster centroids — (step, slotA, slotB, height,
     * size) for each of the k−1 agglomerations. The DuckDB twin replays
@@ -369,6 +433,7 @@ object GraphQueries {
     "q_serve_children_pruned" -> e2Pruned,
     "q_serve_movie_e3" -> e3,
     "o51_kmeans" -> o51,
+    "q_prune_prototypes" -> prune,
     "q_ward_dendrogram" -> wardDendro,
     "q_graph_build" -> build,
     "q_graph_children" -> buildChildren)
@@ -395,6 +460,7 @@ object GraphQueries {
         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         |  WHERE d.doc_id < 10)""".stripMargin,
     "q_graph_children" -> buildChildrenSql,
+    "q_prune_prototypes" -> pruneSql,
     // o51 replay over the stats + centroid exports (r13): scaling and
     // assignment mirror GraphBuild.scaleWith + AnnIvf.assignNearestArr
     // EXACTLY — (CAST(x AS DOUBLE) − mu) / sigma per dim, squared-L2 in

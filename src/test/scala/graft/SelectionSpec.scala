@@ -65,6 +65,31 @@ class SelectionSpec extends SparkSpec {
     }
   }
 
+  test("prototype pruning: keeps exactly the hardest half of every cluster") {
+    val rows = SparkEntry.queries("q_prune_prototypes")(spark, sf).collect()
+    Scratch.release(spark)
+    assert(rows.nonEmpty)
+    val labels = SparkEntry.queries("o51_kmeans")(spark, sf).collect()
+    val sizes = labels.groupBy(_.getAs[Int]("cluster")).view.mapValues(_.length).toMap
+    val kept = rows.groupBy(_.getAs[Int]("cluster")).view.mapValues(_.length).toMap
+    // every cluster is represented and keeps exactly ceil(n_c / 2)
+    assert(kept.keySet == sizes.keySet)
+    kept.foreach { case (c, k) =>
+      assert(k == (sizes(c) + 1) / 2, s"cluster $c kept $k of ${sizes(c)}")
+    }
+    // within a cluster, rank order is hardest-first: d2 non-increasing
+    rows.groupBy(_.getAs[Int]("cluster")).values.foreach { g =>
+      val byRank = g.sortBy(_.getAs[Long]("rk"))
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("d2") >= b.getAs[Double]("d2") ||
+            (a.getAs[Double]("d2") == b.getAs[Double]("d2")),
+            s"rank order broken in cluster: $a -> $b")
+        case _ =>
+      }
+    }
+  }
+
   test("communities: planted near-dup pairs land in one community; labels are node ids") {
     val rows = SparkEntry.queries("q_graph_communities")(spark, sf).collect()
     Scratch.release(spark)
