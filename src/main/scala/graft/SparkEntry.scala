@@ -98,7 +98,7 @@ object SparkEntry {
     "build_bm25_index" -> Set("q_bm25_topk", "q_hybrid_retrieval",
       "q_hybrid_retrieval_ivf"),
     "build_bpe_model" -> Set("q_tokenize_bpe", "q_bpe_terms",
-      "q_pack_sequences_bpe", "q_token_windows_bpe"),
+      "q_bpe_fertility", "q_pack_sequences_bpe", "q_token_windows_bpe"),
     "build_e1_model" -> Set("q_e1_pipeline", "q_e1_features"),
     "build_pagerank_edges" -> Set("q_graph_pagerank"))
 

@@ -143,6 +143,27 @@ object BpeQueries {
       .groupBy("tok").agg(sum(col("wc")).as("n"))
       .orderBy(col("n").desc, col("tok")).limit(30)
 
+  /** q_bpe_fertility: per-language tokenizer fertility — BPE tokens per
+    * word in basis points, the standard tokenizer-efficiency eval (a
+    * language whose words fragment into many subwords pays more compute
+    * per word; multilingual tokenizer papers report exactly this ratio).
+    * Factors through the same distinct-word encode table as every BPE
+    * query (encode once per distinct word, weight by counts); per-lang
+    * word counts are one map-side-combined aggregation.
+    */
+  private val bpeFertility: Q = (s, d) => {
+    val lw = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("lang", "w").agg(count(lit(1)).as("wf"))
+    lw.join(model(s, d).wordToks.select("w", "n_tok"), Seq("w"))
+      .groupBy("lang")
+      .agg(sum(col("wf")).as("n_words"),
+        sum(col("wf") * col("n_tok")).as("n_tokens_bpe"))
+      .select(col("lang"), col("n_words"), col("n_tokens_bpe"),
+        expr("(n_tokens_bpe * 10000) DIV n_words").as("fertility_bp"))
+  }
+
   /** q_pack_sequences_bpe: q_pack_sequences' interval-intersection
     * packing, but budgeted in BPE tokens — the units a trainer packs
     * by. Same adaptive prefix sum; docs tokenizing to 0 BPE tokens are
@@ -258,6 +279,7 @@ object BpeQueries {
 
   val queries: Map[String, Q] = Map(
     "q_tokenize_bpe" -> tokenizeBpe,
+    "q_bpe_fertility" -> bpeFertility,
     "q_bpe_terms" -> bpeTerms,
     "q_pack_sequences_bpe" -> packSeqBpe,
     "q_token_windows_bpe" -> tokenWindowsBpe)
@@ -269,6 +291,17 @@ object BpeQueries {
          |       CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
          |       CAST(coalesce(p.n_tokens_bpe, 0) AS BIGINT) AS n_tokens_bpe
          |FROM documents d LEFT JOIN perdoc p USING (doc_id)""".stripMargin,
+    "q_bpe_fertility" ->
+      s"""WITH RECURSIVE $bpeCtes,
+         |lw AS (
+         |  SELECT lang, tok AS w, CAST(count(*) AS BIGINT) AS wf FROM (
+         |    SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  WHERE tok <> '' GROUP BY lang, tok)
+         |SELECT lang, n_words, n_tokens_bpe,
+         |       (n_tokens_bpe * 10000) // n_words AS fertility_bp
+         |FROM (SELECT lang, CAST(sum(wf) AS BIGINT) AS n_words,
+         |             CAST(sum(wf * wt.n_tok) AS BIGINT) AS n_tokens_bpe
+         |      FROM lw JOIN wordtok wt USING (w) GROUP BY lang)""".stripMargin,
     "q_bpe_terms" ->
       s"""WITH RECURSIVE $bpeCtes,
          |wcounts AS (

@@ -90,6 +90,21 @@ class BpeQueryInvariantSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
   private def q(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("bpe_fertility: >= 1 token per word, totals agree with tokenize_bpe") {
+    val f = q("q_bpe_fertility").collect()
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      assert(r.getAs[Long]("fertility_bp") >= 10000L,
+        s"a word encoded to <1 token: $r") // every word is >=1 subword
+      assert(r.getAs[Long]("n_tokens_bpe") >= r.getAs[Long]("n_words"))
+    }
+    // the per-lang totals partition the per-doc totals exactly
+    val perDoc = q("q_tokenize_bpe").agg(
+      sum(col("n_words")), sum(col("n_tokens_bpe"))).head()
+    assert(f.map(_.getAs[Long]("n_words")).sum == perDoc.getLong(0))
+    assert(f.map(_.getAs[Long]("n_tokens_bpe")).sum == perDoc.getLong(1))
+  }
+
   test("token_windows_bpe: window geometry matches tokenize_bpe counts") {
     val counts = q("q_tokenize_bpe").select(col("doc_id"), col("n_tokens_bpe"))
     val win = q("q_token_windows_bpe")
