@@ -246,10 +246,10 @@ object GraphAnalyticsQueries {
          |          FROM g e JOIN l${i - 1} l ON l.node = e.b
          |          GROUP BY e.a, l.label)) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (${DedupQueries.minhashSql}),
+    s"""WITH pairs AS MATERIALIZED (${DedupQueries.minhashSql}),
        |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
        |        UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
-       |g AS (SELECT a, b FROM und
+       |g AS MATERIALIZED (SELECT a, b FROM und
        |      UNION ALL SELECT DISTINCT a, a AS b FROM und),
        |l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
        |$chain
