@@ -76,10 +76,11 @@ object Multimodal {
       bos.toByteArray
     }
 
-    /** Inflate + parse. Throws on malformed input — a decode error is a
-      * data error, not a feature.
+    /** Inflated bytes + parsed header: (raw, width, height, pixel-plane
+      * offset, original content length). Shared by [[decode]] and
+      * [[resize]].
       */
-    def decode(payload: Array[Byte]): Decoded = {
+    private def parse(payload: Array[Byte]): (Array[Byte], Int, Int, Int, Int) = {
       val in = new GZIPInputStream(new ByteArrayInputStream(payload))
       val raw = in.readAllBytes()
       in.close()
@@ -112,11 +113,50 @@ object Multimodal {
       val nBytes = w * h * Channels
       require(raw.length - pos == nBytes,
         s"pixel plane ${raw.length - pos} B, expected $nBytes B")
-      val contentLen = if (commentLen >= 0) commentLen else nBytes
+      (raw, w, h, pos, if (commentLen >= 0) commentLen else nBytes)
+    }
+
+    /** Inflate + parse. Throws on malformed input — a decode error is a
+      * data error, not a feature.
+      */
+    def decode(payload: Array[Byte]): Decoded = {
+      val (raw, w, h, pos, contentLen) = parse(payload)
       digest.reset()
       digest.update(raw, pos, contentLen) // pad stripped via header len
       val md5 = digest.digest().map("%02x".format(_)).mkString
-      Decoded(w, h, Channels, nBytes, md5)
+      Decoded(w, h, Channels, w * h * Channels, md5)
+    }
+
+    /** Nearest-neighbor downsample by `stride` in BOTH pixel dimensions
+      * (keep rows r ≡ 0 and pixel columns c ≡ 0 mod stride) over the
+      * REAL decoded plane — the resize verb of the multimodal brief.
+      * Returns (outW, outH, outBytes, checksum) where checksum = Σ of
+      * the kept pixels' byte values (unsigned, exact BIGINT — ≤ 255·n).
+      * Padding bytes are zero, so the checksum equals the same sum over
+      * the kept CONTENT bytes — which is why the DuckDB twin can replay
+      * it from the source text by pure integer arithmetic (ASCII corpus:
+      * UTF-8 byte == code point).
+      */
+    def resize(payload: Array[Byte], stride: Int): (Long, Long, Long, Long) = {
+      val (raw, w, h, pos, _) = parse(payload)
+      var checksum = 0L
+      var r = 0
+      while (r < h) {
+        var c = 0
+        while (c < w) {
+          val base = pos + (r * w + c) * Channels
+          var ch = 0
+          while (ch < Channels) {
+            checksum += (raw(base + ch) & 0xff).toLong
+            ch += 1
+          }
+          c += stride
+        }
+        r += stride
+      }
+      val outW = (w + stride - 1).toLong / stride
+      val outH = (h + stride - 1).toLong / stride
+      (outW, outH, outW * outH * Channels, checksum)
     }
 
     def close(): Unit = ()
@@ -164,6 +204,33 @@ object Multimodal {
         }
       }
       out // iterator; codec lives for the partition lifetime
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  private val resizedSchema = StructType(Seq(
+    StructField("out_width", LongType, nullable = false),
+    StructField("out_height", LongType, nullable = false),
+    StructField("out_bytes", LongType, nullable = false),
+    StructField("checksum", LongType, nullable = false)))
+
+  /** Appends a `resized` feature struct: geometry + checksum of the
+    * stride-downsampled plane (see [[PpmGzCodec.resize]]). Same
+    * partition-handle lifecycle as [[decodeFeatures]].
+    */
+  def resizeFeatures(df: DataFrame, payloadCol: String,
+      stride: Int, batchSize: Int = 16): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("resized", resizedSchema, nullable = false))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      val codec = new PpmGzCodec
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val (ow, oh, ob, ck) = codec.resize(r.getAs[Array[Byte]](idx), stride)
+          Row.fromSeq(r.toSeq :+ Row(ow, oh, ob, ck))
+        }
+      }
     }
     df.sparkSession.createDataFrame(rdd, schema)
   }

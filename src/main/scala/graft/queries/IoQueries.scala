@@ -445,6 +445,25 @@ object IoQueries {
         col("decoded.n_bytes").as("n_bytes"),
         col("decoded.content_md5").as("content_md5"))
 
+  /** The RESIZE verb of the multimodal brief (decode / feature-extract /
+    * resize / frame-sample): nearest-neighbor stride-2 downsample of the
+    * real decoded pixel plane inside the partition-handle codec. The
+    * checksum sums the KEPT pixels' byte values — padding is zero, so
+    * the twin replays it from the source text with pure integer
+    * arithmetic (ASCII corpus ⇒ UTF-8 byte == code point), and any
+    * resize indexing bug (wrong row stride, off-by-one in the kept
+    * columns, pad mishandling) flips the hash.
+    */
+  private val mmResize: Q = (s, d) =>
+    graft.operators.Multimodal.resizeFeatures(
+      graft.operators.Multimodal.encodePayloads(
+        Tables.documents(s, d).select(col("doc_id"), col("text")), "text"),
+      "payload", stride = 2)
+      .select(col("doc_id"), col("resized.out_width").as("out_width"),
+        col("resized.out_height").as("out_height"),
+        col("resized.out_bytes").as("out_bytes"),
+        col("resized.checksum").as("checksum"))
+
   /** Parquet sink + small-file compaction round trip: the engine's own
     * storage format was the one sink without a declared write path. The
     * write coalesces to 2 files — the compaction shape for the
@@ -470,6 +489,7 @@ object IoQueries {
     "q_e1_pipeline" -> e1,
     "q_e1_features" -> e1Features,
     "q_multimodal_decode" -> mmDecode,
+    "q_multimodal_resize" -> mmResize,
     "o02_wholefile_roundtrip" -> wholefile,
     "o03_csv_roundtrip" -> csv,
     "q_json_roundtrip" -> jsonRt,
@@ -574,6 +594,23 @@ object IoQueries {
         |       CAST(48 * greatest(1, (octet_length(encode(text)) + 47) // 48) AS BIGINT) AS n_bytes,
         |       md5(text) AS content_md5
         |FROM documents""".stripMargin,
+    // q_multimodal_resize twin: kept-pixel byte sum replayed from the
+    // text — position i (0-based) of the padded plane is kept iff its
+    // pixel row (i // 48) and pixel column ((i % 48) // 3) are both
+    // even; padding bytes are zero so only i < len contribute. The
+    // greatest(len, 1) keeps empty docs in the frame (checksum 0).
+    "q_multimodal_resize" ->
+      """SELECT doc_id, CAST(8 AS BIGINT) AS out_width,
+        |       CAST((h + 1) // 2 AS BIGINT) AS out_height,
+        |       CAST(((h + 1) // 2) * 24 AS BIGINT) AS out_bytes,
+        |       CAST(coalesce(sum(CASE WHEN (i // 48) % 2 = 0 AND ((i % 48) // 3) % 2 = 0
+        |              AND i < octet_length(encode(text))
+        |            THEN unicode(substr(text, CAST(i + 1 AS INT), 1)) ELSE 0 END), 0) AS BIGINT) AS checksum
+        |FROM (SELECT doc_id, text,
+        |             greatest(1, (octet_length(encode(text)) + 47) // 48) AS h,
+        |             unnest(generate_series(0, greatest(octet_length(encode(text)), 1) - 1)) AS i
+        |      FROM documents)
+        |GROUP BY doc_id, h""".stripMargin,
     "q_graphx_depth" -> {
       val o07Sql = GraphQueries.oracle("o07_graph_ids")
       s"SELECT id, CAST(len(string_split(path, '.')) - 1 AS BIGINT) AS depth_pregel FROM ($o07Sql)"

@@ -109,6 +109,26 @@ class VectorOpsSpec extends SparkSpec {
       "ordinal order must follow the sort key")
   }
 
+  test("multimodal resize: stride-2 keeps exactly the even rows/columns") {
+    import graft.operators.Multimodal
+    val codec = new Multimodal.PpmGzCodec
+    // 100 bytes → 3 pixel rows (48/48/4+pad); stride 2 keeps rows 0,2
+    // and pixel columns 0,2,..,14 (8 of 16)
+    val content = Array.tabulate[Byte](100)(i => (i + 1).toByte)
+    val (ow, oh, ob, ck) = codec.resize(codec.encode(content), 2)
+    assert((ow, oh, ob) == (8L, 2L, 48L))
+    // reference: padded plane, keep (row % 2 == 0) && (pixelcol % 2 == 0)
+    val plane = content ++ new Array[Byte](3 * 48 - 100)
+    val expect = plane.zipWithIndex.collect {
+      case (b, i) if (i / 48) % 2 == 0 && ((i % 48) / 3) % 2 == 0 => (b & 0xff).toLong
+    }.sum
+    assert(ck == expect, s"checksum $ck != $expect")
+    // identity stride keeps everything: checksum == sum of all bytes
+    val (ow1, oh1, _, ck1) = codec.resize(codec.encode(content), 1)
+    assert((ow1, oh1) == (16L, 3L))
+    assert(ck1 == content.map(_ & 0xff).map(_.toLong).sum)
+  }
+
   test("multimodal codec: gzip'd PPM round-trips geometry, digest, pad") {
     import graft.operators.Multimodal
     // one short doc (sub-row, padded), one spanning many pixel rows
