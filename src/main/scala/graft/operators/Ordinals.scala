@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr, lit, max, min, row_number, sum}
-import org.apache.spark.sql.types.{LongType, StructField}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructField}
 
 /** Scale-safe global ordinals.
   *
@@ -62,7 +62,26 @@ object Ordinals {
       val w = Window.partitionBy(col(part)).orderBy(col(ord))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       df.withColumn(name, sum(col(valueCol)).over(w))
-    } else bucketedPrefixSum(graft.Scratch.persist(df), part, ord, valueCol, name)
+    } else {
+      // bucketedPrefixSum's bucket key is `ord DIV bucketSize`, so it
+      // needs a non-negative integral ord. A non-integral order key
+      // (e.g. q_token_budget's (-quality_bp, doc_id) struct) is first
+      // ordinal-ized under (part, ord) — the global ordinal is positive,
+      // unique, and ascends with ord within every part, so the bucketed
+      // sum over it is the identical prefix sum. Caught by the 100×
+      // rehearsal: the struct ord hit the gate only past 64k rows.
+      val integral = df.schema(ord).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+      if (integral)
+        bucketedPrefixSum(graft.Scratch.persist(df), part, ord, valueCol, name)
+      else
+        bucketedPrefixSum(
+          graft.Scratch.persist(
+            withGlobalOrdinal(df, "_psord", col(part), col(ord))),
+          part, "_psord", valueCol, name).drop("_psord")
+    }
   }
 
   /** Adaptive per-group rank (VERDICT r14 #2's corpus-shape switch for

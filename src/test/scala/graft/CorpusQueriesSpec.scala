@@ -271,6 +271,32 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(wN.collect().map(keyN).sorted.toSeq === bN.collect().map(keyN).sorted.toSeq)
   }
 
+  test("adaptive prefixSum: non-integral (struct) ord is ordinal-ized past the gate") {
+    import org.apache.spark.sql.functions.{col, struct}
+    import spark.implicits._
+    // a struct order key (q_token_budget's (-quality, id) shape) cannot
+    // feed bucketedPrefixSum's `ord DIV bucket` directly — the bucketed
+    // branch must ordinal-ize it first and stay bit-identical to the
+    // window branch (caught at 100×: the gate only fires past 64k rows)
+    val rows = Seq(
+      ("a", -9L, 1L, 10L), ("a", -9L, 2L, 5L), ("a", -3L, 3L, 7L),
+      ("a", 0L, 4L, 1L), ("b", -5L, 5L, 3L), ("b", 2L, 6L, 8L),
+      (null.asInstanceOf[String], -1L, 7L, 6L))
+    val df = rows.toDF("g", "nq", "id", "v")
+      .withColumn("ord", struct(col("nq"), col("id")))
+      .select("g", "ord", "v", "id")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (Option(r.getAs[String]("g")), r.getAs[Long]("id"), r.getAs[Long]("cum"))
+    val w = graft.operators.Ordinals
+      .prefixSum(df, "g", "ord", "v", "cum", smallGroupMax = 1000L)
+    val b = graft.operators.Ordinals
+      .prefixSum(df, "g", "ord", "v", "cum", smallGroupMax = 1L)
+    assert(b.count() === rows.size.toLong)
+    assert(w.collect().map(key).sorted.toSeq === b.collect().map(key).sorted.toSeq)
+    assert(!b.columns.contains("_psord"), "helper column must not leak")
+    Scratch.release(spark)
+  }
+
   test("adaptive rankAndCount: ordinal branch is bit-identical to the window branch") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
