@@ -55,9 +55,15 @@ object Ordinals {
     * (two consumers) persists the input.
     */
   def prefixSum(df: DataFrame, part: String, ord: String,
-      valueCol: String, name: String, smallGroupMax: Long = 65536L): DataFrame = {
-    val maxGroup = df.select(col(part)).groupBy(col(part)).count()
-      .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
+      valueCol: String, name: String, smallGroupMax: Long = 65536L,
+      knownMaxGroup: Option[Long] = None): DataFrame = {
+    // callers that hold the statistic in the graft.Stats catalog pass
+    // it through and skip the gate's count job (the rankAndCount
+    // precedent). Any sound UPPER bound is safe: both branches are
+    // bit-identical, the gate is purely a physical-shape choice.
+    val maxGroup = knownMaxGroup.getOrElse(
+      df.select(col(part)).groupBy(col(part)).count()
+        .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0))
     if (maxGroup <= smallGroupMax) {
       val w = Window.partitionBy(col(part)).orderBy(col(ord))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -176,8 +176,15 @@ object BpeQueries {
       .select(col("doc_id"), col("source"),
         coalesce(col("n_tokens_bpe"), lit(0L)).as("n_tok"))
       .filter(col("n_tok") > 0)
+    // the catalog stat is over UNFILTERED documents — an upper bound on
+    // this filtered frame's max group, which is gate-safe (both branches
+    // are bit-identical; a bound can only pick the bucketed shape early)
+    val maxG = graft.Stats.scalar(s, d, "documents.source:maxGroup")(
+      Tables.documents(s, d).select(col("source")).groupBy("source").count()
+        .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0))
     graft.operators.Ordinals
-      .prefixSum(base, "source", "doc_id", "n_tok", "cum_end")
+      .prefixSum(base, "source", "doc_id", "n_tok", "cum_end",
+        knownMaxGroup = Some(maxG))
       .withColumn("cum_start", col("cum_end") - col("n_tok"))
       .withColumn("seq_id", explode(expr(
         s"sequence(cum_start DIV $PackBudget, (cum_end - 1) DIV $PackBudget)")))

@@ -488,10 +488,17 @@ object ExtendedQueries {
     val grid = xs.crossJoin(broadcast(srcs.select(col("source"))))
       .join(c, Seq("source", "x"), "left")
       .select(col("source"), col("x"), coalesce(col("c"), lit(0L)).as("c"))
-    val cumS = Ordinals.prefixSum(grid, "source", "x", "c", "cum_s")
+    // both gate stats are |distinct lengths| (every source's grid slice
+    // and the one-group cumAll frame have exactly that many rows) —
+    // catalog-memoized, skips two per-execution count jobs
+    val nx = graft.Stats.scalar(s, d, "documents.n_chars:ndistinct")(
+      Tables.documents(s, d).select("n_chars").distinct().count())
+    val cumS = Ordinals.prefixSum(grid, "source", "x", "c", "cum_s",
+      knownMaxGroup = Some(nx))
     val cx = docs.groupBy(col("n_chars").as("x")).agg(count(lit(1)).as("ca"))
       .withColumn("_g", pmod(col("x"), lit(1L)))
-    val cumAll = Ordinals.prefixSum(cx, "_g", "x", "ca", "cum_all")
+    val cumAll = Ordinals.prefixSum(cx, "_g", "x", "ca", "cum_all",
+      knownMaxGroup = Some(nx))
       .select(col("x"), col("cum_all"))
     cumS.join(cumAll, Seq("x"))
       .join(broadcast(srcs), Seq("source"))

@@ -141,8 +141,13 @@ object SelectionQueries {
     val ordered = q
       .withColumn("_g", pmod(col("doc_id"), lit(1L)))
       .withColumn("_ord", struct((-col("quality_bp")).as("nq"), col("doc_id").as("d")))
+    // gate stat (one constant group ⇒ max group = row count) from the
+    // Stats catalog — skips the per-execution count job
+    val nDocs = graft.Stats.scalar(s, d, "documents:count")(
+      Tables.documents(s, d).count())
     val cum = graft.operators.Ordinals.prefixSum(
-      ordered, "_g", "_ord", "n_tokens", "cum_toks")
+      ordered, "_g", "_ord", "n_tokens", "cum_toks",
+      knownMaxGroup = Some(nDocs))
     val budget = q.agg(expr(s"(sum(n_tokens) * $BudgetBp) DIV 10000").as("budget"))
     cum.crossJoin(broadcast(budget))
       .filter(col("cum_toks") <= col("budget"))

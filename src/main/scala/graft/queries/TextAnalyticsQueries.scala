@@ -228,14 +228,18 @@ object TextAnalyticsQueries {
   private val PackBudget = 512L
 
   private val packSeq: Q = (s, d) => {
-    // no persist here: the gate's count job prunes to the source column
-    // (never tokenizes), the window branch reads base once, and the
-    // bucketed branch persists internally for its two consumers
+    // no persist here: the gate stat comes from the catalog (same key
+    // the Spearman rank gate uses), the window branch reads base once,
+    // and the bucketed branch persists internally for its two consumers
     val base = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val maxG = graft.Stats.scalar(s, d, "documents.source:maxGroup")(
+      Tables.documents(s, d).select(col("source")).groupBy("source").count()
+        .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0))
     graft.operators.Ordinals
-      .prefixSum(base, "source", "doc_id", "n_tok", "cum_end")
+      .prefixSum(base, "source", "doc_id", "n_tok", "cum_end",
+        knownMaxGroup = Some(maxG))
       .withColumn("cum_start", col("cum_end") - col("n_tok"))
       .withColumn("seq_id", explode(expr(
         s"sequence(cum_start DIV $PackBudget, (cum_end - 1) DIV $PackBudget)")))
