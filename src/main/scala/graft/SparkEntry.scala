@@ -28,7 +28,8 @@ object SparkEntry {
       (BpeQueries.queries, BpeQueries.oracle),
       (SketchQueries.queries, SketchQueries.oracle),
       (GraphAnalyticsQueries.queries, GraphAnalyticsQueries.oracle),
-      (SelectionQueries.queries, SelectionQueries.oracle))
+      (SelectionQueries.queries, SelectionQueries.oracle),
+      (CorpusStatsQueries.queries, CorpusStatsQueries.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

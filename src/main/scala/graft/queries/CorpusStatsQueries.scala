@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-statistics operators — the vocabulary/redundancy profiling a
+  * 100 TB curation pipeline runs before committing to a tokenizer vocab
+  * or a dedup budget (reference anchor: the reference profiles its
+  * corpus before preprocessing, `preprocessing_agent.py`; these are the
+  * published statistics that decision consumes at LLM-corpus scale).
+  *
+  *  - `q_collocations`: bigram collocation mining — the PMI-style
+  *    association statistic behind phrase/vocab induction, as an exact
+  *    integer LIFT surrogate: lift = p(xy) / (p(x)·p(y)) =
+  *    c_xy·N² / (M·c_x·c_y), emitted in basis points. A cross-engine
+  *    `ln` is a libm last-ulp lottery (the DSIR/tf-idf precedent), and
+  *    PMI is a monotone transform of lift, so ranking by lift_bp IS
+  *    ranking by PMI. The three-stage DIV factorization keeps every
+  *    quotient inside BIGINT at 100 TB token counts (stage1 =
+  *    c_xy·N DIV c_x ≤ N because c_xy ≤ c_x; stage2 ≤ 1e4·N; the final
+  *    product widens through DECIMAL(38,0) — the q_lm_score rule — and
+  *    only the bounded quotient casts back).
+  *  - `q_ngram_novelty`: corpus-order n-gram novelty curve — per
+  *    corpus-order bucket (doc_id scaled into [[NovBuckets]] ranges),
+  *    how many 3-token shingles appear for the FIRST time in that
+  *    bucket. The declining tail of this curve is the statistic that
+  *    sizes how much new data another crawl actually buys (heap's-law
+  *    profiling). first-occurrence = min(doc_id) per shingle — one
+  *    map-side-combined aggregate on the dedup family's shingle key.
+  *
+  * Scale shapes: collocations' unigram/bigram models are map-side
+  * combined aggregates; the scoring joins are plain equi-joins on the
+  * token key (AQE broadcasts the vocab side while it fits, shuffles
+  * past that — vocab is NOT assumed broadcastable at web scale);
+  * selection is a TakeOrderedAndProject top-k. Novelty shuffles once on
+  * the shingle (the exact q_dedup_* shuffle), then aggregates into a
+  * ≤[[NovBuckets]]-row frame; the cumulative runs through
+  * [[graft.operators.Ordinals.prefixSum]] with the bucket count as the
+  * known gate statistic.
+  */
+object CorpusStatsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- bigram collocations by integer lift ----
+
+  /** Minimum bigram instance count — the published collocation floor
+    * (rare pairs have unstable association estimates). c_x, c_y ≥
+    * MinPair follows for free (every xy instance contains an x and a y).
+    */
+  private[graft] val MinPair = 5L
+  private[graft] val CollocTopK = 100
+
+  private val collocations: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("text"))
+    // unigram counts feed the x-join AND the y-join; bigram counts feed
+    // the total AND the floor-filtered pair table — both scratch-persisted
+    val uc = graft.Scratch.persist(
+      docs.select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c")))
+    val bc = graft.Scratch.persist(
+      docs.select(
+          explode(call_function("token_shingles_all", col("text"), lit(2))).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c_xy")))
+    val n = uc.agg(sum(col("c")).as("n"))
+    val m = bc.agg(sum(col("c_xy")).as("m"))
+    val pairs = bc.filter(col("c_xy") >= MinPair)
+      .select(col("bg"), split(col("bg"), " ").getItem(0).as("x"),
+        split(col("bg"), " ").getItem(1).as("y"), col("c_xy"))
+    pairs
+      .join(uc.select(col("tok").as("x"), col("c").as("c_x")), Seq("x"))
+      .join(uc.select(col("tok").as("y"), col("c").as("c_y")), Seq("y"))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(m))
+      // stage quotients bounded (scaladoc): s1 ≤ n, s2 ≤ 1e4·n/MinPair,
+      // lift ≤ s2·(n/m) — all < 2^63 at 10^13-token corpora
+      .withColumn("s1",
+        expr("CAST((CAST(c_xy AS DECIMAL(38,0)) * n) DIV c_x AS BIGINT)"))
+      .withColumn("s2", expr("(s1 * 10000) DIV c_y"))
+      .select(col("bg").as("bigram"), col("c_xy"), col("c_x"), col("c_y"),
+        expr("CAST((CAST(s2 AS DECIMAL(38,0)) * n) DIV m AS BIGINT)").as("lift_bp"))
+      .orderBy(col("lift_bp").desc, col("bigram").asc)
+      .limit(CollocTopK)
+  }
+
+  private val collocationsSql: String =
+    s"""WITH uni AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |uc AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY tok),
+       |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uc),
+       |bi AS (SELECT toks[i] || ' ' || toks[i + 1] AS bg
+       |       FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+       |             FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+       |             WHERE len(toks) >= 2)),
+       |bc AS MATERIALIZED (SELECT bg, CAST(count(*) AS BIGINT) AS c_xy FROM bi GROUP BY bg),
+       |mm AS (SELECT CAST(sum(c_xy) AS BIGINT) AS m FROM bc),
+       |p AS (SELECT bg, string_split(bg, ' ')[1] AS x, string_split(bg, ' ')[2] AS y, c_xy
+       |      FROM bc WHERE c_xy >= $MinPair),
+       |j AS (SELECT p.bg, p.c_xy, ux.c AS c_x, uy.c AS c_y
+       |      FROM p JOIN uc ux ON ux.tok = p.x JOIN uc uy ON uy.tok = p.y),
+       |st AS (SELECT bg, c_xy, c_x, c_y,
+       |              CAST((CAST(c_xy AS HUGEINT) * n) // c_x AS BIGINT) AS s1
+       |       FROM j CROSS JOIN nn),
+       |s2t AS (SELECT bg, c_xy, c_x, c_y, (s1 * 10000) // c_y AS s2 FROM st)
+       |SELECT bg AS bigram, c_xy, c_x, c_y,
+       |       CAST((CAST(s2 AS HUGEINT) * n) // m AS BIGINT) AS lift_bp
+       |FROM s2t CROSS JOIN nn CROSS JOIN mm
+       |ORDER BY lift_bp DESC, bigram LIMIT $CollocTopK""".stripMargin
+
+  // ---- corpus-order n-gram novelty curve ----
+
+  private[graft] val NovBuckets = 20L
+
+  private val novelty: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    // per-doc DISTINCT 3-token shingles — the dedup family's stream
+    val firsts = docs.select(col("doc_id"),
+        explode(call_function("token_shingles", col("text"), lit(3))).as("sh"))
+      .groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val buckets = firsts.crossJoin(broadcast(mx))
+      .select(expr(s"(first_doc * $NovBuckets) DIV (mx + 1)").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_ngrams"))
+      // non-foldable constant group (the lit(0) fold trap —
+      // SketchQueries.quantilesOf); gate stat = bucket count, known ≤ 20
+      .withColumn("_g", pmod(col("bucket"), lit(1L)))
+    val cum = graft.operators.Ordinals.prefixSum(
+      buckets, "_g", "bucket", "new_ngrams", "cum_ngrams",
+      knownMaxGroup = Some(NovBuckets))
+    val total = cum.agg(sum(col("new_ngrams")).as("total"))
+    cum.crossJoin(broadcast(total))
+      .select(col("bucket"), col("new_ngrams"), col("cum_ngrams"),
+        expr("(new_ngrams * 10000) DIV total").as("novelty_bp"))
+  }
+
+  private val noveltySql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+       |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS sh
+       |  FROM documents),
+       |f AS (SELECT sh, CAST(min(doc_id) AS BIGINT) AS first_doc FROM sh GROUP BY sh),
+       |mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS mx FROM documents),
+       |b AS (SELECT (first_doc * $NovBuckets) // (mx + 1) AS bucket,
+       |             CAST(count(*) AS BIGINT) AS new_ngrams
+       |      FROM f CROSS JOIN mx GROUP BY 1),
+       |c AS (SELECT bucket, new_ngrams,
+       |             CAST(sum(new_ngrams) OVER (ORDER BY bucket
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_ngrams
+       |      FROM b),
+       |t AS (SELECT CAST(sum(new_ngrams) AS BIGINT) AS total FROM b)
+       |SELECT bucket, new_ngrams, cum_ngrams, (new_ngrams * 10000) // total AS novelty_bp
+       |FROM c CROSS JOIN t""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_collocations" -> collocations,
+    "q_ngram_novelty" -> novelty)
+
+  val oracle: Map[String, String] = Map(
+    "q_collocations" -> collocationsSql,
+    "q_ngram_novelty" -> noveltySql)
+}
