@@ -120,6 +120,47 @@ object DedupQueries {
     bandPairs(graft.Scratch.persist(minhashBands(corpus(s, d))))
   }
 
+  // ---- incremental delta-vs-corpus dedup ----
+  // The 100 TB ingestion shape: a new shard arrives and is deduped
+  // AGAINST the standing corpus without re-pairing the corpus with
+  // itself — the LSH band join goes asymmetric (delta bands ⋈ corpus
+  // bands), so the incremental cost is ∝ |delta| · bucket occupancy,
+  // not |corpus|². In production the corpus band table is the standing
+  // index (built once, appended per shard); here it is computed
+  // in-query like every dedup twin (the fair-ratio convention — the
+  // oracle recomputes it too). Novel docs surface as n_matches = 0.
+
+  /** Incoming shard: near-dup mutations of the even half (first token
+    * dropped — the corpus() mutation, LSH MUST match these) plus
+    * genuinely novel docs (token-reversed odd half — reversal destroys
+    * every 3-shingle, LSH must NOT match these).
+    */
+  private def deltaShard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.filter(col("doc_id") % 2 === 0).select(
+        (col("doc_id") + 400000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ')+1)").as("text"))
+      .unionAll(docs.filter(col("doc_id") % 2 === 1).select(
+        (col("doc_id") + 400000L).as("doc_id"),
+        expr("array_join(reverse(split(text, ' ')), ' ')").as("text")))
+  }
+
+  private val deltaDedup: Q = (s, d) => {
+    val cb = minhashBands(Tables.documents(s, d).select(col("doc_id"), col("text")))
+    val db = minhashBands(deltaShard(s, d))
+    val matches = cb.as("c").join(db.as("n"),
+        col("c.band") === col("n.band") && col("c.bkey") === col("n.bkey"))
+      .select(col("n.doc_id").as("delta_id"), col("c.doc_id").as("corpus_id"))
+      .distinct()
+      .groupBy("delta_id")
+      .agg(min(col("corpus_id")).as("first_match"), count(lit(1)).as("n_matches"))
+    deltaShard(s, d).select(col("doc_id").as("delta_id"))
+      .join(matches, Seq("delta_id"), "left")
+      .select(col("delta_id"),
+        coalesce(col("first_match"), lit(-1L)).as("first_match"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+  }
+
   // ---- SimHash: 16-bit signature from md5 hex-digit parity ----
   // All 16 bit-sums are separate aggregates over ONE pass of the token
   // table (map-side combined) — exploding a bit-index column would
@@ -767,6 +808,7 @@ object DedupQueries {
     "q_dedup_minhash_groups" -> minhashGroups,
     "q_dedup_exact" -> exact,
     "q_dedup_minhash" -> minhash,
+    "q_dedup_delta" -> deltaDedup,
     "q_dedup_simhash" -> simhash,
     "q_dedup_jaccard" -> jaccard,
     "q_dedup_embed" -> embedDup,
@@ -794,6 +836,53 @@ object DedupQueries {
        |                    JOIN cnt cb ON s.doc_b = cb.doc_id)
        |WHERE (shared*10000) // (na + nb - shared) >= 5000""".stripMargin
 
+  // q_dedup_delta twin: the same sig/band derivation as minhashSql,
+  // parameterized over the source corpus. csig/dsig are each consumed
+  // by a 4-way band unpivot — MATERIALIZED per the house DuckDB
+  // CTE-reinlining rule (an inlined sig recomputes the shingle
+  // aggregation once per band). defs, not vals: twin SQL composed
+  // across the file (the val-order init trap, r15 notes).
+  private def shinglesSqlOf(src: String): String =
+    s"""(SELECT doc_id,
+       |        unnest(list_distinct(list_transform(
+       |          generate_series(1, greatest(len(string_split(text, ' '))-2, 1)),
+       |          i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS sh
+       | FROM $src)""".stripMargin
+
+  private def sigSqlOf(shSrc: String): String = {
+    val mins = (0 to 7).map(k => s"min(substr(md5(sh), ${3 * k + 1}, 8)) AS mh$k").mkString(", ")
+    s"SELECT doc_id, $mins FROM $shSrc s GROUP BY doc_id"
+  }
+
+  private def bandsSqlFromSig(sig: String): String =
+    (0 to 3).map(b =>
+      s"SELECT doc_id, CAST($b AS BIGINT) AS band, " +
+        s"md5(least(mh${2 * b}, mh${2 * b + 1}) || '|' || greatest(mh${2 * b}, mh${2 * b + 1})) AS bkey FROM $sig")
+      .mkString(" UNION ALL ")
+
+  private def deltaSrcSql: String =
+    """(SELECT doc_id+400000 AS doc_id, substr(text, instr(text, ' ')+1) AS text
+      |   FROM documents WHERE doc_id % 2 = 0
+      | UNION ALL
+      | SELECT doc_id+400000 AS doc_id,
+      |        array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+      |   FROM documents WHERE doc_id % 2 = 1)""".stripMargin
+
+  private def deltaSql: String =
+    s"""WITH csig AS MATERIALIZED (${sigSqlOf(shinglesSqlOf("documents"))}),
+       |dsig AS MATERIALIZED (${sigSqlOf(shinglesSqlOf(deltaSrcSql))}),
+       |cb AS (${bandsSqlFromSig("csig")}),
+       |db AS (${bandsSqlFromSig("dsig")}),
+       |m AS (
+       |  SELECT n.doc_id AS delta_id, CAST(min(c.doc_id) AS BIGINT) AS first_match,
+       |         CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_matches
+       |  FROM db n JOIN cb c ON c.band = n.band AND c.bkey = n.bkey
+       |  GROUP BY n.doc_id)
+       |SELECT d.doc_id AS delta_id,
+       |       coalesce(m.first_match, -1) AS first_match,
+       |       coalesce(m.n_matches, 0) AS n_matches
+       |FROM (SELECT doc_id FROM $deltaSrcSql dd) d LEFT JOIN m ON m.delta_id = d.doc_id""".stripMargin
+
   private[graft] val minhashSql: String = {
     val mins = (0 to 7).map(k => s"min(substr(md5(sh), ${3 * k + 1}, 8)) AS mh$k").mkString(", ")
     val bandRows = (0 to 3).map(b =>
@@ -817,6 +906,7 @@ object DedupQueries {
         |      UNION ALL SELECT doc_id+200000 AS doc_id, text FROM documents)
         |GROUP BY md5(text)""".stripMargin,
     "q_dedup_minhash" -> minhashSql,
+    "q_dedup_delta" -> deltaSql,
     "q_dedup_minhash_groups" ->
       s"""WITH RECURSIVE pairs AS ($minhashSql),
          |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs

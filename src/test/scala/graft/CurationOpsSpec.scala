@@ -320,4 +320,29 @@ class CurationOpsSpec extends SparkSpec {
         s"lang $l leveled to ${perLang(l)} vs target $maxc (tol $tol)")
     }
   }
+
+  test("delta dedup: planted near-dups all match the corpus, novel docs mostly don't") {
+    val rows = SparkEntry.queries("q_dedup_delta")(spark, sf).collect()
+    Scratch.release(spark)
+    assert(rows.nonEmpty)
+    val even = rows.filter(r => (r.getAs[Long]("delta_id") - 400000L) % 2 == 0)
+    val odd = rows.filter(r => (r.getAs[Long]("delta_id") - 400000L) % 2 == 1)
+    assert(even.nonEmpty && odd.nonEmpty)
+    // first-token-dropped mutations share nearly every 3-shingle with
+    // their source — the 4×2 banding must catch essentially all of them
+    val evenHit = even.count(_.getAs[Long]("n_matches") > 0)
+    assert(evenHit >= even.length * 95 / 100,
+      s"planted recall $evenHit/${even.length}")
+    // token-reversed docs share no 3-shingle with any corpus doc except
+    // degenerate short texts (a 1-token doc reverses to itself)
+    val oddHit = odd.count(_.getAs[Long]("n_matches") > 0)
+    assert(oddHit <= odd.length * 30 / 100,
+      s"novel false-match rate $oddHit/${odd.length}")
+    // matches point INTO the corpus id space, never at delta ids
+    rows.foreach { r =>
+      val fm = r.getAs[Long]("first_match")
+      assert(fm == -1L || fm < 400000L, s"match outside corpus: $r")
+      assert((fm == -1L) == (r.getAs[Long]("n_matches") == 0L), s"flag mismatch: $r")
+    }
+  }
 }
