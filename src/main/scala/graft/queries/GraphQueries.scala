@@ -286,6 +286,91 @@ object GraphQueries {
        |SELECT vec_id, cluster, round(d2, 6) + 0.0 AS d2, rk
        |FROM rk WHERE rk <= (n_c + 1) // 2""".stripMargin
 
+  /** Simplified silhouette (the published linear-time clustering-quality
+    * metric: a = distance to the OWN centroid, b = distance to the
+    * nearest OTHER centroid, s = 1 − a/b — nonnegative by construction
+    * because assignment IS nearest-centroid): per-cluster mean silhouette
+    * in basis points. Rides the build_graph_tree memo (same scaled space
+    * + final centroids as o51); the twin replays scaling → all-centroid
+    * distances → own/next split from the SAME stats+centroid exports.
+    *
+    * Scale/determinism: the a²/b² pass is the [[graft.operators.AnnIvf]]
+    * assignNearestArr shape — one no-shuffle arithmetic pass tracking
+    * best + second-best squared L2 (index-order accumulation, strict <,
+    * tie → lowest cluster; the two-min update keeps b² = min over
+    * non-assigned centroids, so an exact tie yields s = 0 in both
+    * engines); k is bounded (≤800 by the two-level contract) so per-point
+    * work is O(k·dim) with no join. Per-point s collapses to an integer
+    * (ONE IEEE expression → floor → BIGINT, the house rule; a² ≤ b² keeps
+    * it nonnegative so trunc == floor) before any aggregation — means are
+    * integer sums DIV counts, never FP-accumulated.
+    */
+  private val silhouette: Q = (s, d) => {
+    val bt = built(s, d)
+    val cents: Array[(Int, Array[Double])] =
+      bt.centers.zipWithIndex.map { case (c, i) => (i, c) }
+    val sp = s
+    import sp.implicits._
+    val scaled = Tables.embeddings(s, d).select(
+      col("vec_id").cast("long").as("vec_id"),
+      GraphBuild.scaleWith(bt.scaleStats, "embedding").as("se"))
+    val ab = scaled.as[(Long, Seq[Double])].mapPartitions { it =>
+      it.map { case (id, e) =>
+        val ea = e.toArray
+        var best = -1
+        var bestD = Double.MaxValue
+        var secondD = Double.MaxValue
+        var ci = 0
+        while (ci < cents.length) {
+          val cv = cents(ci)._2
+          var dd = 0.0
+          var i = 0
+          while (i < ea.length) { val t = ea(i) - cv(i); dd += t * t; i += 1 }
+          if (dd < bestD) { secondD = bestD; bestD = dd; best = cents(ci)._1 }
+          else if (dd < secondD) { secondD = dd }
+          ci += 1
+        }
+        (id, best, bestD, secondD)
+      }
+    }.toDF("vec_id", "cluster", "a2", "b2")
+    ab.select(col("cluster"),
+        when(col("b2") === 0.0, lit(0L)).otherwise(
+          expr("CAST(floor((1.0 - sqrt(a2 / b2)) * 10000.0) AS BIGINT)")).as("s_bp"))
+      .groupBy("cluster").agg(count(lit(1)).as("n"), sum(col("s_bp")).as("sum_sbp"))
+      .select(col("cluster").cast("long").as("cluster"), col("n"),
+        expr("sum_sbp DIV n").as("mean_sbp"))
+  }
+
+  private def silhouetteSql: String =
+    s"""WITH sv AS (
+       |  SELECT list(mu ORDER BY dim) AS mus, list(sigma ORDER BY dim) AS sigmas
+       |  FROM '$kmeansStatsPath/*.parquet'),
+       |cents AS MATERIALIZED (SELECT cluster, centroid FROM '$kmeansCentsPath/*.parquet'),
+       |scaled AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |         list_transform(generate_series(1, len(e.embedding)),
+       |           i -> (CAST(e.embedding[i] AS DOUBLE) - sv.mus[i]) / sv.sigmas[i]) AS se
+       |  FROM embeddings e CROSS JOIN sv),
+       |scored AS MATERIALIZED (
+       |  SELECT s.vec_id, c.cluster,
+       |         list_sum(list_transform(generate_series(1, len(s.se)),
+       |           i -> (s.se[i]-c.centroid[i])*(s.se[i]-c.centroid[i]))) AS d2
+       |  FROM scaled s CROSS JOIN cents c),
+       |own AS (SELECT vec_id, cluster, d2 AS a2 FROM (
+       |  SELECT vec_id, cluster, d2,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS ark
+       |  FROM scored) WHERE ark = 1),
+       |oth AS (SELECT s.vec_id, min(s.d2) AS b2
+       |        FROM scored s JOIN own o ON o.vec_id = s.vec_id AND s.cluster <> o.cluster
+       |        GROUP BY s.vec_id),
+       |sb AS (SELECT o.cluster,
+       |         CASE WHEN t.b2 = 0 THEN 0
+       |              ELSE CAST(floor((1.0 - sqrt(o.a2 / t.b2)) * 10000.0) AS BIGINT) END AS s_bp
+       |       FROM own o JOIN oth t ON t.vec_id = o.vec_id)
+       |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(s_bp) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_sbp
+       |FROM sb GROUP BY cluster""".stripMargin
+
   /** O-52's core, oracle-checked (r13): the Ward merge SEQUENCE over the
     * exported micro-cluster centroids — (step, slotA, slotB, height,
     * size) for each of the k−1 agglomerations. The DuckDB twin replays
@@ -434,6 +519,7 @@ object GraphQueries {
     "q_serve_movie_e3" -> e3,
     "o51_kmeans" -> o51,
     "q_prune_prototypes" -> prune,
+    "q_cluster_silhouette" -> silhouette,
     "q_ward_dendrogram" -> wardDendro,
     "q_graph_build" -> build,
     "q_graph_children" -> buildChildren)
@@ -461,6 +547,7 @@ object GraphQueries {
         |  WHERE d.doc_id < 10)""".stripMargin,
     "q_graph_children" -> buildChildrenSql,
     "q_prune_prototypes" -> pruneSql,
+    "q_cluster_silhouette" -> silhouetteSql,
     // o51 replay over the stats + centroid exports (r13): scaling and
     // assignment mirror GraphBuild.scaleWith + AnnIvf.assignNearestArr
     // EXACTLY — (CAST(x AS DOUBLE) − mu) / sigma per dim, squared-L2 in

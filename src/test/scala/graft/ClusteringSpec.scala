@@ -198,4 +198,29 @@ class ClusteringSpec extends SparkSpec {
     assert(centers2.map(_.toSeq).toSeq == centers.map(_.toSeq).toSeq)
     df.unpersist()
   }
+
+  test("silhouette: clusters/counts agree with o51 labels, scores bounded") {
+    val sf = "/root/testdata/sf0.001"
+    val sil = SparkEntry.queries("q_cluster_silhouette")(spark, sf).collect()
+    val labels = SparkEntry.queries("o51_kmeans")(spark, sf).collect()
+    Scratch.release(spark)
+    assert(sil.nonEmpty)
+    // the silhouette pass re-derives the assignment with the same
+    // strict-< rule o51 exports — cluster populations must MATCH
+    val fromLabels = labels.groupBy(_.getAs[Int]("cluster"))
+      .map { case (c, rs) => c.toLong -> rs.length.toLong }
+    val fromSil = sil.map(r =>
+      r.getAs[Long]("cluster") -> r.getAs[Long]("n")).toMap
+    assert(fromSil == fromLabels, "per-cluster populations diverge from o51")
+    // simplified silhouette is in [0, 1] by construction (a <= b)
+    sil.foreach { r =>
+      val m = r.getAs[Long]("mean_sbp")
+      assert(m >= 0L && m <= 10000L, s"mean_sbp out of range: $r")
+    }
+    // the clustering is real: separated centroids dominate, so the
+    // corpus-level mean should be meaningfully positive
+    val tot = sil.map(r => r.getAs[Long]("mean_sbp") * r.getAs[Long]("n")).sum
+    val n = sil.map(_.getAs[Long]("n")).sum
+    assert(tot / n > 1000L, s"corpus mean silhouette ${tot / n} bp looks degenerate")
+  }
 }
