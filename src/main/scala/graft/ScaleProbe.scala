@@ -42,6 +42,8 @@ object ScaleProbe {
     else if (mode == "pack") println(packProbe(spark, dir))
     else if (mode == "sem") println(semProbe(spark, dir))
     else if (mode == "pr") println(prProbe(spark, dir))
+    else if (mode == "docsim") println(graft.queries.DedupQueries.docsimProbe(spark, dir))
+    else if (mode == "lpa") println(graft.queries.GraphAnalyticsQueries.lpaProbe(spark, dir))
     else if (mode.startsWith("prx")) println(prxProbe(spark, dir, mode.drop(3).toInt))
     else println(bitsProbe(spark, dir, mode))
     spark.stop()

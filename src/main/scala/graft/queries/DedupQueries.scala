@@ -745,7 +745,13 @@ object DedupQueries {
     // of the candidate-pair scoring join
     val c = corpus(s, d)
     val nd = c.agg(count(lit(1)).as("nd"))
-    val terms0 = c.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    // ONE exchange for the whole term pipeline (the q_lm_score shape):
+    // partitioning the raw text on doc_id makes the (doc_id, tok)
+    // groupBy, the ssq groupBy(doc_id) and the scoring join's doc_a
+    // probe all exchange-free — only the vocab-sized df aggregate still
+    // shuffles (and AQE broadcasts it back)
+    val terms0 = c.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val df = terms0.groupBy("tok").agg(count(lit(1)).as("df"))
     val terms = graft.Scratch.persist(
@@ -768,6 +774,39 @@ object DedupQueries {
         "round(CAST(dot AS DOUBLE) / sqrt(CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)), 6) + 0.0"))
       .filter(col("cos") >= TfIdfCosMin)
       .select("doc_a", "doc_b", "cos")
+  }
+
+  /** Phase attribution for q_doc_sim_tfidf (ScaleProbe `docsim`): the
+    * candidate generation (minhash bands + self-join) and the weighted
+    * term table are each timed standalone, cold; the remainder of a cold
+    * full run is the scoring-join + norm pipeline. Dev-only.
+    */
+  private[graft] def docsimProbe(s: SparkSession, d: String): String = {
+    def t(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime(); val n = f; (n, (System.nanoTime() - t0) / 1e9)
+    }
+    def cold(): Unit = { graft.Scratch.releaseAll(); clearCache() }
+    cold()
+    tfidfCos(s, d).count() // JVM/codegen warmup — discard
+    cold()
+    val (nFull, tFull) = t { tfidfCos(s, d).count() }
+    cold()
+    val (nCand, tCand) = t { minhash(s, d).count() }
+    cold()
+    val c = corpus(s, d)
+    val nd = c.agg(count(lit(1)).as("nd"))
+    val terms0 = c.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfx = terms0.groupBy("tok").agg(count(lit(1)).as("df"))
+    val (nTerms, tTerms) = t {
+      graft.Scratch.persist(
+        terms0.join(dfx, Seq("tok")).crossJoin(broadcast(nd))
+          .select(col("doc_id"), col("tok"),
+            expr("least(tf, 100) * least((nd * 100) DIV df, 1000000)").as("w"))).count()
+    }
+    cold()
+    f"full=$tFull%.2fs ($nFull rows) cand=$tCand%.2fs ($nCand pairs) " +
+      f"terms=$tTerms%.2fs ($nTerms rows) scoring~=${tFull - tCand - tTerms}%.2fs"
   }
 
   // def, not val: references minhashSql, declared LATER in this object —

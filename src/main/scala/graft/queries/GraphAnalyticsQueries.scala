@@ -213,9 +213,12 @@ object GraphAnalyticsQueries {
     val pairs = graft.Scratch.persist(DedupQueries.minhash(s, d))
     val und = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionAll(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-    // the self-vote rides the edge list as one self-loop per node
-    val g = und.unionAll(
-      und.select(col("a")).distinct().select(col("a"), col("a").as("b")))
+    // the self-vote rides the edge list as one self-loop per node.
+    // g itself is persisted too (r15): it is consumed once per round,
+    // and unpersisted it re-ran the node-distinct 4× (probe: ~0.2 s of
+    // each round was rebuilding the same self-loop union)
+    val g = graft.Scratch.persist(und.unionAll(
+      und.select(col("a")).distinct().select(col("a"), col("a").as("b"))))
     var labels = und.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
     for (i <- 1 to LpaIters) {
@@ -232,6 +235,26 @@ object GraphAnalyticsQueries {
       if (i < LpaIters && i % 2 == 0) labels = labels.localCheckpoint()
     }
     labels.select(col("node").as("doc_id"), col("label").as("community"))
+  }
+
+  /** Phase attribution for q_graph_communities (ScaleProbe `lpa`): the
+    * LSH pair generation is timed standalone cold; a cold full run's
+    * remainder is the 4 synchronous rounds (join + two aggregations +
+    * the cadence-2 localCheckpoint each). Dev-only.
+    */
+  private[graft] def lpaProbe(s: SparkSession, d: String): String = {
+    def t(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime(); val n = f; (n, (System.nanoTime() - t0) / 1e9)
+    }
+    graft.Scratch.releaseAll(); DedupQueries.clearCache()
+    communities(s, d).count() // JVM/codegen warmup — discard
+    graft.Scratch.releaseAll(); DedupQueries.clearCache()
+    val (nFull, tFull) = t { communities(s, d).count() }
+    graft.Scratch.releaseAll(); DedupQueries.clearCache()
+    val (nPairs, tPairs) = t { DedupQueries.minhash(s, d).count() }
+    graft.Scratch.releaseAll(); DedupQueries.clearCache()
+    f"full=$tFull%.2fs ($nFull nodes) pairs=$tPairs%.2fs ($nPairs) " +
+      f"rounds~=${tFull - tPairs}%.2fs over $LpaIters iters"
   }
 
   // Twin: unrolled chained CTEs (the pagerank precedent — no recursion,
