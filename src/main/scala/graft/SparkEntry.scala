@@ -86,7 +86,7 @@ object SparkEntry {
     // graphs are built per IVF list), so it rides in this set too
     "build_ivf_index" -> Set("q_ann_ivf", "q_ann_ivf_upsert",
       "q_ann_recall_ivf", "q_ann_recall_nsw", "q_ann_recall_hnsw",
-      "q_hybrid_retrieval_ivf",
+      "q_hybrid_retrieval_ivf", "q_contrastive_pairs",
       "q_dedup_semantic", "q_knn_eval", "build_nsw_graph"),
     // build_hnsw_layers rides build_nsw_graph's memo (layer 0 IS the
     // NSW graph), so it is a dependent of that build too. Convention:

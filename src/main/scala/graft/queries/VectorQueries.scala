@@ -331,6 +331,50 @@ object VectorQueries {
     graft.operators.AnnIvf.topK(index, probes, "pid", "embedding", k = 10, nProbe = 4)
   }
 
+  // ---- contrastive triplet mining through the IVF lists ----
+  // The training-data op that turns an embedded corpus into (anchor,
+  // positive, hard negative) triplets for metric learning: positive =
+  // nearest in-list neighbor (the anchor's own IVF list, self excluded),
+  // hard negative = nearest vector in the SECOND-nearest list — close in
+  // space but across the cluster boundary, the published hard-negative
+  // recipe (random negatives are too easy to carry gradient). Margin =
+  // pos_cos − neg_cos is the per-anchor difficulty statistic a curriculum
+  // scheduler consumes. Everything downstream of the centroid export is
+  // replayable arithmetic (the q_ann_ivf rules verbatim: l2 probe
+  // ranking with the cluster tie-break, cosine in-list ranking rounded
+  // to 6 before ordering, vec_id ties, self excluded BEFORE ranking).
+  // Scale: anchors are a bounded deterministic subset; each anchor
+  // touches 2 lists (≈ 2·corpus/nList rows) via the equi-join on the
+  // list id — never a corpus scan per anchor.
+  private val ContrastiveProbes = 50
+
+  private val contrastive: Q = (s, d) => {
+    val index = ivfIndex(s, d)
+    val p = Tables.embeddings(s, d).filter(col("vec_id") < ContrastiveProbes)
+      .select(col("vec_id").as("probe_id"), toDoubleArr(col("embedding")).as("pv"))
+    val lists = p.crossJoin(broadcast(index.centroids))
+      .withColumn("cdist", l2DistanceNative(col("pv"), col("centroid")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cdist"), col("cluster"))))
+      .filter(col("crk") <= 2)
+      .select(col("probe_id"), col("pv"), col("cluster"), col("crk"))
+    val ranked = lists.join(index.assigned, Seq("cluster"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("crk"), col("vec_id"),
+        (round(cosineSimilarityNative(col("e"), col("pv")), 6) + lit(0.0)).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id", "crk").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") === 1)
+    val pos = ranked.filter(col("crk") === 1)
+      .select(col("probe_id"), col("vec_id").as("pos_id"), col("cos").as("pos_cos"))
+    val neg = ranked.filter(col("crk") === 2)
+      .select(col("probe_id"), col("vec_id").as("neg_id"), col("cos").as("neg_cos"))
+    pos.join(neg, Seq("probe_id"))
+      .select(col("probe_id"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"),
+        (round(col("pos_cos") - col("neg_cos"), 6) + lit(0.0)).as("margin"))
+  }
+
   // ---- k-NN label eval: embedding quality as LOO classification ----
   // The standard intrinsic eval of an embedding space: leave-one-out
   // k-NN majority-vote classification against the `label` column. The
@@ -661,6 +705,7 @@ object VectorQueries {
     "o54_vec_distance" -> o54,
     "o56_ann_topk" -> o56,
     "q_ann_ivf" -> ivf,
+    "q_contrastive_pairs" -> contrastive,
     "q_knn_eval" -> knnEval,
     "q_ann_ivf_upsert" -> ivfUpsert,
     "q_ann_recall" -> annRecall,
@@ -1036,6 +1081,46 @@ object VectorQueries {
          |           ORDER BY round(${cosineSimilaritySql("a.e", "l.pv")}, 6) + 0.0 DESC, a.vec_id) AS BIGINT) AS rk
          |  FROM plists l JOIN assigned a ON a.cluster = l.cluster)
          |WHERE rk <= 10""".stripMargin
+    },
+    // Centroid-export replay of the triplet mining: q_ann_ivf's rules
+    // with crk <= 2 (own list + hard-negative list), self excluded
+    // before ranking, per-(probe, list) argmax, margin on the rounded
+    // cosines. `ranked` is consumed by both triplet legs → MATERIALIZED.
+    "q_contrastive_pairs" -> {
+      val sqDist = (a: String, b: String) =>
+        s"list_sum(list_transform(generate_series(1, len($a)), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+      s"""WITH cents AS (SELECT cluster, centroid FROM '$ivfExportPath/*.parquet'),
+         |emb AS (SELECT vec_id, e FROM $embSql),
+         |assigned AS (
+         |  SELECT vec_id, e, cluster FROM (
+         |    SELECT a.vec_id, a.e, c.cluster,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY ${sqDist("a.e", "c.centroid")}, c.cluster) AS ark
+         |    FROM emb a CROSS JOIN cents c)
+         |  WHERE ark = 1),
+         |probes AS (SELECT vec_id AS probe_id, e AS pv FROM emb
+         |           WHERE vec_id < $ContrastiveProbes),
+         |plists AS (
+         |  SELECT probe_id, pv, cluster, crk FROM (
+         |    SELECT p.probe_id, p.pv, c.cluster,
+         |           row_number() OVER (PARTITION BY p.probe_id
+         |             ORDER BY ${l2DistanceSql("p.pv", "c.centroid")}, c.cluster) AS crk
+         |    FROM probes p CROSS JOIN cents c)
+         |  WHERE crk <= 2),
+         |ranked AS MATERIALIZED (
+         |  SELECT probe_id, crk, vec_id, cos FROM (
+         |    SELECT l.probe_id, l.crk, a.vec_id,
+         |           round(${cosineSimilaritySql("a.e", "l.pv")}, 6) + 0.0 AS cos,
+         |           row_number() OVER (PARTITION BY l.probe_id, l.crk
+         |             ORDER BY round(${cosineSimilaritySql("a.e", "l.pv")}, 6) + 0.0 DESC, a.vec_id) AS rk
+         |    FROM plists l JOIN assigned a
+         |      ON a.cluster = l.cluster AND a.vec_id <> l.probe_id)
+         |  WHERE rk = 1)
+         |SELECT p.probe_id, p.vec_id AS pos_id, p.cos AS pos_cos,
+         |       n.vec_id AS neg_id, n.cos AS neg_cos,
+         |       round(p.cos - n.cos, 6) + 0.0 AS margin
+         |FROM ranked p JOIN ranked n
+         |  ON n.probe_id = p.probe_id AND p.crk = 1 AND n.crk = 2""".stripMargin
     },
     // Same centroid-export replay as q_ann_ivf with self excluded
     // before ranking, plus the integer vote layer.

@@ -129,4 +129,31 @@ class AnnRecallSpec extends SparkSpec {
       // hold fewer than 10 LOO candidates is a legal output
     }
   }
+
+  test("contrastive pairs: one triplet per anchor, legs distinct, margins mostly positive") {
+    val rows = SparkEntry.queries("q_contrastive_pairs")(spark, sf).collect()
+    Scratch.release(spark)
+    assert(rows.nonEmpty)
+    // at most one triplet per anchor (an anchor alone in its list is
+    // legally dropped), ids distinct from the anchor and each other
+    assert(rows.map(_.getAs[Long]("probe_id")).distinct.length == rows.length)
+    rows.foreach { r =>
+      val (p, pos, neg) = (r.getAs[Long]("probe_id"),
+        r.getAs[Long]("pos_id"), r.getAs[Long]("neg_id"))
+      assert(pos != p && neg != p && pos != neg, s"degenerate triplet: $r")
+      val (pc, nc) = (r.getAs[Double]("pos_cos"), r.getAs[Double]("neg_cos"))
+      assert(pc >= -1.000001 && pc <= 1.000001 && nc >= -1.000001 && nc <= 1.000001)
+      assert(math.abs(r.getAs[Double]("margin") -
+        (math.round((pc - nc) * 1e6) / 1e6)) < 1e-9)
+    }
+    // the own-list positive should beat the cross-boundary negative for
+    // a clear majority of anchors — NOT all of them: list assignment is
+    // squared-L2 while the triplet legs rank by cosine, so a hard
+    // negative legitimately wins when the boundary cuts a cosine-tight
+    // region (measured 68% positive at sf0.001 — that near-balance is
+    // exactly what makes these negatives "hard")
+    val posMargins = rows.count(_.getAs[Double]("margin") > 0.0)
+    assert(posMargins * 100 >= rows.length * 55,
+      s"only $posMargins/${rows.length} anchors have positive margin")
+  }
 }
