@@ -589,7 +589,113 @@ object CorpusQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
   }
 
+  // ---- T5-style span corruption (denoising training-target gen) ----
+  // The last step of an encoder-decoder training-data pipeline (Raffel
+  // et al. 2020): mask short token spans with numbered sentinels, emit
+  // (input, target) pairs. The published sampler is random; this engine
+  // uses the deterministic block variant — positions partition into
+  // [[CorruptBlock]]-token blocks, each block masks ONE [[CorruptSpan]]-
+  // token span at offset md5(doc_id, block) % (B−L+1) — which keeps the
+  // ~L/B corruption rate and non-overlap BY CONSTRUCTION (no sequential
+  // scan; the published random sampler needs one to resolve overlaps)
+  // and makes every byte replayable. Sentinels number 1..m in block
+  // order; target = sentinel_k + its masked tokens, concatenated.
+  // Result carries md5(input)/md5(target) — any indexing bug flips them.
+  //
+  // Scale: ONE exchange (repartition on doc_id before the explode —
+  // the block window, both reconstructions and the final joins all
+  // reuse it); windows and collect_lists are per-doc (bounded by doc
+  // length); reconstruction = array_sort(struct(pos, tok)) — NEVER raw
+  // collect_list order (the spans_removal rule).
+  private[graft] val CorruptBlock = 10L
+  private[graft] val CorruptSpan = 3L
+
+  private val spanCorrupt: Q = (s, d) => {
+    val nOff = CorruptBlock - CorruptSpan + 1
+    val toks = graft.Scratch.persist(
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "pos", "tok")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+        .withColumn("blk", expr(s"pos DIV $CorruptBlock"))
+        .withColumn("off", pmod(
+          conv(substring(md5(concat(col("doc_id").cast("string"), lit("#"),
+            col("blk").cast("string"))), 1, 8), 16, 10).cast("long"), lit(nOff)))
+        .withColumn("rel", expr(s"pos % $CorruptBlock"))
+        .withColumn("inspan",
+          col("rel") >= col("off") && col("rel") < col("off") + CorruptSpan))
+    val masked = toks.filter(col("inspan"))
+    val blocks = masked.groupBy("doc_id", "blk").agg(min(col("off")).as("off"))
+      .withColumn("k", row_number().over(
+        Window.partitionBy("doc_id").orderBy("blk")).cast("long"))
+    val sentTok = concat(lit("<extra_id_"), col("k"), lit(">"))
+    val sentinels = blocks.select(col("doc_id"),
+      (col("blk") * CorruptBlock + col("off")).as("pos"), sentTok.as("tok"))
+    val inputAgg = toks.filter(!col("inspan"))
+      .select(col("doc_id"), col("pos"), col("tok"))
+      .unionAll(sentinels)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_in"),
+        collect_list(struct(col("pos"), col("tok"))).as("lst"))
+      .select(col("doc_id"), col("n_in"),
+        expr("md5(array_join(transform(array_sort(lst), x -> x.tok), ' '))")
+          .as("input_hash"))
+    val tgtRows = blocks
+      .select(col("doc_id"), col("blk"), lit(-1L).as("rel"), sentTok.as("tok"))
+      .unionAll(masked.select(col("doc_id"), col("blk"), col("rel"), col("tok")))
+    val targetAgg = tgtRows.groupBy("doc_id")
+      .agg(collect_list(struct(col("blk"), col("rel"), col("tok"))).as("lst"))
+      .select(col("doc_id"),
+        expr("md5(array_join(transform(array_sort(lst), x -> x.tok), ' '))")
+          .as("target_hash"))
+    val spans = blocks.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    inputAgg.join(spans, Seq("doc_id"), "left").join(targetAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"), col("n_in"),
+        col("input_hash"),
+        coalesce(col("target_hash"), md5(lit(""))).as("target_hash"))
+  }
+
+  private def spanCorruptSql: String = {
+    val nOff = CorruptBlock - CorruptSpan + 1
+    s"""WITH t2 AS MATERIALIZED (
+       |  SELECT doc_id, pos, tok, blk, rel,
+       |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(blk AS VARCHAR)), 1, 8))::BIGINT % $nOff AS off
+       |  FROM (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok,
+       |               CAST((i - 1) // $CorruptBlock AS BIGINT) AS blk,
+       |               CAST((i - 1) % $CorruptBlock AS BIGINT) AS rel
+       |        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+       |              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)))),
+       |masked AS (SELECT * FROM t2 WHERE rel >= off AND rel < off + $CorruptSpan),
+       |blocks AS MATERIALIZED (
+       |  SELECT doc_id, blk, min(off) AS off,
+       |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY blk) AS BIGINT) AS k
+       |  FROM masked GROUP BY doc_id, blk),
+       |sent AS (SELECT doc_id, blk * $CorruptBlock + off AS pos,
+       |                '<extra_id_' || CAST(k AS VARCHAR) || '>' AS tok
+       |         FROM blocks),
+       |inp AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_in,
+       |         md5(array_to_string(list(tok ORDER BY pos), ' ')) AS input_hash
+       |  FROM (SELECT doc_id, pos, tok FROM t2 WHERE NOT (rel >= off AND rel < off + $CorruptSpan)
+       |        UNION ALL SELECT doc_id, pos, tok FROM sent)
+       |  GROUP BY doc_id),
+       |tgt AS (
+       |  SELECT doc_id, md5(array_to_string(list(tok ORDER BY blk, rel), ' ')) AS target_hash
+       |  FROM (SELECT doc_id, blk, CAST(-1 AS BIGINT) AS rel,
+       |               '<extra_id_' || CAST(k AS VARCHAR) || '>' AS tok FROM blocks
+       |        UNION ALL SELECT doc_id, blk, rel, tok FROM masked)
+       |  GROUP BY doc_id),
+       |sp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM blocks GROUP BY doc_id)
+       |SELECT i.doc_id, coalesce(sp.n_spans, 0) AS n_spans, i.n_in, i.input_hash,
+       |       coalesce(t.target_hash, md5('')) AS target_hash
+       |FROM inp i LEFT JOIN sp ON sp.doc_id = i.doc_id
+       |LEFT JOIN tgt t ON t.doc_id = i.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_span_corrupt" -> spanCorrupt,
     "q_curation_pipeline" -> curationPipeline,
     "q_decontaminate" -> decontaminate,
     "q_sample_balanced" -> sampleBalanced,
@@ -601,6 +707,7 @@ object CorpusQueries {
     "q_embed_quantize" -> embedQuantize)
 
   val oracle: Map[String, String] = Map(
+    "q_span_corrupt" -> spanCorruptSql,
     "q_curation_pipeline" ->
       s"""WITH base AS (
          |  SELECT doc_id, text,

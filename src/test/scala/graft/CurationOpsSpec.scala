@@ -345,4 +345,40 @@ class CurationOpsSpec extends SparkSpec {
       assert((fm == -1L) == (r.getAs[Long]("n_matches") == 0L), s"flag mismatch: $r")
     }
   }
+
+  test("span corruption: every doc's hashes match an independent scalar re-implementation") {
+    val rows = SparkEntry.queries("q_span_corrupt")(spark, sf).collect()
+    Scratch.release(spark)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(rows.length == docs.size, "one row per doc")
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val B = queries.CorpusQueries.CorruptBlock.toInt
+    val L = queries.CorpusQueries.CorruptSpan.toInt
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val toks = docs(id).split(" ", -1)
+      def off(blk: Int): Int =
+        (java.lang.Long.parseLong(md5hex(s"$id#$blk").take(8), 16) % (B - L + 1)).toInt
+      val inspan = toks.indices.map { p =>
+        val rel = p % B; val o = off(p / B); rel >= o && rel < o + L
+      }
+      val blocks = toks.indices.filter(inspan).map(_ / B).distinct.sorted
+      val sent = blocks.zipWithIndex.map { case (b, i) => b -> s"<extra_id_${i + 1}>" }.toMap
+      val input = toks.indices.flatMap { p =>
+        if (!inspan(p)) Some(toks(p))
+        else if (p % B == off(p / B)) Some(sent(p / B)) // span head = sentinel slot
+        else None
+      }.mkString(" ")
+      val target = blocks.flatMap(b =>
+        sent(b) +: toks.indices.filter(p => inspan(p) && p / B == b).map(toks)).mkString(" ")
+      assert(r.getAs[Long]("n_spans") == blocks.length.toLong, s"n_spans: doc $id")
+      assert(r.getAs[String]("input_hash") == md5hex(input), s"input hash: doc $id")
+      assert(r.getAs[String]("target_hash") == md5hex(target), s"target hash: doc $id")
+      // corruption rate ~= L/B of maskable tokens
+      assert(r.getAs[Long]("n_in") ==
+        toks.length - inspan.count(identity) + blocks.length, s"n_in: doc $id")
+    }
+  }
 }
