@@ -111,6 +111,44 @@ object CorpusQueries {
   // beyond the count.
   private val MixCapBp = 40000L
 
+  // ---- temperature-scaled mixture weights (T = 0.5) ----
+  // The multilingual sampling staple (mT5 / XLM-R): p_l ∝ n_l^T with
+  // T < 1 flattens the language distribution so low-resource languages
+  // are over-sampled relative to their share. T = 0.5 makes the
+  // exponent an EXACT IEEE sqrt (correctly rounded in both engines) —
+  // a fractional pow() is a libm last-ulp lottery, the engine-wide
+  // transcendental rule. The normalizer W = Σ sqrt(n_l) is a LEFT FOLD
+  // over the lang-ascending list (fold ≡ list_sum precedent — sum
+  // aggregation order is never engine-stable for doubles); per-lang
+  // share = ONE IEEE expression → floor → BIGINT (nonneg, trunc ==
+  // floor). |langs| is bounded, so the fold array is a broadcast 1-row
+  // frame; everything upstream is one map-side-combined count.
+  private val mixTemperature: Q = (s, d) => {
+    val cnt = graft.Scratch.persist(
+      Tables.documents(s, d).groupBy("lang").agg(count(lit(1)).as("n_docs")))
+    val tot = cnt.agg(sum(col("n_docs")).as("total"),
+      expr("""aggregate(
+        transform(array_sort(collect_list(struct(lang, n_docs))),
+          x -> sqrt(CAST(x.n_docs AS DOUBLE))),
+        0D, (acc, v) -> acc + v)""").as("w"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        expr("(n_docs * 10000) DIV total").as("raw_bp"),
+        expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 10000.0 / w) AS BIGINT)")
+          .as("temp_bp"))
+  }
+
+  private val mixTemperatureSql: String =
+    """WITH cnt AS MATERIALIZED (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+      |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+      |               list_sum(list_transform(list(CAST(n_docs AS DOUBLE) ORDER BY lang),
+      |                 x -> sqrt(x))) AS w
+      |        FROM cnt)
+      |SELECT lang, n_docs, (n_docs * 10000) // total AS raw_bp,
+      |       CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 10000.0 / w) AS BIGINT) AS temp_bp
+      |FROM cnt CROSS JOIN tot""".stripMargin
+
   private val mixUpsample: Q = (s, d) => {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
     // persisted: cnt feeds BOTH the maxc aggregate and the weight-table
@@ -700,6 +738,7 @@ object CorpusQueries {
     "q_decontaminate" -> decontaminate,
     "q_sample_balanced" -> sampleBalanced,
     "q_mix_upsample" -> mixUpsample,
+    "q_mix_temperature" -> mixTemperature,
     "q_tfidf_terms" -> tfidfTerms,
     "q_bm25_topk" -> bm25,
     "q_hybrid_retrieval" -> hybrid,
@@ -764,6 +803,7 @@ object CorpusQueries {
          |           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS BIGINT) AS rk
          |  FROM documents)
          |WHERE rk <= $SampleCap""".stripMargin,
+    "q_mix_temperature" -> mixTemperatureSql,
     "q_mix_upsample" ->
       s"""WITH cnt AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
          |mx AS (SELECT max(cnt) AS maxc FROM cnt),

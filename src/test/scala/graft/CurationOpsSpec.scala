@@ -346,6 +346,33 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("mix temperature: shares normalize, T=0.5 flattens toward uniform") {
+    val rows = SparkEntry.queries("q_mix_temperature")(spark, sf).collect()
+    Scratch.release(spark)
+    assert(rows.length >= 2)
+    // floors: Σ share ∈ (10000 − |langs|, 10000]
+    Seq("raw_bp", "temp_bp").foreach { c =>
+      val tot = rows.map(_.getAs[Long](c)).sum
+      assert(tot > 10000L - rows.length && tot <= 10000L, s"$c sums to $tot")
+    }
+    // temperature flattens: every minority lang (raw < uniform) gains
+    // share, every majority lang loses it
+    val uniform = 10000L / rows.length
+    rows.foreach { r =>
+      val (raw, temp) = (r.getAs[Long]("raw_bp"), r.getAs[Long]("temp_bp"))
+      if (raw < uniform - 50) assert(temp > raw, s"minority lang not upweighted: $r")
+      if (raw > uniform + 50) assert(temp < raw, s"majority lang not downweighted: $r")
+      // exact scalar recheck: floor(sqrt(n)·1e4 / Σ sqrt(n_k) in lang order)
+    }
+    val sorted = rows.sortBy(_.getAs[String]("lang"))
+    val w = sorted.map(r => math.sqrt(r.getAs[Long]("n_docs").toDouble)).foldLeft(0.0)(_ + _)
+    sorted.foreach { r =>
+      val expect = math.floor(
+        math.sqrt(r.getAs[Long]("n_docs").toDouble) * 10000.0 / w).toLong
+      assert(r.getAs[Long]("temp_bp") == expect, s"temp_bp mismatch: $r")
+    }
+  }
+
   test("span corruption: every doc's hashes match an independent scalar re-implementation") {
     val rows = SparkEntry.queries("q_span_corrupt")(spark, sf).collect()
     Scratch.release(spark)
