@@ -105,13 +105,68 @@ object IncrementalQueries {
         (abs(col("approx") - col("exact_users")) <=
           col("exact_users") * 0.05).as("hll_ok"))
 
+  /** Snapshot diff — the dataset-versioning verb of a continuously
+    * recrawled corpus: which documents were ADDED / REMOVED / CHANGED /
+    * UNCHANGED between two corpus versions. v2 simulates the next crawl
+    * deterministically (doc_id%10: 7 → deleted, 3 → text mutated by the
+    * first-token drop, 1 → additionally re-ingested under a new id).
+    * The diff is ONE full-outer hash join on doc_id with an md5 content
+    * compare — the merge-on-read shape (one shuffle per side, gone
+    * entirely under bucketed layout); verdict aggregation carries
+    * integer checksums (count / Σid / min / max per status) so the
+    * result stays 4 bounded rows at any corpus size while still
+    * pinning the exact membership of every class.
+    */
+  private val snapshotQ: Q = (s, d) => {
+    val v1 = Tables.documents(s, d).select(col("doc_id"), md5(col("text")).as("h1"))
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val v2 = docs.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 10 === 3,
+          expr("substring(text, instr(text, ' ')+1)")).otherwise(col("text"))).as("h2"))
+      .unionAll(docs.filter(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 500000L).as("doc_id"), md5(col("text")).as("h2")))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_merge_upsert" -> mergeQ,
     "q_event_gaps" -> gapsQ,
     "q_rank_users" -> rankQ,
+    "q_snapshot_diff" -> snapshotQ,
     "q_approx_distinct" -> approxQ)
 
   val oracle: Map[String, String] = Map(
+    "q_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 10 = 3
+        |                  THEN substr(text, instr(text, ' ')+1) ELSE text END) AS h2
+        |  FROM documents WHERE doc_id % 10 <> 7
+        |  UNION ALL
+        |  SELECT doc_id + 500000 AS doc_id, md5(text) AS h2
+        |  FROM documents WHERE doc_id % 10 = 1),
+        |j AS (
+        |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |         CASE WHEN v1.h1 IS NULL THEN 'added'
+        |              WHEN v2.h2 IS NULL THEN 'removed'
+        |              WHEN v1.h1 <> v2.h2 THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM v1 FULL OUTER JOIN v2 ON v2.doc_id = v1.doc_id)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |       CAST(min(doc_id) AS BIGINT) AS min_id,
+        |       CAST(max(doc_id) AS BIGINT) AS max_id
+        |FROM j GROUP BY status""".stripMargin,
     "q_merge_upsert" ->
       """WITH changes AS (
         |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice

@@ -346,6 +346,26 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("snapshot diff: class counts match the planted crawl-change rule exactly") {
+    val rows = SparkEntry.queries("q_snapshot_diff")(spark, sf).collect()
+    Scratch.release(spark)
+    val byStatus = rows.map(r => r.getAs[String]("status") -> r).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val removed = docs.count(_._1 % 10 == 7)
+    // a %10==3 doc only CHANGES if the first-token drop alters the text
+    // (single-token docs mutate to themselves)
+    val changed = docs.count { case (id, t) => id % 10 == 3 && t.contains(' ') }
+    val added = docs.count(_._1 % 10 == 1)
+    assert(byStatus("removed").getAs[Long]("n_docs") == removed.toLong)
+    assert(byStatus("changed").getAs[Long]("n_docs") == changed.toLong)
+    assert(byStatus("added").getAs[Long]("n_docs") == added.toLong)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.length.toLong + added,
+      "classes must partition v1 ∪ v2-new")
+    // added ids live in the +500000 namespace
+    assert(byStatus("added").getAs[Long]("min_id") >= 500000L)
+  }
+
   test("mix temperature: shares normalize, T=0.5 flattens toward uniform") {
     val rows = SparkEntry.queries("q_mix_temperature")(spark, sf).collect()
     Scratch.release(spark)
