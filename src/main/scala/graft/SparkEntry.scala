@@ -100,7 +100,8 @@ object SparkEntry {
       "q_hybrid_retrieval_ivf"),
     "build_bpe_model" -> Set("q_tokenize_bpe", "q_bpe_terms",
       "q_bpe_fertility", "q_pack_sequences_bpe", "q_token_windows_bpe"),
-    "build_e1_model" -> Set("q_e1_pipeline", "q_e1_features"),
+    "build_e1_model" -> Set("q_e1_pipeline", "q_e1_features",
+      "q_chunk_semantic"),
     "build_pagerank_edges" -> Set("q_graph_pagerank"))
 
   /** Drop all memoized build artifacts (graph build, IVF index, E1

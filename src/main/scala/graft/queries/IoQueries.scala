@@ -426,6 +426,74 @@ object IoQueries {
        |FROM w WHERE _cnt >= 3 GROUP BY doc_id""".stripMargin
   }
 
+  /** Semantic chunking over the E1 scored windows — the RAG-era
+    * segmentation verb: a chunk boundary falls wherever the cosine
+    * between CONSECUTIVE window score-vectors drops below
+    * [[ChunkCosMin]] (topic/affect shift), so chunks are maximal runs
+    * of semantically-coherent windows. Rides the build_e1_model memo:
+    * vectors are the exported ×1e4 BIGINT emotion scores, so dot and
+    * norms are exact integers (≤ 6·10⁸, far inside BIGINT) and the ONE
+    * IEEE expression is the AnnNsw cosine shape (dot / sqrt(na·nb),
+    * round 6, +0.0); the boundary compare runs on the rounded value.
+    * Norms are never zero (the scores are a probability row summing to
+    * ~1e4). Per-doc result: window/chunk counts + the boundary-id
+    * checksum + the doc's minimum cosine — bounded rows at any corpus
+    * size. Scale: ONE per-doc window (lead), one groupBy(doc_id)
+    * reusing its exchange; τ = 0.4 ≈ the corpus p25, measured.
+    */
+  private val ChunkCosMin = 0.4
+
+  private val chunkSemantic: Q = (s, d) => {
+    val (path, _) = ensureScoredExport(s, d)
+    val labels = Inference.EmotionLabels
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("window_id")
+    val w = s.read.parquet(path)
+    val withNext = labels.foldLeft(w) { (df, m) =>
+      df.withColumn(s"_n_$m", lead(col(s"${m}_e4"), 1).over(byDoc))
+    }
+    val dot = labels.map(m => s"${m}_e4 * _n_$m").mkString(" + ")
+    val na = labels.map(m => s"${m}_e4 * ${m}_e4").mkString(" + ")
+    val nb = labels.map(m => s"_n_$m * _n_$m").mkString(" + ")
+    val cos = expr(s"round(CAST($dot AS DOUBLE) / " +
+      s"sqrt(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE)), 6) + 0.0")
+    withNext
+      .withColumn("cos", when(col(s"_n_${labels.head}").isNotNull, cos))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        (lit(1L) + sum(when(col("cos") < ChunkCosMin, 1L).otherwise(0L)))
+          .as("n_chunks"),
+        // 1-based ids in the checksum: window_id is 0-based, so a raw
+        // sum could not distinguish "no boundary" from "boundary at 0"
+        sum(when(col("cos") < ChunkCosMin, col("window_id") + lit(1L)).otherwise(0L))
+          .as("boundary_sum"),
+        coalesce(min(col("cos")), lit(2.0)).as("min_cos"))
+  }
+
+  private def chunkSemanticSql: String = {
+    val labels = Inference.EmotionLabels
+    val leads = labels.map(m =>
+      s"lead(${m}_e4) OVER (PARTITION BY doc_id ORDER BY window_id) AS _n_$m").mkString(",\n       |         ")
+    val dot = labels.map(m => s"${m}_e4 * _n_$m").mkString(" + ")
+    val na = labels.map(m => s"${m}_e4 * ${m}_e4").mkString(" + ")
+    val nb = labels.map(m => s"_n_$m * _n_$m").mkString(" + ")
+    s"""WITH w AS (SELECT * FROM '$e1ScoredExportPath/*.parquet'),
+       |p AS (SELECT doc_id, window_id, ${labels.map(m => s"${m}_e4").mkString(", ")},
+       |         $leads
+       |      FROM w),
+       |c AS (SELECT doc_id, window_id,
+       |         CASE WHEN _n_${labels.head} IS NOT NULL THEN
+       |           round(CAST($dot AS DOUBLE) /
+       |             sqrt(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE)), 6) + 0.0
+       |         END AS cos
+       |      FROM p)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+       |       CAST(1 + count(*) FILTER (WHERE cos < $ChunkCosMin) AS BIGINT) AS n_chunks,
+       |       CAST(coalesce(sum(window_id + 1) FILTER (WHERE cos < $ChunkCosMin), 0) AS BIGINT) AS boundary_sum,
+       |       coalesce(min(cos), 2.0) AS min_cos
+       |FROM c GROUP BY doc_id""".stripMargin
+  }
+
   /** Multimodal decode via the partition-handle codec — HASH-CHECKED
     * since r8 (VERDICT r7 #5): each document is rendered as a REAL
     * gzip'd binary PPM image, and the decode side genuinely inflates +
@@ -488,6 +556,7 @@ object IoQueries {
     "o01_ingest_scrape" -> ingest,
     "q_e1_pipeline" -> e1,
     "q_e1_features" -> e1Features,
+    "q_chunk_semantic" -> chunkSemantic,
     "q_multimodal_decode" -> mmDecode,
     "q_multimodal_resize" -> mmResize,
     "o02_wholefile_roundtrip" -> wholefile,
@@ -511,6 +580,7 @@ object IoQueries {
 
   val oracle: Map[String, String] = Map(
     "q_e1_features" -> e1FeaturesSql,
+    "q_chunk_semantic" -> chunkSemanticSql,
     "q_e1_pipeline" -> GraphQueries.rebalanceReplaySql(e1PreTreePath),
     "q_parquet_compact" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n,

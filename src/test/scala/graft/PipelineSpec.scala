@@ -50,6 +50,31 @@ class PipelineSpec extends SparkSpec {
     assert(leafSum == movies, "leaves must partition the movies")
   }
 
+  test("semantic chunking: counts are consistent, boundaries segment real docs") {
+    val rows = SparkEntry.queries("q_chunk_semantic")(spark, sf).collect()
+    Scratch.release(spark)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, nc) = (r.getAs[Long]("n_windows"), r.getAs[Long]("n_chunks"))
+      assert(nc >= 1L && nc <= nw, s"chunk count out of range: $r")
+      // a doc with b boundaries has b+1 chunks; their window ids are
+      // positive, so the checksum is zero iff there are no boundaries
+      assert((nc == 1L) == (r.getAs[Long]("boundary_sum") == 0L), s"checksum: $r")
+      val mc = r.getAs[Double]("min_cos")
+      // 2.0 is the no-pair sentinel (single-window doc)
+      assert((mc >= -1.000001 && mc <= 1.000001) || (mc == 2.0 && nw == 1L), s"min_cos: $r")
+      // boundary definition: the doc's minimum pair cosine decides
+      if (nw > 1L) assert((nc > 1L) == (mc < 0.4), s"boundary rule: $r")
+    }
+    // the threshold sits near the corpus p25 of PAIR cosines, so a
+    // meaningful fraction of docs splits and a meaningful fraction
+    // stays whole (measured 35% split at sf0.001) — both degenerate
+    // extremes (nothing splits / everything splits) are bugs
+    val split = rows.count(_.getAs[Long]("n_chunks") > 1L)
+    assert(split * 5 >= rows.length && split * 10 <= rows.length * 9,
+      s"degenerate segmentation: $split/${rows.length} docs split")
+  }
+
   test("e1 features: the wide (DECIMAL) face is bit-identical to the LONG face") {
     // bench SFs never cross the widening gate (maxCnt > 1e5), so the
     // DECIMAL path is pinned here against the LONG path on a synthetic
