@@ -441,7 +441,7 @@ object IoQueries {
     * size. Scale: ONE per-doc window (lead), one groupBy(doc_id)
     * reusing its exchange; τ = 0.4 ≈ the corpus p25, measured.
     */
-  private val ChunkCosMin = 0.4
+  private[graft] val ChunkCosMin = 0.4
 
   private val chunkSemantic: Q = (s, d) => {
     val (path, _) = ensureScoredExport(s, d)
@@ -449,9 +449,8 @@ object IoQueries {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("window_id")
     val w = s.read.parquet(path)
-    val withNext = labels.foldLeft(w) { (df, m) =>
-      df.withColumn(s"_n_$m", lead(col(s"${m}_e4"), 1).over(byDoc))
-    }
+    val withNext = w.select(w.columns.map(col) ++
+      labels.map(m => lead(col(s"${m}_e4"), 1).over(byDoc).as(s"_n_$m")): _*)
     val dot = labels.map(m => s"${m}_e4 * _n_$m").mkString(" + ")
     val na = labels.map(m => s"${m}_e4 * ${m}_e4").mkString(" + ")
     val nb = labels.map(m => s"_n_$m * _n_$m").mkString(" + ")

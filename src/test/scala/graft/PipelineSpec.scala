@@ -64,7 +64,8 @@ class PipelineSpec extends SparkSpec {
       // 2.0 is the no-pair sentinel (single-window doc)
       assert((mc >= -1.000001 && mc <= 1.000001) || (mc == 2.0 && nw == 1L), s"min_cos: $r")
       // boundary definition: the doc's minimum pair cosine decides
-      if (nw > 1L) assert((nc > 1L) == (mc < 0.4), s"boundary rule: $r")
+      if (nw > 1L) assert((nc > 1L) == (mc < queries.IoQueries.ChunkCosMin),
+        s"boundary rule: $r")
     }
     // the threshold sits near the corpus p25 of PAIR cosines, so a
     // meaningful fraction of docs splits and a meaningful fraction
