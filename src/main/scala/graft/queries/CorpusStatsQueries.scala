@@ -154,11 +154,85 @@ object CorpusStatsQueries {
        |SELECT bucket, new_ngrams, cum_ngrams, (new_ngrams * 10000) // total AS novelty_bp
        |FROM c CROSS JOIN t""".stripMargin
 
+  // ---- source-level corpus similarity: minhash estimate + exact arm ----
+  // The cross-corpus overlap statistic a mixture pipeline consults
+  // before merging crawls: for every source pair, the MinHash-signature
+  // Jaccard ESTIMATE (8 md5-window hashes — the dedup family's exact
+  // signature construction, collapsed to ONE 8-value signature per
+  // source; signatures are constant-size and MERGEABLE by elementwise
+  // min, the HLL-register property) next to the EXACT Jaccard over the
+  // distinct-shingle sets (the arm that grades the sketch — cheap here
+  // because per-shingle join groups are bounded by |sources|). At
+  // 100 TB only the signature column survives per corpus; the exact arm
+  // is the verification harness.
+  private val sourceSim: Q = (s, d) => {
+    // persisted: the distinct (source, shingle) set feeds the signature
+    // aggregate, the per-source counts, and BOTH sides of the exact
+    // intersection join
+    val ssh = graft.Scratch.persist(
+      Tables.documents(s, d).select(col("source"),
+          explode(call_function("token_shingles", col("text"), lit(3))).as("sh"))
+        .distinct())
+    val mins = (0 to 7).map(k =>
+      min(substring(md5(col("sh")), 3 * k + 1, 8)).as(s"mh$k"))
+    val sig = ssh.groupBy("source").agg(mins.head, mins.tail: _*)
+    val cnt = ssh.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = ssh.as("a")
+      .join(ssh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    val match8 = (0 to 7).map(k =>
+      when(col(s"s1.mh$k") === col(s"s2.mh$k"), 1L).otherwise(0L)).reduce(_ + _)
+    // the |sources|²-row inequality join is the accepted tiny-frame
+    // BroadcastNestedLoop pattern (PlanSpec stats-frame rule)
+    sig.as("s1").join(sig.as("s2"), col("s1.source") < col("s2.source"))
+      .select(col("s1.source").as("src_a"), col("s2.source").as("src_b"),
+        match8.as("match8"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .join(cnt.select(col("source").as("src_a"), col("n").as("na")), Seq("src_a"))
+      .join(cnt.select(col("source").as("src_b"), col("n").as("nb")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("match8"),
+        expr("(match8 * 10000) DIV 8").as("est_bp"),
+        expr("(coalesce(inter, 0) * 10000) DIV (na + nb - coalesce(inter, 0))")
+          .as("jac_bp"))
+  }
+
+  private val sourceSimSql: String = {
+    val minsSql = (0 to 7).map(k =>
+      s"min(substr(md5(sh), ${3 * k + 1}, 8)) AS mh$k").mkString(", ")
+    val match8Sql = (0 to 7).map(k =>
+      s"(CASE WHEN s1.mh$k = s2.mh$k THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH ssh AS MATERIALIZED (
+       |  SELECT DISTINCT source, sh FROM (
+       |    SELECT source, unnest(list_distinct(list_transform(
+       |      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+       |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS sh
+       |    FROM documents)),
+       |sig AS (SELECT source, $minsSql FROM ssh GROUP BY source),
+       |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ssh GROUP BY source),
+       |inter AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM ssh a JOIN ssh b ON b.sh = a.sh AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |p AS (SELECT s1.source AS src_a, s2.source AS src_b,
+       |             CAST($match8Sql AS BIGINT) AS match8
+       |      FROM sig s1 JOIN sig s2 ON s1.source < s2.source)
+       |SELECT p.src_a, p.src_b, p.match8, (p.match8 * 10000) // 8 AS est_bp,
+       |       (coalesce(i.inter, 0) * 10000)
+       |         // (ca.n + cb.n - coalesce(i.inter, 0)) AS jac_bp
+       |FROM p LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+       |JOIN cnt ca ON ca.source = p.src_a
+       |JOIN cnt cb ON cb.source = p.src_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_collocations" -> collocations,
-    "q_ngram_novelty" -> novelty)
+    "q_ngram_novelty" -> novelty,
+    "q_source_sim" -> sourceSim)
 
   val oracle: Map[String, String] = Map(
     "q_collocations" -> collocationsSql,
-    "q_ngram_novelty" -> noveltySql)
+    "q_ngram_novelty" -> noveltySql,
+    "q_source_sim" -> sourceSimSql)
 }

@@ -44,6 +44,32 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("source sim: all pairs present and canonical, estimate granular, exact arm checks out") {
+    val rows = SparkEntry.queries("q_source_sim")(spark, sf).collect()
+    Scratch.release(spark)
+    val nSources = Tables.documents(spark, sf).select("source").distinct().count().toInt
+    assert(rows.length == nSources * (nSources - 1) / 2, "one row per source pair")
+    rows.foreach { r =>
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"), s"non-canonical: $r")
+      val m8 = r.getAs[Long]("match8")
+      assert(m8 >= 0L && m8 <= 8L)
+      assert(r.getAs[Long]("est_bp") == m8 * 10000 / 8)
+      val j = r.getAs[Long]("jac_bp")
+      assert(j >= 0L && j <= 10000L, s"jaccard out of range: $r")
+    }
+    // exact arm re-derivation for the lexicographically first pair
+    import org.apache.spark.sql.functions._
+    val ssh = Tables.documents(spark, sf).select(col("source"),
+        explode(call_function("token_shingles", col("text"), lit(3))).as("sh"))
+      .distinct().collect().map(r => r.getString(0) -> r.getString(1))
+    val first = rows.minBy(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")))
+    val sa = ssh.filter(_._1 == first.getAs[String]("src_a")).map(_._2).toSet
+    val sb = ssh.filter(_._1 == first.getAs[String]("src_b")).map(_._2).toSet
+    val inter = (sa & sb).size.toLong
+    assert(first.getAs[Long]("jac_bp") ==
+      inter * 10000 / (sa.size + sb.size - inter), s"exact arm: $first")
+  }
+
   test("novelty: buckets conserve the distinct-shingle total, cumulative is the running sum") {
     val rows = SparkEntry.queries("q_ngram_novelty")(spark, sf)
       .orderBy(org.apache.spark.sql.functions.col("bucket")).collect()
