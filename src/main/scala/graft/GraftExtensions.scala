@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{CdcChunksExpr, CleanSuffixExpr, CosineSimilarityExpr, DotProductExpr, L2DistanceExpr, PqAdcExpr, TokenShinglesAllExpr, TokenShinglesExpr}
+import graft.functions.expressions.{CdcChunksExpr, CleanSuffixExpr, CosineSimilarityExpr, DotProductExpr, L2DistanceExpr, PiiScrubExpr, PqAdcExpr, TokenShinglesAllExpr, TokenShinglesExpr}
 
 /** Session extension registering the engine's native expressions as SQL
   * functions (`cosine_similarity`, `l2_distance`) — enable with
@@ -46,6 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cdc_chunks"),
       new ExpressionInfo(classOf[CdcChunksExpr].getName, "cdc_chunks"),
       (children: Seq[Expression]) => CdcChunksExpr(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("pii_scrub"),
+      new ExpressionInfo(classOf[PiiScrubExpr].getName, "pii_scrub"),
+      (children: Seq[Expression]) => PiiScrubExpr(children(0))))
     ext.injectFunction((
       FunctionIdentifier("clean_suffix"),
       new ExpressionInfo(classOf[CleanSuffixExpr].getName, "clean_suffix"),

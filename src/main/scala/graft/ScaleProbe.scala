@@ -31,7 +31,8 @@ object ScaleProbe {
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (mode == "bloom") println(bloomProbe(spark, dir))
+    if (mode == "pii") println(piiProbe(spark, dir))
+    else if (mode == "bloom") println(bloomProbe(spark, dir))
     else if (mode == "nsw") println(nswProbe(spark, dir))
     else if (mode == "act") println(actProbe(spark, dir))
     else if (mode == "floor") println(floorProbe(spark, dir))
@@ -243,6 +244,44 @@ object ScaleProbe {
     }
     val fullS = time(graft.SparkEntry.queries("q_act_features")(spark, dir))
     f"""{"scan_s":$scanS%.3f,"window_s":$windowS%.3f,"aggonly_s":$aggOnlyS%.3f,"full_s":$fullS%.3f}"""
+  }
+
+  /** Attribution for q_pii_scrub (r16): raw kernel throughput off-Spark
+    * over the ACTUAL decorated rows vs declared-query exec time vs a
+    * scan-only baseline — separates regex cost from the stage floor.
+    * Dev-only collect (bounded at probe SFs).
+    */
+  private def piiProbe(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions._
+    val raw = Tables.documents(spark, dir).select(concat(col("text"),
+      lit(" Contact user"), col("doc_id"), lit("@example.com or https://example.org/doc/"),
+      col("doc_id"), lit(" tel +1 555-867-5309 ip 10.0."),
+      pmod(col("doc_id"), lit(256)), lit(".7")).as("raw"))
+      .collect().map(r => org.apache.spark.unsafe.types.UTF8String
+        .fromString(r.getString(0)))
+    var kernelMs = Double.MaxValue
+    (1 to 5).foreach { _ =>
+      val t0 = System.nanoTime()
+      var i = 0; var acc = 0L
+      while (i < raw.length) {
+        acc += graft.functions.expressions.PiiScrub.compute(raw(i)).getLong(1)
+        i += 1
+      }
+      kernelMs = math.min(kernelMs, (System.nanoTime() - t0) / 1e6 + (acc - acc))
+    }
+    def execMin(mk: () => org.apache.spark.sql.DataFrame): Double = {
+      var m = Double.MaxValue
+      (1 to 5).foreach { _ =>
+        val t0 = System.nanoTime()
+        mk().queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
+        m = math.min(m, (System.nanoTime() - t0) / 1e6)
+      }
+      m
+    }
+    val qMs = execMin(() => graft.SparkEntry.queries("q_pii_scrub")(spark, dir))
+    val scanMs = execMin(() => Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text"))))
+    f"""{"rows":${raw.length},"kernel_ms":$kernelMs%.1f,"query_exec_ms":$qMs%.1f,"scan_ms":$scanMs%.1f}"""
   }
 
   private def floorProbe(spark: SparkSession, dir: String): String = {

@@ -87,6 +87,39 @@ class TextCleanSpec extends SparkSpec {
       }
   }
 
+  test("pii_scrub kernel == sequential 9-pass form (corpus + adversarial)") {
+    import org.apache.spark.sql.functions._
+    // corpus parity at two SFs: the declared single-pass query must be
+    // row-identical to the historical sequential form (counts included)
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { sf =>
+      val fused = graft.queries.TextAnalyticsQueries.queries("q_pii_scrub")(spark, sf)
+      val seq = graft.queries.TextAnalyticsQueries.piiSequential(spark, sf)
+      assert(fused.exceptAll(seq).count() == 0 && seq.exceptAll(fused).count() == 0,
+        s"pii_scrub diverges from the sequential form on $sf")
+    }
+    // adversarial shapes: containment (email inside URL scrubs as URL),
+    // adjacency, repeats, boundary digits around IPs, '+' inside email
+    // local parts (must NOT become a phone), no-PII text
+    def seqScrub(c: Column): Column =
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(c,
+        "https?://[^\\s]+", "<URL>"),
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\+\\d[\\d -]{6,}\\d", "<PHONE>"),
+        "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    Seq(
+      "visit https://a.b/c?u=x@y.com now", "a@b.co c@d.org",
+      "call +1 234 567 8901 or +44 20-7946-0958 end",
+      "ip 1.2.3.4.5 and 255.255.255.255", "x1.2.3.4y 1.2.3.4",
+      "user+tag@example.com", "+15558675309 a@b.cd 9.9.9.9",
+      "no pii at all here", "", "@ http:// + 1.2.3",
+      "https://x@y.com https://u:p@h.io/q a@b.io https://z.z")
+      .foreach { s =>
+        val fused = evalStr(call_function("pii_scrub", lit(s)).getField("scrubbed"))
+        val sq = evalStr(seqScrub(lit(s)))
+        assert(fused == sq, s"diverges on '$s': '$fused' vs '$sq'")
+      }
+  }
+
   test("title/year split with 1800 fallback (scraper.py:85-88)") {
     assert(evalStr(titleOf(lit("The Matrix (1999)"))) == "The Matrix")
     assert(evalStr(yearOf(lit("The Matrix (1999)"))) == "1999")
