@@ -32,6 +32,7 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "pii") println(piiProbe(spark, dir))
+    else if (mode == "tfidf") println(tfidfProbe(spark, dir))
     else if (mode == "bloom") println(bloomProbe(spark, dir))
     else if (mode == "nsw") println(nswProbe(spark, dir))
     else if (mode == "act") println(actProbe(spark, dir))
@@ -282,6 +283,28 @@ object ScaleProbe {
     val scanMs = execMin(() => Tables.documents(spark, dir)
       .select(col("doc_id"), length(col("text"))))
     f"""{"rows":${raw.length},"kernel_ms":$kernelMs%.1f,"query_exec_ms":$qMs%.1f,"scan_ms":$scanMs%.1f}"""
+  }
+
+  /** Attribution for q_tfidf_terms (r16): the full single-job query vs
+    * just materializing the tok-partitioned token stream (scan + explode
+    * + one exchange) — the delta is the aggregate/window work.
+    */
+  private def tfidfProbe(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions._
+    def execMin(mk: () => org.apache.spark.sql.DataFrame): Double = {
+      var m = Double.MaxValue
+      (1 to 5).foreach { _ =>
+        val t0 = System.nanoTime()
+        mk().queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
+        m = math.min(m, (System.nanoTime() - t0) / 1e6)
+      }
+      m
+    }
+    val tokMs = execMin(() => Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("tok"))
+      .repartition(col("tok")))
+    val qMs = execMin(() => graft.SparkEntry.queries("q_tfidf_terms")(spark, dir))
+    f"""{"tok_exchange_ms":$tokMs%.1f,"query_ms":$qMs%.1f}"""
   }
 
   private def floorProbe(spark: SparkSession, dir: String): String = {

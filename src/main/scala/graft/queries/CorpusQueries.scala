@@ -173,12 +173,25 @@ object CorpusQueries {
   // identically for fixed corpus size). Two aggregations over one
   // persisted token table, equi-join on term, WindowGroupLimit top-k.
   private val tfidfTerms: Q = (s, d) => {
-    // scratch-persisted: consumed by both the tf and df aggregations
-    val toks = graft.Scratch.persist(Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("tok")))
-    val tf = toks.groupBy("source", "tok").agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
-    tf.join(df, Seq("tok"))
+    // r16 (VERDICT r15 #3): single-consumption one-exchange shape. The
+    // old form persisted the exploded tokens and scanned the cache twice
+    // (tf agg + df agg) then joined — a persist wave, two aggregates and
+    // a join. Instead: hash-partition the tokens on `tok` ONCE, collapse
+    // to distinct (tok, doc_id, source) groups (a doc has one source, so
+    // per-tok rows ARE the distinct docs), take df as a tok-partitioned
+    // window count over those groups, and roll up tf per (source, tok) —
+    // HashPartitioning on a subset of the group keys satisfies every
+    // ClusteredDistribution in the chain, so ONE exchange carries the
+    // per-doc aggregate, the df window and the tf aggregate; only the
+    // small per-source top-k window shuffles again. No persist, no join,
+    // the token stream is consumed exactly once.
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("tok"))
+      .repartition(col("tok"))
+    toks.groupBy("tok", "doc_id", "source").agg(count(lit(1)).as("c"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")).cast("long"))
+      .groupBy("source", "tok")
+      .agg(sum(col("c")).as("tf"), max(col("df")).as("df"))
       .withColumn("score_bp", expr("(tf*10000) DIV df"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("source").orderBy(col("score_bp").desc, col("tok")))
