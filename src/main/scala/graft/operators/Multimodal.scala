@@ -159,6 +159,44 @@ object Multimodal {
       (outW, outH, outW * outH * Channels, checksum)
     }
 
+    /** 56-bit difference hash (dHash) over the REAL decoded plane — the
+      * perceptual fingerprint for image near-dup (r16, VERDICT r15 #1).
+      * Nearest-neighbor sample to a fixed 8×8 grayscale grid (rows
+      * `g·h DIV 8`, the even pixel columns — the stride-2 resize
+      * columns), gray = (r+g+b) DIV 3, then 7 left<right comparison
+      * bits per grid row at positions g·7+j. 56 bits keeps the top
+      * bits clear, so the DuckDB twin's `sum(1 << bitpos)` replay stays
+      * inside BIGINT (bit 63 would flip the sign / widen to HUGEINT —
+      * the lint-banned class). A one-byte content perturbation touches
+      * at most one sampled cell → at most 2 adjacent bits → at most 2
+      * dirty 14-bit bands of 4, so banded blocking always retains
+      * planted near-dups.
+      */
+    def dhash(payload: Array[Byte]): Long = {
+      val (raw, w, h, pos, _) = parse(payload)
+      var bits = 0L
+      val gray = new Array[Int](8)
+      var g = 0
+      while (g < 8) {
+        val r = g * h / 8
+        var j = 0
+        while (j < 8) {
+          val c = j * w / 8
+          val base = pos + (r * w + c) * Channels
+          gray(j) = ((raw(base) & 0xff) + (raw(base + 1) & 0xff) +
+            (raw(base + 2) & 0xff)) / 3
+          j += 1
+        }
+        j = 0
+        while (j < 7) {
+          if (gray(j) < gray(j + 1)) bits |= 1L << (g * 7 + j)
+          j += 1
+        }
+        g += 1
+      }
+      bits
+    }
+
     def close(): Unit = ()
   }
 
@@ -204,6 +242,24 @@ object Multimodal {
         }
       }
       out // iterator; codec lives for the partition lifetime
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Appends a BIGINT `dhash` column (see [[PpmGzCodec.dhash]]); same
+    * partition-handle lifecycle as [[decodeFeatures]].
+    */
+  def dhashFeatures(df: DataFrame, payloadCol: String,
+      batchSize: Int = 16): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("dhash", LongType, nullable = false))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      val codec = new PpmGzCodec
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map(r =>
+          Row.fromSeq(r.toSeq :+ codec.dhash(r.getAs[Array[Byte]](idx))))
+      }
     }
     df.sparkSession.createDataFrame(rdd, schema)
   }

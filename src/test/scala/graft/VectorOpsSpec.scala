@@ -129,6 +129,50 @@ class VectorOpsSpec extends SparkSpec {
     assert(ck1 == content.map(_ & 0xff).map(_.toLong).sum)
   }
 
+  test("multimodal dhash: scalar reference, perturbation bound, planted recall") {
+    import graft.operators.Multimodal
+    val codec = new Multimodal.PpmGzCodec
+    // (1) independent scalar re-implementation (the q_span_corrupt
+    // convention): sampled rows g*h/8, even pixel columns, gray =
+    // 3-byte sum / 3, bit 1<<(g*7+j) when left < right
+    def refHash(content: Array[Byte]): Long = {
+      val h = math.max(1, (content.length + 47) / 48)
+      val plane = content ++ new Array[Byte](h * 48 - content.length)
+      def gray(r: Int, c: Int): Int =
+        (0 until 3).map(ch => plane((r * 16 + c) * 3 + ch) & 0xff).sum / 3
+      (for { g <- 0 until 8; j <- 0 until 7 } yield {
+        val r = g * h / 8
+        if (gray(r, 2 * j) < gray(r, 2 * (j + 1))) 1L << (g * 7 + j) else 0L
+      }).sum
+    }
+    val content = ("the quick brown fox " * 30).getBytes("UTF-8") // h = 13
+    assert(codec.dhash(codec.encode(content)) == refHash(content))
+    assert(refHash(content) != 0L && refHash(content) < (1L << 56))
+    // (2) one-byte perturbation of a tall image (h >= 8: every pixel
+    // row is sampled by at most one grid row) flips <= 2 adjacent bits
+    // -> at least 2 of the 4 14-bit bands stay clean
+    (0 until content.length by 37).foreach { p =>
+      val mut = content.clone(); mut(p) = (mut(p) + 1).toByte
+      val a = codec.dhash(codec.encode(content))
+      val b = codec.dhash(codec.encode(mut))
+      assert(java.lang.Long.bitCount(a ^ b) <= 2, s"pos $p flips >2 bits")
+      val cleanBands = (0 until 4).count(k =>
+        ((a >> (14 * k)) & 16383L) == ((b >> (14 * k)) & 16383L))
+      assert(cleanBands >= 2, s"pos $p dirties >2 bands")
+    }
+    // (3) planted recall through the declared query: every 5th doc's
+    // mutant pair (id, id+600000) must be recovered at sf0.001
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.queries.IoQueries.queries("q_multimodal_phash")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val planted = Tables.documents(spark, sf)
+      .filter("doc_id % 5 = 0 AND length(text) > 0")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(planted.nonEmpty)
+    val missed = planted.filterNot(id => out.contains((id, id + 600000L)))
+    assert(missed.isEmpty, s"planted pairs missed: ${missed.take(5).mkString(",")}")
+  }
+
   test("multimodal codec: gzip'd PPM round-trips geometry, digest, pad") {
     import graft.operators.Multimodal
     // one short doc (sub-row, padded), one spanning many pixel rows
