@@ -320,19 +320,29 @@ object CorpusQueries {
     */
   private def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val ix = bm25Index(s, d)
-    val terms = s.read.parquet(ix.termsPath)
-      .filter(col("idf_e6") >= Bm25IdfFloorE6)
-      .select("tok", "idf_e6")
     val probes = Tables.documents(s, d).filter(col("doc_id") < Bm25Probes)
       .select(col("doc_id").as("probe_id"),
         explode(slice(split(col("text"), " "), 1, Bm25QTerms)).as("tok"))
       .distinct()
+    bm25ScoreOver(s, ix.post, ix.lens, ix.g, ix.termsPath, probes)
+  }
+
+  /** The probe⋈postings BM25 scoring chain over an explicit index state
+    * (postings, lens, totals, terms export) — shared by the standing
+    * index ([[bm25Scored]]) and the upserted state (q_bm25_upsert).
+    */
+  private def bm25ScoreOver(s: SparkSession, post: DataFrame,
+      lens: DataFrame, g: DataFrame, termsPath: String,
+      probes: DataFrame): DataFrame = {
+    val terms = s.read.parquet(termsPath)
+      .filter(col("idf_e6") >= Bm25IdfFloorE6)
+      .select("tok", "idf_e6")
     // probe terms ⋈ floored term stats FIRST (both tiny, broadcast): a
     // sub-floor probe term never reaches the postings join at all
     broadcast(probes.join(broadcast(terms), Seq("tok")))
-      .join(ix.post, Seq("tok"))
-      .join(ix.lens, Seq("doc_id"))
-      .crossJoin(broadcast(ix.g))
+      .join(post, Seq("tok"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(g))
       .withColumn("tp_bp", expr(
         "CAST((CAST(tf AS DECIMAL(38,0)) * 2200000 * t * 10000) DIV " +
           "(CAST(tf AS DECIMAL(38,0)) * 1000000 * t + CAST(300000 AS DECIMAL(38,0)) * t " +
@@ -354,6 +364,87 @@ object CorpusQueries {
         .cast("long"))
       .filter(col("rk") <= Bm25K)
       .select("probe_id", "rk", "doc_id", "score")
+
+  // ---- incremental BM25 index maintenance (r16 — VERDICT r15 #7) ----
+  // The ingestion-time shape the IVF index already had (appendToIndex +
+  // q_ann_ivf_upsert) but the inverted index lacked: a delta corpus is
+  // tokenized ONCE and appended — postings/lengths by union, corpus
+  // totals by scalar addition, per-term df by a full-outer merge of the
+  // standing export with the delta's df (every piece mergeable, so at
+  // 100 TB a batch costs Θ(|delta|), never a corpus re-scan). idf is
+  // the one non-mergeable value (a function of merged df and the new
+  // n), recomputed over the |vocab|-row merged table and RE-EXPORTED to
+  // its own fixed path for the twin.
+  //
+  // Verification is a FULL-REBUILD oracle: the twin re-derives
+  // postings/lens/(n,t) — and the df underlying probe_df — from the
+  // unioned corpus from scratch; only idf_e6 (the transcendental) comes
+  // from the export, per the engine-wide export-replay convention. An
+  // incremental drift in postings, lens, totals, or the df merge flips
+  // the hash.
+  private[graft] val Bm25UpsertMod = 7L
+
+  private def bm25UpsertExportPath: String = java.nio.file.Paths
+    .get(sys.props("java.io.tmpdir"), "graft_bm25_upsert_terms").toString
+
+  private val bm25Upsert: Q = (s, d) => {
+    val ix = bm25Index(s, d)
+    // delta shard: every 7th doc, first token dropped (the q_dedup_delta
+    // mutation family), +700000 namespace
+    val delta = Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(Bm25UpsertMod)) === 0)
+      .select((col("doc_id") + 700000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ')+1)").as("text"))
+    // persisted: the delta postings feed the union, the delta lengths,
+    // and the df merge
+    val dPost = graft.Scratch.persist(delta
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
+    val dLens = dPost.groupBy("doc_id").agg(sum("tf").as("len"))
+    val post2 = ix.post.unionAll(dPost)
+    val lens2 = ix.lens.unionAll(dLens)
+    val g2 = ix.g.crossJoin(broadcast(
+        dLens.agg(count(lit(1)).as("dn"), sum(col("len")).as("dt"))))
+      .select((col("n") + col("dn")).as("n"),
+        (col("t") + coalesce(col("dt"), lit(0L))).as("t"))
+    val dDf = dPost.groupBy("tok").agg(count(lit(1)).as("ddf"))
+    val terms2 = s.read.parquet(ix.termsPath).select(col("tok"), col("df"))
+      .join(dDf, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("ddf"), lit(0L))).as("df"))
+      .crossJoin(broadcast(g2.select(col("n").as("_n"))))
+      .select(col("tok"), col("df"),
+        expr("CAST(round(ln(1.0 + (CAST(_n AS DOUBLE) - df + 0.5) / (df + 0.5)) * 1000000) AS BIGINT)")
+          .as("idf_e6"))
+    // dual-path export (the bm25Index convention): per-dir for the
+    // engine, fixed for the static oracle SQL
+    val dirPath = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_bm25_upsert_terms_" + graft.Scratch.dirTag(d)).toString
+    terms2.write.mode("overwrite").parquet(dirPath)
+    s.read.parquet(dirPath).write.mode("overwrite").parquet(bm25UpsertExportPath)
+    // probes: the first delta docs' leading terms — every probe must
+    // retrieve against the UPSERTED state (itself at rank 1 unless its
+    // mutated text became a duplicate of a standing doc)
+    val probes = delta.filter(col("doc_id") < 700000L + Bm25Probes * Bm25UpsertMod)
+      .select(col("doc_id").as("probe_id"),
+        explode(slice(split(col("text"), " "), 1, Bm25QTerms)).as("tok"))
+      .distinct()
+    val scored = bm25ScoreOver(s, post2, lens2, g2, dirPath, probes)
+    // probe_df: Σ merged df over the probe's floored terms — the twin
+    // RECOUNTS df from the unioned corpus, so a df-merge drift flips
+    // the hash even where the idf export would mask it
+    val pdf = probes.join(
+        s.read.parquet(dirPath).filter(col("idf_e6") >= Bm25IdfFloorE6)
+          .select("tok", "df"), Seq("tok"))
+      .groupBy("probe_id").agg(sum(col("df")).as("probe_df"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("score").desc, col("doc_id")))
+        .cast("long"))
+      .filter(col("rk") <= Bm25K)
+      .join(pdf, Seq("probe_id"))
+      .select("probe_id", "rk", "doc_id", "score", "probe_df")
+  }
 
   /** The shared WITH-body producing `scored(probe_id, doc_id, score)` —
     * the twin of [[bm25Scored]], reused by both oracle queries.
@@ -754,6 +845,7 @@ object CorpusQueries {
     "q_mix_temperature" -> mixTemperature,
     "q_tfidf_terms" -> tfidfTerms,
     "q_bm25_topk" -> bm25,
+    "q_bm25_upsert" -> bm25Upsert,
     "q_hybrid_retrieval" -> hybrid,
     "q_hybrid_retrieval_ivf" -> hybridIvf,
     "q_embed_quantize" -> embedQuantize)
@@ -843,6 +935,58 @@ object CorpusQueries {
         |  FROM tf JOIN df USING (tok))
         |WHERE rk <= 10""".stripMargin,
     "q_bm25_topk" -> bm25Sql,
+    // q_bm25_upsert twin: FULL REBUILD over the unioned corpus —
+    // postings, lens, totals and the df behind probe_df are re-derived
+    // from scratch; only idf_e6 (the transcendental) reads the upserted
+    // export, so any incremental-merge drift on the Spark side flips
+    // the hash
+    "q_bm25_upsert" ->
+      s"""WITH delta AS (
+         |  SELECT doc_id + 700000 AS doc_id,
+         |         substr(text, instr(text, ' ') + 1) AS text
+         |  FROM documents WHERE doc_id % $Bm25UpsertMod = 0),
+         |udocs AS (SELECT doc_id, text FROM documents
+         |          UNION ALL SELECT doc_id, text FROM delta),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM udocs),
+         |post AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |         FROM toks GROUP BY doc_id, tok),
+         |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len
+         |         FROM post GROUP BY doc_id),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len) AS BIGINT) AS t FROM lens),
+         |terms AS (SELECT tok, idf_e6 FROM '$bm25UpsertExportPath/*.parquet'
+         |          WHERE idf_e6 >= $Bm25IdfFloorE6),
+         |dfr AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY tok),
+         |probes AS (
+         |  SELECT DISTINCT probe_id, tok FROM (
+         |    SELECT doc_id AS probe_id,
+         |           unnest(string_split(text, ' ')[1:$Bm25QTerms]) AS tok
+         |    FROM delta WHERE doc_id < ${700000L + Bm25Probes * Bm25UpsertMod})),
+         |scored AS (
+         |  SELECT p.probe_id, post.doc_id,
+         |         CAST(sum(tm.idf_e6 * CAST(
+         |           (CAST(post.tf AS HUGEINT) * 2200000 * g.t * 10000)
+         |           // (CAST(post.tf AS HUGEINT) * 1000000 * g.t
+         |               + CAST(300000 AS HUGEINT) * g.t
+         |               + CAST(900000 AS HUGEINT) * l.len * g.n) AS BIGINT)) AS BIGINT) AS score
+         |  FROM probes p
+         |  JOIN post ON post.tok = p.tok
+         |  JOIN terms tm ON tm.tok = p.tok
+         |  JOIN lens l ON l.doc_id = post.doc_id
+         |  CROSS JOIN g
+         |  GROUP BY p.probe_id, post.doc_id),
+         |pdf AS (SELECT p.probe_id, CAST(sum(d.df) AS BIGINT) AS probe_df
+         |        FROM probes p
+         |        JOIN terms tm ON tm.tok = p.tok
+         |        JOIN dfr d ON d.tok = p.tok
+         |        GROUP BY p.probe_id)
+         |SELECT s.probe_id, s.rk, s.doc_id, s.score, pdf.probe_df
+         |FROM (
+         |  SELECT probe_id, doc_id, score,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY probe_id ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+         |  FROM scored) s
+         |JOIN pdf USING (probe_id)
+         |WHERE s.rk <= $Bm25K""".stripMargin,
     "q_hybrid_retrieval" -> hybridSql,
     "q_hybrid_retrieval_ivf" -> hybridIvfSql,
     "q_embed_quantize" ->

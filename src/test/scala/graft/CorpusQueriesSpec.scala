@@ -52,6 +52,35 @@ class CorpusQueriesSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("bm25_upsert: merged df equals a full recount; ranks well-formed") {
+    val k = CorpusQueries.Bm25K
+    val r = q("q_bm25_upsert").cache()
+    val per = r.groupBy("probe_id").agg(count(lit(1)).as("n"),
+      max("rk").as("mx"), min("rk").as("mn"))
+    assert(per.count() > 0, "no upsert probes retrieved")
+    assert(per.filter(col("n") =!= k || col("mx") =!= k || col("mn") =!= 1).count() === 0,
+      s"each probe must have exactly ranks 1..$k")
+    // probe ids live in the delta namespace
+    assert(r.filter(col("probe_id") < 700000L).count() === 0)
+    // the q() run above just (re)wrote the upserted-terms export: its
+    // MERGED (tok, df) must equal a from-scratch recount over the
+    // unioned corpus — the incremental-maintenance identity itself
+    val exportPath = java.nio.file.Paths
+      .get(sys.props("java.io.tmpdir"), "graft_bm25_upsert_terms").toString
+    val merged = spark.read.parquet(exportPath).select("tok", "df")
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val delta = docs.filter(col("doc_id") % CorpusQueries.Bm25UpsertMod === 0)
+      .select((col("doc_id") + 700000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ')+1)").as("text"))
+    val recount = docs.unionAll(delta)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df2"))
+    assert(merged.join(recount, Seq("tok"), "full_outer")
+      .filter(col("df").isNull || col("df2").isNull || col("df") =!= col("df2"))
+      .count() === 0, "incremental df merge diverges from full recount")
+    r.unpersist()
+  }
+
   test("hybrid_retrieval: fused ranks well-formed and rrf reconstructible from leg ranks") {
     val k = CorpusQueries.Bm25K
     val r = q("q_hybrid_retrieval").cache()
