@@ -247,6 +247,23 @@ object ScaleProbe {
     f"""{"scan_s":$scanS%.3f,"window_s":$windowS%.3f,"aggonly_s":$aggOnlyS%.3f,"full_s":$fullS%.3f}"""
   }
 
+  /** Shared cold-timed stage harness for the pack-level probes (ADVICE
+    * r15 #4 — docsimProbe and lpaProbe each hand-rolled this): runs
+    * `cold()` + one DISCARDED warmup of the first stage (JVM/codegen),
+    * then cold-times each (name, thunk) stage in order. Dev-only.
+    */
+  private[graft] def coldStages(cold: () => Unit,
+      stages: (String, () => Long)*): Seq[(String, Long, Double)] = {
+    cold()
+    stages.head._2.apply() // warmup — discard
+    stages.map { case (name, f) =>
+      cold()
+      val t0 = System.nanoTime()
+      val n = f()
+      (name, n, (System.nanoTime() - t0) / 1e9)
+    }
+  }
+
   /** Attribution for q_pii_scrub (r16): raw kernel throughput off-Spark
     * over the ACTUAL decorated rows vs declared-query exec time vs a
     * scan-only baseline — separates regex cost from the stage floor.

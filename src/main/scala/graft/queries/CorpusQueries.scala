@@ -768,9 +768,12 @@ object CorpusQueries {
         .withColumn("inspan",
           col("rel") >= col("off") && col("rel") < col("off") + CorruptSpan))
     val masked = toks.filter(col("inspan"))
-    val blocks = masked.groupBy("doc_id", "blk").agg(min(col("off")).as("off"))
-      .withColumn("k", row_number().over(
-        Window.partitionBy("doc_id").orderBy("blk")).cast("long"))
+    // persisted (ADVICE r15): consumed by sentinels, tgtRows and spans —
+    // unpersisted, the aggregation+window re-derived once per consumer
+    val blocks = graft.Scratch.persist(
+      masked.groupBy("doc_id", "blk").agg(min(col("off")).as("off"))
+        .withColumn("k", row_number().over(
+          Window.partitionBy("doc_id").orderBy("blk")).cast("long")))
     val sentTok = concat(lit("<extra_id_"), col("k"), lit(">"))
     val sentinels = blocks.select(col("doc_id"),
       (col("blk") * CorruptBlock + col("off")).as("pos"), sentTok.as("tok"))

@@ -792,21 +792,13 @@ object DedupQueries {
     * full run is the scoring-join + norm pipeline. Dev-only.
     */
   private[graft] def docsimProbe(s: SparkSession, d: String): String = {
-    def t(f: => Long): (Long, Double) = {
-      val t0 = System.nanoTime(); val n = f; (n, (System.nanoTime() - t0) / 1e9)
-    }
-    def cold(): Unit = { graft.Scratch.releaseAll(); clearCache() }
-    cold()
-    tfidfCos(s, d).count() // JVM/codegen warmup — discard
-    cold()
-    val (nFull, tFull) = t { tfidfCos(s, d).count() }
-    cold()
-    val (nCand, tCand) = t { minhash(s, d).count() }
-    cold()
-    val (nTerms, tTerms) = t { tfidfTerms(s, d).count() }
-    cold()
-    f"full=$tFull%.2fs ($nFull rows) cand=$tCand%.2fs ($nCand pairs) " +
-      f"terms=$tTerms%.2fs ($nTerms rows) scoring~=${tFull - tCand - tTerms}%.2fs"
+    val Seq(full, cand, terms) = graft.ScaleProbe.coldStages(
+      () => { graft.Scratch.releaseAll(); clearCache() },
+      "full" -> (() => tfidfCos(s, d).count()),
+      "cand" -> (() => minhash(s, d).count()),
+      "terms" -> (() => tfidfTerms(s, d).count()))
+    f"full=${full._3}%.2fs (${full._2} rows) cand=${cand._3}%.2fs (${cand._2} pairs) " +
+      f"terms=${terms._3}%.2fs (${terms._2} rows) scoring~=${full._3 - cand._3 - terms._3}%.2fs"
   }
 
   // def, not val: references minhashSql, declared LATER in this object —

@@ -243,18 +243,12 @@ object GraphAnalyticsQueries {
     * the cadence-2 localCheckpoint each). Dev-only.
     */
   private[graft] def lpaProbe(s: SparkSession, d: String): String = {
-    def t(f: => Long): (Long, Double) = {
-      val t0 = System.nanoTime(); val n = f; (n, (System.nanoTime() - t0) / 1e9)
-    }
-    graft.Scratch.releaseAll(); DedupQueries.clearCache()
-    communities(s, d).count() // JVM/codegen warmup — discard
-    graft.Scratch.releaseAll(); DedupQueries.clearCache()
-    val (nFull, tFull) = t { communities(s, d).count() }
-    graft.Scratch.releaseAll(); DedupQueries.clearCache()
-    val (nPairs, tPairs) = t { DedupQueries.minhash(s, d).count() }
-    graft.Scratch.releaseAll(); DedupQueries.clearCache()
-    f"full=$tFull%.2fs ($nFull nodes) pairs=$tPairs%.2fs ($nPairs) " +
-      f"rounds~=${tFull - tPairs}%.2fs over $LpaIters iters"
+    val Seq(full, pairs) = graft.ScaleProbe.coldStages(
+      () => { graft.Scratch.releaseAll(); DedupQueries.clearCache() },
+      "full" -> (() => communities(s, d).count()),
+      "pairs" -> (() => DedupQueries.minhash(s, d).count()))
+    f"full=${full._3}%.2fs (${full._2} nodes) pairs=${pairs._3}%.2fs (${pairs._2}) " +
+      f"rounds~=${full._3 - pairs._3}%.2fs over $LpaIters iters"
   }
 
   // Twin: unrolled chained CTEs (the pagerank precedent — no recursion,

@@ -88,8 +88,9 @@ class CorpusStatsSpec extends SparkSpec {
       assert(r.getAs[Long]("cum_ngrams") == running)
       assert(r.getAs[Long]("bucket") >= 0L &&
         r.getAs[Long]("bucket") < queries.CorpusStatsQueries.NovBuckets)
+      // denominator = the grand total (== exact, asserted above)
       assert(r.getAs[Long]("novelty_bp") ==
-        r.getAs[Long]("new_ngrams") * 10000 / rows.map(_.getAs[Long]("new_ngrams")).sum)
+        r.getAs[Long]("new_ngrams") * 10000 / exact)
     }
   }
 }

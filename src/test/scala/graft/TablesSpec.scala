@@ -66,4 +66,24 @@ class TablesSpec extends SparkSpec {
       assert(cols.subsetOf(got), s"$name missing ${cols -- got}")
     }
   }
+
+  test("planted-namespace offsets have headroom over the real id ranges") {
+    // The dedup/upsert/phash packs plant synthetic rows at id + k·100000
+    // (k = 1..7 across the query packs). The semantics silently break if
+    // a regen ever pushes real ids past the smallest offset (ADVICE r15
+    // #2) — this canary fails FIRST, naming the seam to fix (derive the
+    // offsets from max(id) instead of widening them).
+    import org.apache.spark.sql.functions._
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1").foreach { sf =>
+      val maxDoc = Tables.documents(spark, sf)
+        .agg(max(col("doc_id"))).head().getLong(0)
+      val maxVec = Tables.embeddings(spark, sf)
+        .agg(max(col("vec_id"))).head().getLong(0)
+      // 10× headroom under the smallest namespace offset: a planted id
+      // must never collide with a real id OR a neighboring namespace
+      assert(maxDoc < 10000L, s"$sf doc_id range $maxDoc crowds the +100000 namespaces")
+      assert(maxVec < 10000L, s"$sf vec_id range $maxVec crowds the +100000 namespaces")
+    }
+  }
 }
