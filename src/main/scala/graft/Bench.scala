@@ -437,11 +437,19 @@ object Bench {
     // chosen greedily by descending time under a hard 1500-char budget.
     // The complete per-query map is always in bench_out.json.
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // r16 (VERDICT r15 #8): per-query times at 2 dp (the full 3-dp map
+    // is in bench_out.json) and the stdout errors array capped at 10
+    // names — both buy margin inside the 1500-char budget as the
+    // surface grows past 200 entries.
+    def fmt2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val errsOut =
+      (failed.take(10) ++ (if (failed.size > 10) Seq(s"+${failed.size - 10} more") else Nil))
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
     val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"oracle_checked_s":${fmt(oracleTotal)},"rows_only_s":${fmt(rowsOnlyTotal)},"queries":{"""
-    val suffix = s"""},"errors":$errs,"detail":"bench_out.json","sf":"$sfDir"}"""
+    val suffix = s"""},"errors":$errsOut,"detail":"bench_out.json","sf":"$sfDir"}"""
     val budget = 1500 - prefix.length - suffix.length
     val entries = mins.filter(_._2 >= 0).sortBy(-_._2)
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .map { case (k, v) => "\"" + k + "\":" + fmt2(v) }
     val kept = entries.foldLeft((List.empty[String], 0)) { case ((acc, len), e) =>
       val add = e.length + (if (acc.isEmpty) 0 else 1)
       if (len + add <= budget) (e :: acc, len + add) else (acc, len)

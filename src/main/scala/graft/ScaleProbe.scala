@@ -33,6 +33,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "pii") println(piiProbe(spark, dir))
     else if (mode == "tfidf") println(tfidfProbe(spark, dir))
+    else if (mode == "graphx") println(graphxProbe(spark, dir))
     else if (mode == "bloom") println(bloomProbe(spark, dir))
     else if (mode == "nsw") println(nswProbe(spark, dir))
     else if (mode == "act") println(actProbe(spark, dir))
@@ -322,6 +323,43 @@ object ScaleProbe {
       .repartition(col("tok")))
     val qMs = execMin(() => graft.SparkEntry.queries("q_tfidf_terms")(spark, dir))
     f"""{"tok_exchange_ms":$tokMs%.1f,"query_ms":$qMs%.1f}"""
+  }
+
+  /** Attribution for the GraphX floor class (r16 — VERDICT r15 #6):
+    * q_graphx_depth (113×) and q_dedup_cc (10.9×) measure GraphX's
+    * fixed per-job machinery against trivial SQL twins. `minimal_ms`
+    * times Pregel on a TWO-VERTEX graph — pure framework floor
+    * (RDD materialization, vertex/edge partitioning, per-superstep
+    * joins), zero data work; the declared queries sit on that floor.
+    */
+  private def graphxProbe(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.graphx.{Edge, Graph => XGraph}
+    def minOf(f: () => Unit): Double = {
+      var m = Double.MaxValue
+      (1 to 5).foreach { _ =>
+        val t0 = System.nanoTime(); f(); m = math.min(m, (System.nanoTime() - t0) / 1e6)
+      }
+      m
+    }
+    val minimal = minOf { () =>
+      val sc = spark.sparkContext
+      val g = XGraph(sc.parallelize(Seq((1L, 0), (2L, Int.MaxValue)), 2),
+        sc.parallelize(Seq(Edge(1L, 2L, 1)), 2), Int.MaxValue)
+      g.pregel(Int.MaxValue, maxIterations = 2)(
+        (_, a, m) => math.min(a, m),
+        t => if (t.srcAttr != Int.MaxValue) Iterator((t.dstId, t.srcAttr + 1))
+             else Iterator.empty,
+        math.min).vertices.count()
+      ()
+    }
+    def execMin(name: String): Double = minOf { () =>
+      graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
+      graft.Scratch.release(spark)
+    }
+    val depth = execMin("q_graphx_depth")
+    val cc = execMin("q_dedup_cc")
+    f"""{"minimal_pregel_ms":$minimal%.1f,"q_graphx_depth_ms":$depth%.1f,"q_dedup_cc_ms":$cc%.1f}"""
   }
 
   private def floorProbe(spark: SparkSession, dir: String): String = {

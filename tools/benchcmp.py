@@ -142,6 +142,19 @@ def main():
   the partitioned operators scale out — which is the design target; the
   reference itself is a single-process pandas pipeline that cannot hold
   100 TB at all.
+- The GRAPHX FLOOR class (q_graphx_depth, q_dedup_cc): both queries run
+  iterative GraphX machinery (Pregel supersteps / connected components)
+  whose DuckDB twins are trivial SQL (a string split, a recursive CTE
+  over a few hundred pairs), so the ratio reads 10-100x at bench SFs.
+  `runMain graft.ScaleProbe <dir> graphx` attributes it: Pregel on a
+  TWO-VERTEX graph costs ~0.27 s (pure framework floor — RDD
+  materialization, vertex/edge partitioning, per-superstep joins),
+  against ~0.8 s for the full q_graphx_depth (10 supersteps) and
+  ~0.6 s for q_dedup_cc — the queries sit on the per-superstep fixed
+  cost, not on data work. That machinery is exactly what scales the
+  operator across a cluster (the 117M-edge PageRank rehearsal in
+  SCALE.md runs the same shape at 5x wall for 10x data); these two
+  entries are documented floor, not plan defects.
 - Exact aggregation (order-independent cross-engine hashes) runs as
   scaled-BIGINT sums (`ExactAgg`) in primitive whole-stage codegen —
   the earlier DECIMAL form cost ~2-3× on the aggregate-heavy queries
