@@ -97,7 +97,7 @@ object SparkEntry {
     "build_hnsw_layers" -> Set("q_ann_recall_hnsw"),
     "build_pq_codebooks" -> Set("q_pq_encode", "q_ann_recall_pq"),
     "build_bm25_index" -> Set("q_bm25_topk", "q_bm25_upsert",
-      "q_hybrid_retrieval", "q_hybrid_retrieval_ivf"),
+      "q_retrieval_mrr", "q_hybrid_retrieval", "q_hybrid_retrieval_ivf"),
     "build_bpe_model" -> Set("q_tokenize_bpe", "q_bpe_terms",
       "q_bpe_fertility", "q_pack_sequences_bpe", "q_token_windows_bpe"),
     "build_e1_model" -> Set("q_e1_pipeline", "q_e1_features",

@@ -365,6 +365,41 @@ object CorpusQueries {
       .filter(col("rk") <= Bm25K)
       .select("probe_id", "rk", "doc_id", "score")
 
+  // ---- retrieval eval: MRR of the planted relevant (r16) ----
+  // The eval loop a retrieval stack actually runs: take documents whose
+  // RELEVANT answer is known by construction (the probe text is the doc
+  // itself with its first token dropped — the q_dedup_delta mutation),
+  // retrieve over the STANDING BM25 index, and report where the
+  // relevant doc landed. rr_e6 = 1e6 DIV rank when the relevant is
+  // inside the top-[[Bm25K]], else 0 — integer reciprocal rank, exact
+  // in both engines; mean-MRR is a trivial downstream aggregate, the
+  // per-probe grain is what the hash check pins.
+  private[graft] val MrrProbes = 50
+
+  private val retrievalMrr: Q = (s, d) => {
+    val ix = bm25Index(s, d)
+    val probes = Tables.documents(s, d).filter(col("doc_id") < MrrProbes)
+      .select(col("doc_id").as("probe_id"),
+        expr("substring(text, instr(text, ' ')+1)").as("text"))
+      .select(col("probe_id"),
+        explode(slice(split(col("text"), " "), 1, Bm25QTerms)).as("tok"))
+      .distinct()
+    val ranked = bm25ScoreOver(s, ix.post, ix.lens, ix.g, ix.termsPath, probes)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("score").desc, col("doc_id")))
+        .cast("long"))
+    // the relevant doc shares all of the probe's non-stopword terms, so
+    // it is always a candidate; rank 0 = fell below the inverted-index
+    // candidates entirely (possible only if every probe term is floored)
+    Tables.documents(s, d).filter(col("doc_id") < MrrProbes)
+      .select(col("doc_id").as("probe_id"))
+      .join(ranked.filter(col("rk") <= Bm25K &&
+          col("doc_id") === col("probe_id")), Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("rk"), lit(0L)).as("rel_rank"),
+        expr("CASE WHEN rk IS NULL THEN 0 ELSE 1000000 DIV rk END").as("rr_e6"))
+  }
+
   // ---- incremental BM25 index maintenance (r16 — VERDICT r15 #7) ----
   // The ingestion-time shape the IVF index already had (appendToIndex +
   // q_ann_ivf_upsert) but the inverted index lacked: a delta corpus is
@@ -449,7 +484,15 @@ object CorpusQueries {
   /** The shared WITH-body producing `scored(probe_id, doc_id, score)` —
     * the twin of [[bm25Scored]], reused by both oracle queries.
     */
-  private def bm25ScoredCtes: String =
+  private def bm25ScoredCtes: String = bm25ScoredCtesWith(
+    s"""SELECT DISTINCT probe_id, tok FROM (
+       |    SELECT doc_id AS probe_id, unnest(string_split(text, ' ')[1:$Bm25QTerms]) AS tok
+       |    FROM documents WHERE doc_id < $Bm25Probes)""".stripMargin)
+
+  /** [[bm25ScoredCtes]] with the probe CTE body swapped in — the MRR
+    * eval scores MUTATED probe texts over the same standing index.
+    */
+  private def bm25ScoredCtesWith(probesSql: String): String =
     s"""toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
        |post AS (
@@ -464,9 +507,7 @@ object CorpusQueries {
        |g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len) AS BIGINT) AS t FROM lens),
        |terms AS (SELECT tok, idf_e6 FROM '$bm25ExportPath/*.parquet'),
        |probes AS (
-       |  SELECT DISTINCT probe_id, tok FROM (
-       |    SELECT doc_id AS probe_id, unnest(string_split(text, ' ')[1:$Bm25QTerms]) AS tok
-       |    FROM documents WHERE doc_id < $Bm25Probes)),
+       |  $probesSql),
        |scored AS (
        |  SELECT p.probe_id, post.doc_id,
        |         CAST(sum(tm.idf_e6 * CAST(
@@ -849,6 +890,7 @@ object CorpusQueries {
     "q_tfidf_terms" -> tfidfTerms,
     "q_bm25_topk" -> bm25,
     "q_bm25_upsert" -> bm25Upsert,
+    "q_retrieval_mrr" -> retrievalMrr,
     "q_hybrid_retrieval" -> hybrid,
     "q_hybrid_retrieval_ivf" -> hybridIvf,
     "q_embed_quantize" -> embedQuantize)
@@ -938,6 +980,28 @@ object CorpusQueries {
         |  FROM tf JOIN df USING (tok))
         |WHERE rk <= 10""".stripMargin,
     "q_bm25_topk" -> bm25Sql,
+    // q_retrieval_mrr twin: the standing-index CTE block with the probe
+    // definition swapped to the MUTATED texts; the relevant doc's rank
+    // is read off the full per-probe ranking
+    "q_retrieval_mrr" -> {
+      val probesSql =
+        s"""SELECT DISTINCT probe_id, tok FROM (
+           |    SELECT doc_id AS probe_id,
+           |           unnest(string_split(substr(text, instr(text, ' ') + 1), ' ')[1:$Bm25QTerms]) AS tok
+           |    FROM documents WHERE doc_id < $MrrProbes)""".stripMargin
+      s"""WITH ${bm25ScoredCtesWith(probesSql)},
+         |ranked AS (
+         |  SELECT probe_id, doc_id,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY probe_id ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+         |  FROM scored)
+         |SELECT b.probe_id,
+         |       coalesce(r.rk, 0) AS rel_rank,
+         |       CAST(CASE WHEN r.rk IS NULL THEN 0 ELSE 1000000 // r.rk END AS BIGINT) AS rr_e6
+         |FROM (SELECT doc_id AS probe_id FROM documents WHERE doc_id < $MrrProbes) b
+         |LEFT JOIN (SELECT * FROM ranked WHERE rk <= $Bm25K AND doc_id = probe_id) r
+         |  USING (probe_id)""".stripMargin
+    },
     // q_bm25_upsert twin: FULL REBUILD over the unioned corpus —
     // postings, lens, totals and the df behind probe_df are re-derived
     // from scratch; only idf_e6 (the transcendental) reads the upserted

@@ -48,7 +48,10 @@ object TextAnalyticsQueries {
     ("fr", "\\b(le|la|les|et)\\b"),
     ("es", "\\b(el|los|las|y)\\b"))
 
-  private val langIdQ: Q = (s, d) => {
+  /** The scored lang-ID frame (doc_id, lang, s_*, pred_lang) — shared
+    * by the per-doc query and the confusion eval.
+    */
+  private def langScored(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d)
     val scored = langs.foldLeft(base) { case (df, (l, pat)) =>
       df.withColumn(s"s_$l",
@@ -59,9 +62,36 @@ object TextAnalyticsQueries {
         .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
         .when(col("s_fr") >= col("s_es"), "fr")
         .otherwise("es")
-    scored.select(col("doc_id"), col("s_en"), col("s_de"), col("s_fr"), col("s_es"),
-      pred.as("pred_lang"),
-      (pred === col("lang")).cast("int").as("is_match"))
+    scored.select(col("doc_id"), col("lang"),
+      col("s_en"), col("s_de"), col("s_fr"), col("s_es"),
+      pred.as("pred_lang"))
+  }
+
+  private val langIdQ: Q = (s, d) =>
+    langScored(s, d).select(
+      col("doc_id"), col("s_en"), col("s_de"), col("s_fr"), col("s_es"),
+      col("pred_lang"),
+      (col("pred_lang") === col("lang")).cast("int").as("is_match"))
+
+  // ---- lang-ID eval: confusion counts + integer precision/recall ----
+  // The classifier-evaluation half of q_lang_id (r16): against the
+  // corpus's gold `lang` column, emit per gold class the support, the
+  // prediction count, true positives, and precision/recall basis
+  // points — the audit a pipeline runs before trusting a filter gate.
+  // ONE corpus scan: the ≤|langs|² confusion table is aggregated first
+  // (map-side combined), both margins derive from it.
+  private val langIdEval: Q = (s, d) => {
+    val conf = graft.Scratch.persist(langScored(s, d)
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("c")))
+    val gold = conf.groupBy("lang").agg(sum(col("c")).as("n_gold"),
+      sum(when(col("pred_lang") === col("lang"), col("c")).otherwise(0L)).as("tp"))
+    val predC = conf.groupBy(col("pred_lang").as("lang"))
+      .agg(sum(col("c")).as("n_pred"))
+    gold.join(predC, Seq("lang"), "left")
+      .withColumn("n_pred", coalesce(col("n_pred"), lit(0L)))
+      .select(col("lang"), col("n_gold"), col("n_pred"), col("tp"),
+        expr("(tp * 10000) DIV greatest(n_pred, 1)").as("precision_bp"),
+        expr("(tp * 10000) DIV greatest(n_gold, 1)").as("recall_bp"))
   }
 
   // ---- quality scoring (length / stopword / alphabetic ratios) ----
@@ -402,6 +432,7 @@ object TextAnalyticsQueries {
     "o32_token_windows" -> o32,
     "q_token_count" -> tokCount,
     "q_lang_id" -> langIdQ,
+    "q_langid_eval" -> langIdEval,
     "q_quality_score" -> quality,
     "q_fingerprint" -> fingerprint,
     "q_data_split" -> splitQ,
@@ -463,6 +494,30 @@ object TextAnalyticsQueries {
          |              WHEN s_fr >= s_es THEN 'fr'
          |              ELSE 'es' END AS pred_lang
          |  FROM (SELECT doc_id, lang, $scores FROM documents))""".stripMargin
+    },
+    "q_langid_eval" -> {
+      val scores = langs.map { case (l, p) =>
+        s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS s_$l"
+      }.mkString(", ")
+      s"""WITH p AS (
+         |  SELECT lang,
+         |         CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |              WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |              WHEN s_fr >= s_es THEN 'fr'
+         |              ELSE 'es' END AS pred_lang
+         |  FROM (SELECT lang, $scores FROM documents)),
+         |conf AS MATERIALIZED (
+         |  SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS c
+         |  FROM p GROUP BY lang, pred_lang),
+         |gold AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_gold,
+         |                CAST(sum(CASE WHEN pred_lang = lang THEN c ELSE 0 END) AS BIGINT) AS tp
+         |         FROM conf GROUP BY lang),
+         |predc AS (SELECT pred_lang AS lang, CAST(sum(c) AS BIGINT) AS n_pred
+         |          FROM conf GROUP BY pred_lang)
+         |SELECT g.lang, g.n_gold, coalesce(p2.n_pred, 0) AS n_pred, g.tp,
+         |       (g.tp * 10000) // greatest(coalesce(p2.n_pred, 0), 1) AS precision_bp,
+         |       (g.tp * 10000) // greatest(g.n_gold, 1) AS recall_bp
+         |FROM gold g LEFT JOIN predc p2 USING (lang)""".stripMargin
     },
     "q_quality_score" -> qualitySql,
     "q_fingerprint" ->
