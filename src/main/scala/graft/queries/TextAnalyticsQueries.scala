@@ -214,6 +214,68 @@ object TextAnalyticsQueries {
       scrubbed.as("scrubbed"))
   }
 
+  // ---- n-gram overlap (BLEU-style clipped bigram precision) ----
+  // The candidate-vs-reference overlap metric that generation eval and
+  // decontamination strength-grading both need: clipped (modified)
+  // bigram precision between a CANDIDATE rewrite and its reference.
+  // Candidates are the dedup-pack mutations — even docs drop their
+  // first token (precision 10000: every surviving bigram instance is
+  // covered by the reference), odd docs reverse their token order
+  // (near 0: a reversed bigram exists in the reference only where the
+  // text is locally palindromic) — so the metric's full range is
+  // exercised. overlap = Σ_g min(c_cand, c_ref) over bigram INSTANCE
+  // multisets (native token_shingles_all kernel — duplicates kept,
+  // EMPTY below 2 tokens), precision_bp = overlap·1e4 DIV n_cand; all
+  // exact integers. One doc_id exchange: both gram aggregations and
+  // the (doc_id, g) join ride it (subset-key ClusteredDistribution).
+  private val ngramOverlap: Q = (s, d) => {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
+    val cand = base.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        expr("substring(text, instr(text, ' ')+1)"))
+        .otherwise(expr("array_join(reverse(split(text, ' ')), ' ')")).as("text"))
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(call_function("token_shingles_all", col("text"), lit(2))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val j = grams(cand).as("cg")
+      .join(grams(base).select(col("doc_id"), col("g"), col("c").as("cr")),
+        Seq("doc_id", "g"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_cand"),
+        sum(least(col("c"), coalesce(col("cr"), lit(0L)))).as("overlap"))
+    base.select(col("doc_id")).join(j, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"))
+      .withColumn("precision_bp",
+        expr("(overlap * 10000) DIV greatest(n_cand, 1)"))
+  }
+
+  // ---- training-shard manifest ----
+  // The "write the shards" step of a data pipeline: consistent
+  // Knuth-hash assignment of every doc to one of 16 shards plus the
+  // manifest a downstream trainer validates against — doc/token
+  // counts, id range, and an ORDER-INDEPENDENT content checksum (Σ of
+  // each doc's 9-hex md5 prefix, exact through DECIMAL(38,0),
+  // published mod 2⁶¹−1 so the column stays BIGINT). Stateless per-row
+  // assignment (the q_data_split hash), one map-side-combined
+  // aggregate, 16 output rows at any corpus size.
+  private val ShardCount = 16L
+  private val ShardChecksumMod = 2305843009213693951L // 2^61 − 1
+
+  private val shardManifest: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      expr(s"(doc_id * 2654435761) % 4294967296 % $ShardCount").as("shard"),
+      col("doc_id"),
+      expr("CAST(size(split(text, ' ')) AS BIGINT)").as("ntok"),
+      expr("CAST(conv(substring(md5(text), 1, 9), 16, 10) AS BIGINT)").as("h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+        expr(s"CAST(sum(CAST(h AS DECIMAL(38,0))) % $ShardChecksumMod AS BIGINT)")
+          .as("checksum"))
+
   // ---- repetition ratio (Gopher/C4-style quality filter) ----
   // Repeated n-grams are the classic low-quality signal ("the the the",
   // boilerplate loops): rep_bp = (trigrams − distinct trigrams)·1e4 /
@@ -433,6 +495,8 @@ object TextAnalyticsQueries {
     "q_token_count" -> tokCount,
     "q_lang_id" -> langIdQ,
     "q_langid_eval" -> langIdEval,
+    "q_ngram_overlap" -> ngramOverlap,
+    "q_shard_manifest" -> shardManifest,
     "q_quality_score" -> quality,
     "q_fingerprint" -> fingerprint,
     "q_data_split" -> splitQ,
@@ -519,6 +583,42 @@ object TextAnalyticsQueries {
          |       (g.tp * 10000) // greatest(g.n_gold, 1) AS recall_bp
          |FROM gold g LEFT JOIN predc p2 USING (lang)""".stripMargin
     },
+    "q_ngram_overlap" ->
+      """WITH r AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 2 = 0
+        |              THEN string_split(substr(text, instr(text, ' ') + 1), ' ')
+        |              ELSE list_reverse(string_split(text, ' ')) END AS toks
+        |  FROM documents),
+        |cg AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+        |         SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+        |         FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |               FROM c WHERE len(toks) >= 2)) GROUP BY doc_id, g),
+        |rg AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cr FROM (
+        |         SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+        |         FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |               FROM r WHERE len(toks) >= 2)) GROUP BY doc_id, g),
+        |j AS (SELECT cg.doc_id,
+        |             CAST(sum(cg.c) AS BIGINT) AS n_cand,
+        |             CAST(sum(least(cg.c, coalesce(rg.cr, 0))) AS BIGINT) AS overlap
+        |      FROM cg LEFT JOIN rg USING (doc_id, g) GROUP BY cg.doc_id)
+        |SELECT d.doc_id, coalesce(j.n_cand, 0) AS n_cand,
+        |       coalesce(j.overlap, 0) AS overlap,
+        |       (coalesce(j.overlap, 0) * 10000) // greatest(coalesce(j.n_cand, 0), 1) AS precision_bp
+        |FROM documents d LEFT JOIN j USING (doc_id)""".stripMargin,
+    "q_shard_manifest" ->
+      s"""SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |       min(doc_id) AS min_id, max(doc_id) AS max_id,
+         |       CAST(CAST(sum(h) AS HUGEINT) % $ShardChecksumMod AS BIGINT) AS checksum
+         |FROM (
+         |  SELECT (doc_id * 2654435761) % 4294967296 % $ShardCount AS shard, doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+         |         ('0x' || substr(md5(text), 1, 9))::BIGINT AS h
+         |  FROM documents)
+         |GROUP BY shard""".stripMargin,
     "q_quality_score" -> qualitySql,
     "q_fingerprint" ->
       """SELECT doc_id, substr(md5(text), 1, 16) AS fp,

@@ -11,6 +11,38 @@ class CurationOpsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("ngram_overlap: drop-first candidates score exactly 10000, reversed stay below") {
+    val rows = SparkEntry.queries("q_ngram_overlap")(spark, sf).collect()
+    Scratch.release(spark)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, n, ov, p) = (r.getAs[Long]("doc_id"), r.getAs[Long]("n_cand"),
+        r.getAs[Long]("overlap"), r.getAs[Long]("precision_bp"))
+      assert(ov <= n, s"doc $id overlap $ov exceeds candidate grams $n")
+      if (id % 2 == 0 && n > 0)
+        // every surviving bigram instance of a first-token-dropped
+        // candidate is covered by the reference — clipped precision 1.0
+        assert(p == 10000L, s"even doc $id precision $p != 10000")
+    }
+    // reversed candidates must NOT be fully covered in aggregate (a
+    // corpus of palindromes would be the only way)
+    val odd = rows.filter(r => r.getAs[Long]("doc_id") % 2 == 1)
+    assert(odd.nonEmpty &&
+      odd.count(_.getAs[Long]("precision_bp") < 10000L) > odd.length / 2)
+  }
+
+  test("shard_manifest: 16 exhaustive shards, counts partition the corpus") {
+    val rows = SparkEntry.queries("q_shard_manifest")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("shard")).toSet == (0L until 16L).toSet)
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_id") <= r.getAs[Long]("max_id"))
+      val ck = r.getAs[Long]("checksum")
+      assert(ck >= 0L && ck < 2305843009213693951L)
+    }
+  }
+
   test("dup spans: planted excerpts fully duplicated, sources carry the excerpt span") {
     val rows = SparkEntry.queries("q_dedup_spans")(spark, sf).collect()
     Scratch.release(spark)
