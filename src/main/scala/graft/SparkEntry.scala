@@ -79,6 +79,7 @@ object SparkEntry {
   def artifactDeps: Map[String, Set[String]] = Map(
     "build_graph_tree" -> Set("o51_kmeans", "q_ward_dendrogram",
       "q_graph_build", "q_prune_prototypes", "q_cluster_silhouette",
+      "q_cluster_keywords",
       "q_graph_children", "q_serve_children_e2", "q_serve_children_pruned",
       "o07_graph_ids"),
     "build_graph_depth" -> Set("q_serve_children_pruned"),

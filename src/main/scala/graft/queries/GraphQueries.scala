@@ -260,6 +260,70 @@ object GraphQueries {
         (round(col("d2"), 6) + lit(0.0)).as("d2"), col("rk"))
   }
 
+  // ---- cluster keyword labeling (c-TF-IDF, the BERTopic shape) ----
+  // What a curation pipeline runs right after clustering: name each
+  // cluster by its distinctive terms. Class-based TF-IDF with the
+  // engine's integer idf surrogate (the q_tfidf_terms rule, cluster
+  // granularity): score_bp = tf_c·10⁴ DIV cdf where tf_c = term
+  // instances inside the cluster's documents and cdf = clusters
+  // containing the term; top-5 per cluster. Rides the build_graph_tree
+  // memo for labels (vec_id ⋈ doc_id — the embeddings ARE document
+  // vectors, the hybrid-retrieval convention); the twin replays
+  // labels from the SAME stats+centroid exports the o51 oracle reads.
+  // One tok exchange carries the tf aggregate, the cdf window and the
+  // join (the r16 q_tfidf_terms shape); the top-5 window shuffles the
+  // ≤|clusters|·|vocab| aggregate only.
+  private val clusterKeywords: Q = (s, d) => {
+    val bt = built(s, d)
+    val toks = bt.labels
+      .join(Tables.documents(s, d).select(col("doc_id").as("vec_id"), col("text")),
+        Seq("vec_id"))
+      .select(col("cluster"), explode(split(col("text"), " ")).as("tok"))
+      .repartition(col("tok"))
+    toks.groupBy("cluster", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("cdf", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("tok")).cast("long"))
+      .withColumn("score_bp", expr("(tf * 10000) DIV cdf"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+          .orderBy(col("score_bp").desc, col("tok"))).cast("long"))
+      .filter(col("rk") <= 5)
+      .select("cluster", "tok", "tf", "cdf", "score_bp", "rk")
+  }
+
+  private def clusterKeywordsSql: String =
+    s"""WITH sv AS (
+       |  SELECT list(mu ORDER BY dim) AS mus, list(sigma ORDER BY dim) AS sigmas
+       |  FROM '$kmeansStatsPath/*.parquet'),
+       |cents AS (SELECT cluster, centroid FROM '$kmeansCentsPath/*.parquet'),
+       |scaled AS (
+       |  SELECT e.vec_id,
+       |         list_transform(generate_series(1, len(e.embedding)),
+       |           i -> (CAST(e.embedding[i] AS DOUBLE) - sv.mus[i]) / sv.sigmas[i]) AS se
+       |  FROM embeddings e CROSS JOIN sv),
+       |labels AS MATERIALIZED (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT s.vec_id, c.cluster,
+       |           row_number() OVER (PARTITION BY s.vec_id
+       |             ORDER BY list_sum(list_transform(generate_series(1, len(s.se)),
+       |               i -> (s.se[i]-c.centroid[i])*(s.se[i]-c.centroid[i]))), c.cluster) AS ark
+       |    FROM scaled s CROSS JOIN cents c)
+       |  WHERE ark = 1),
+       |toks AS (
+       |  SELECT l.cluster, unnest(string_split(d.text, ' ')) AS tok
+       |  FROM labels l JOIN documents d ON d.doc_id = l.vec_id),
+       |tfc AS MATERIALIZED (
+       |  SELECT cluster, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM toks GROUP BY cluster, tok),
+       |cdfx AS (SELECT tok, CAST(count(*) AS BIGINT) AS cdf FROM tfc GROUP BY tok)
+       |SELECT cluster, tok, tf, cdf, score_bp, rk FROM (
+       |  SELECT cluster, tok, tf, cdf, (tf * 10000) // cdf AS score_bp,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY cluster
+       |           ORDER BY (tf * 10000) // cdf DESC, tok) AS BIGINT) AS rk
+       |  FROM tfc JOIN cdfx USING (tok))
+       |WHERE rk <= 5""".stripMargin
+
   private def pruneSql: String =
     s"""WITH sv AS (
        |  SELECT list(mu ORDER BY dim) AS mus, list(sigma ORDER BY dim) AS sigmas
@@ -525,6 +589,7 @@ object GraphQueries {
     "q_serve_movie_e3" -> e3,
     "o51_kmeans" -> o51,
     "q_prune_prototypes" -> prune,
+    "q_cluster_keywords" -> clusterKeywords,
     "q_cluster_silhouette" -> silhouette,
     "q_ward_dendrogram" -> wardDendro,
     "q_graph_build" -> build,
@@ -553,6 +618,7 @@ object GraphQueries {
         |  WHERE d.doc_id < 10)""".stripMargin,
     "q_graph_children" -> buildChildrenSql,
     "q_prune_prototypes" -> pruneSql,
+    "q_cluster_keywords" -> clusterKeywordsSql,
     "q_cluster_silhouette" -> silhouetteSql,
     // o51 replay over the stats + centroid exports (r13): scaling and
     // assignment mirror GraphBuild.scaleWith + AnnIvf.assignNearestArr

@@ -7,6 +7,24 @@ import graft.operators.clustering.{GraphBuild, TreeOps, Ward}
 class ClusteringSpec extends SparkSpec {
   import spark.implicits._
 
+  test("cluster_keywords: dense top-5 per cluster, scores non-increasing, tf covered") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_cluster_keywords")(spark, sf)
+      .collect().groupBy(_.getAs[Int]("cluster"))
+    Scratch.release(spark)
+    assert(rows.nonEmpty)
+    rows.foreach { case (c, rs) =>
+      val byRk = rs.sortBy(_.getAs[Long]("rk"))
+      assert(byRk.map(_.getAs[Long]("rk")).toSeq == (1L to rs.length),
+        s"cluster $c ranks not dense")
+      assert(rs.length <= 5, s"cluster $c has ${rs.length} keywords")
+      val scores = byRk.map(_.getAs[Long]("score_bp"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"cluster $c scores increase along rank")
+      rs.foreach(r => assert(r.getAs[Long]("cdf") >= 1 && r.getAs[Long]("tf") >= 1))
+    }
+  }
+
   test("ward merges tight blobs before joining them") {
     val pts = Array(
       Array(0.0, 0.0), Array(0.1, 0.0),    // blob A
