@@ -13,8 +13,11 @@ class CacheHygieneSpec extends SparkSpec {
   // the queries that persist per-call scratch frames (memoized BUILD
   // artifacts — graph build, IVF index, LSH bucket table — are a
   // different, deliberately keyed cache with clearCache hooks)
+  // (q_tfidf_terms left this list in r16: its single-consumption
+  // restructure removed the scratch persist entirely)
   private val scratchUsers = Seq("q_dedup_minhash", "q_dedup_jaccard",
-    "q_dedup_chunks", "q_decontaminate", "q_tfidf_terms")
+    "q_dedup_chunks", "q_decontaminate", "q_sketch_quantiles",
+    "q_multimodal_phash")
 
   test("scratch persists are fully released after each query's action") {
     SparkEntry.clearCaches()

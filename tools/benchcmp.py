@@ -155,6 +155,16 @@ def main():
   operator across a cluster (the 117M-edge PageRank rehearsal in
   SCALE.md runs the same shape at 5x wall for 10x data); these two
   entries are documented floor, not plan defects.
+- The I/O-ROUNDTRIP class (q_orc_roundtrip, o03_csv_roundtrip,
+  q_json_roundtrip, o02_wholefile_roundtrip, o07_jdbc_roundtrip): each
+  rep WRITES a sink (ORC/CSV/JSON/text/Derby — committer protocol,
+  file handles, a second JVM for Derby) and reads it back, while the
+  DuckDB twin only aggregates the parquet originals to prove the round
+  trip lossless — the sink write has no denominator, so the ratio
+  reads as pure Spark sink cost (q_orc_roundtrip ~22x on a ~0.02 s
+  twin). At cluster scale the committer cost amortizes across
+  executors per file; the entries exist to hash-check sink
+  correctness, not to race an aggregate.
 - Exact aggregation (order-independent cross-engine hashes) runs as
   scaled-BIGINT sums (`ExactAgg`) in primitive whole-stage codegen —
   the earlier DECIMAL form cost ~2-3× on the aggregate-heavy queries
