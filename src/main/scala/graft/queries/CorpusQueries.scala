@@ -455,8 +455,14 @@ object CorpusQueries {
     // engine, fixed for the static oracle SQL
     val dirPath = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       "graft_bm25_upsert_terms_" + graft.Scratch.dirTag(d)).toString
-    terms2.write.mode("overwrite").parquet(dirPath)
-    s.read.parquet(dirPath).write.mode("overwrite").parquet(bm25UpsertExportPath)
+    // repartition(1) (NOT coalesce — a narrow coalesce would pull the
+    // whole df merge into one task): the merged vocab is ~10⁴ rows, so
+    // the per-rep export cost is committer/file overhead, not data (at
+    // 100 TB the terms table would stay partitioned and the export be
+    // a catalog swap)
+    terms2.repartition(1).write.mode("overwrite").parquet(dirPath)
+    s.read.parquet(dirPath).coalesce(1).write.mode("overwrite")
+      .parquet(bm25UpsertExportPath)
     // probes: the first delta docs' leading terms — every probe must
     // retrieve against the UPSERTED state (itself at rank 1 unless its
     // mutated text became a duplicate of a standing doc)
