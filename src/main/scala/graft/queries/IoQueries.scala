@@ -621,6 +621,7 @@ object IoQueries {
     "q_stream_hourly_append" -> streamHourlyAppend,
     "q_stream_dedup" -> streamDedup,
     "q_stream_hll" -> streamHll,
+    "q_stream_cms" -> ((s, d) => graft.streaming.StreamingTwins.cmsRegisters(s, d)),
     "q_stream_dedup_wm" -> streamDedupWm,
     "q_stream_sessionize" -> streamSess,
     "q_stream_sessionize_wm" -> streamSessWm,
@@ -687,6 +688,10 @@ object IoQueries {
     // complete-mode register max is batching-independent, so the batch
     // derivation over the same ids IS the oracle
     "q_stream_hll" -> graft.queries.SketchQueries.registersSqlFrom(
+      "SELECT CAST(user_id AS VARCHAR) AS sh FROM events"),
+    // additive bucket counts are batching-independent, so the batch CMS
+    // over the same ids IS the oracle (the q_stream_hll convention)
+    "q_stream_cms" -> graft.queries.SketchQueries.cmsSketchSqlFrom(
       "SELECT CAST(user_id AS VARCHAR) AS sh FROM events"),
     "q_stream_sessionize" -> RelationalQueries.oracle("q_sessionize"),
     "q_stream_sessionize_wm" -> RelationalQueries.oracle("q_sessionize"),

@@ -150,6 +150,28 @@ object SketchQueries {
   private def cmsBucket(rc: Column, vc: Column): Column =
     pmod(hexLong(md5(concat(rc.cast("string"), lit("#"), vc)), 1, 8), lit(1024L))
 
+  /** CMS register table (r, b, c) of the values in column `sh` — the
+    * streaming twin's complete-mode aggregate (r16). Bucket counts are
+    * ADDITIVE (the sum over batches equals the sum over their union),
+    * so the final complete-mode state is batching-independent — the
+    * CMS mergeability property, exercised across genuine micro-batch
+    * boundaries in [[graft.streaming.StreamingTwins.cmsRegisters]].
+    */
+  private[graft] def cmsSketchOf(tok: DataFrame): DataFrame =
+    tok.select(col("sh"), explode(array((0 to 3).map(lit(_)): _*)).as("r"))
+      .select(col("r"), cmsBucket(col("r"), col("sh")).as("b"))
+      .groupBy("r", "b").agg(count(lit(1)).as("c"))
+
+  /** The batch derivation of [[cmsSketchOf]] over `tokSql` — IS the
+    * oracle for the streaming twin (batching-independence above).
+    */
+  private[graft] def cmsSketchSqlFrom(tokSql: String): String =
+    s"""WITH tok AS ($tokSql),
+       |rws AS (SELECT unnest([0, 1, 2, 3]) AS r)
+       |SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || '#' || sh), 1, 8))::BIGINT % 1024 AS b,
+       |       CAST(count(*) AS BIGINT) AS c
+       |FROM tok CROSS JOIN rws GROUP BY 1, 2""".stripMargin
+
   private val heavyHittersQ: Q = (s, d) =>
     heavyHittersOf(shingleStream(s, d).select(col("sh")))
 

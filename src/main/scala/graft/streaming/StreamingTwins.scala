@@ -362,6 +362,22 @@ object StreamingTwins {
           .select(col("user_id").cast("string").as("sh"))),
       "complete", minDataBatches = 3, maxDataBatches = 3)
 
+  /** Streaming twin of the CMS frequency sketch (q_sketch_heavy_hitters'
+    * register table over the event stream's user ids — r16): realtime
+    * frequency estimation, the counting face of the streaming sketch
+    * family next to q_stream_hll's cardinality face. Bucket counts are
+    * ADDITIVE, so the complete-mode final state equals the batch sketch
+    * under ANY batching — the CMS mergeability property, exercised
+    * across genuine micro-batch boundaries (3 time-range files, one per
+    * trigger, enforced exactly 3 data batches like the HLL twin).
+    */
+  def cmsRegisters(spark: SparkSession, dir: String): DataFrame =
+    runToTable(
+      graft.queries.SketchQueries.cmsSketchOf(
+        eventsStreamSplit(spark, dir, 3)
+          .select(col("user_id").cast("string").as("sh"))),
+      "complete", minDataBatches = 3, maxDataBatches = 3)
+
   /** The append-mode plan over ANY streaming events frame (ts ns LONG,
     * event_type, value) — factored out so tests can drive it from a
     * MemoryStream and pin the watermark-eviction boundary semantics the
