@@ -248,6 +248,24 @@ object ScaleProbe {
     f"""{"scan_s":$scanS%.3f,"window_s":$windowS%.3f,"aggonly_s":$aggOnlyS%.3f,"full_s":$fullS%.3f}"""
   }
 
+  /** Full materialization of a frame, no rows to the driver — the
+    * probe-side equivalent of Bench's drain.
+    */
+  private def forceDf(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
+
+  /** min-of-`reps` wall-clock MILLISECONDS of `f` — the shared probe
+    * timing loop (r16 review: four probes hand-rolled this).
+    */
+  private def minMs(reps: Int = 5)(f: => Unit): Double =
+    (1 to reps).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+    }.min
+
+  /** min-of-`reps` full-materialization milliseconds of a rebuilt frame. */
+  private def execMinMs(mk: => org.apache.spark.sql.DataFrame): Double =
+    minMs()(forceDf(mk))
+
   /** Shared cold-timed stage harness for the pack-level probes (ADVICE
     * r15 #4 — docsimProbe and lpaProbe each hand-rolled this): runs
     * `cold()` + one DISCARDED warmup of the first stage (JVM/codegen),
@@ -288,17 +306,8 @@ object ScaleProbe {
       }
       kernelMs = math.min(kernelMs, (System.nanoTime() - t0) / 1e6 + (acc - acc))
     }
-    def execMin(mk: () => org.apache.spark.sql.DataFrame): Double = {
-      var m = Double.MaxValue
-      (1 to 5).foreach { _ =>
-        val t0 = System.nanoTime()
-        mk().queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
-        m = math.min(m, (System.nanoTime() - t0) / 1e6)
-      }
-      m
-    }
-    val qMs = execMin(() => graft.SparkEntry.queries("q_pii_scrub")(spark, dir))
-    val scanMs = execMin(() => Tables.documents(spark, dir)
+    val qMs = execMinMs(graft.SparkEntry.queries("q_pii_scrub")(spark, dir))
+    val scanMs = execMinMs(Tables.documents(spark, dir)
       .select(col("doc_id"), length(col("text"))))
     f"""{"rows":${raw.length},"kernel_ms":$kernelMs%.1f,"query_exec_ms":$qMs%.1f,"scan_ms":$scanMs%.1f}"""
   }
@@ -309,19 +318,10 @@ object ScaleProbe {
     */
   private def tfidfProbe(spark: SparkSession, dir: String): String = {
     import org.apache.spark.sql.functions._
-    def execMin(mk: () => org.apache.spark.sql.DataFrame): Double = {
-      var m = Double.MaxValue
-      (1 to 5).foreach { _ =>
-        val t0 = System.nanoTime()
-        mk().queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
-        m = math.min(m, (System.nanoTime() - t0) / 1e6)
-      }
-      m
-    }
-    val tokMs = execMin(() => Tables.documents(spark, dir)
+    val tokMs = execMinMs(Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("tok"))
       .repartition(col("tok")))
-    val qMs = execMin(() => graft.SparkEntry.queries("q_tfidf_terms")(spark, dir))
+    val qMs = execMinMs(graft.SparkEntry.queries("q_tfidf_terms")(spark, dir))
     f"""{"tok_exchange_ms":$tokMs%.1f,"query_ms":$qMs%.1f}"""
   }
 
@@ -334,14 +334,7 @@ object ScaleProbe {
     */
   private def graphxProbe(spark: SparkSession, dir: String): String = {
     import org.apache.spark.graphx.{Edge, Graph => XGraph}
-    def minOf(f: () => Unit): Double = {
-      var m = Double.MaxValue
-      (1 to 5).foreach { _ =>
-        val t0 = System.nanoTime(); f(); m = math.min(m, (System.nanoTime() - t0) / 1e6)
-      }
-      m
-    }
-    val minimal = minOf { () =>
+    val minimal = minMs() {
       val sc = spark.sparkContext
       val g = XGraph(sc.parallelize(Seq((1L, 0), (2L, Int.MaxValue)), 2),
         sc.parallelize(Seq(Edge(1L, 2L, 1)), 2), Int.MaxValue)
@@ -352,9 +345,8 @@ object ScaleProbe {
         math.min).vertices.count()
       ()
     }
-    def execMin(name: String): Double = minOf { () =>
-      graft.SparkEntry.queries(name)(spark, dir)
-        .queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
+    def execMin(name: String): Double = minMs() {
+      forceDf(graft.SparkEntry.queries(name)(spark, dir))
       graft.Scratch.release(spark)
     }
     val depth = execMin("q_graphx_depth")
@@ -439,12 +431,10 @@ object ScaleProbe {
     */
   private def packProbe(spark: SparkSession, dir: String): String = {
     import org.apache.spark.sql.functions._
-    def force(df: org.apache.spark.sql.DataFrame): Unit =
-      df.queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
     def minOf2(mk: => org.apache.spark.sql.DataFrame): Double =
       (1 to 2).map { _ =>
         graft.Scratch.releaseAll()
-        val t0 = System.nanoTime(); force(mk); (System.nanoTime() - t0) / 1e9
+        val t0 = System.nanoTime(); forceDf(mk); (System.nanoTime() - t0) / 1e9
       }.min
     val docs = graft.Tables.documents(spark, dir)
     val nDocs = docs.count()

@@ -167,10 +167,13 @@ object Multimodal {
       * bits per grid row at positions g·7+j. 56 bits keeps the top
       * bits clear, so the DuckDB twin's `sum(1 << bitpos)` replay stays
       * inside BIGINT (bit 63 would flip the sign / widen to HUGEINT —
-      * the lint-banned class). A one-byte content perturbation touches
-      * at most one sampled cell → at most 2 adjacent bits → at most 2
-      * dirty 14-bit bands of 4, so banded blocking always retains
-      * planted near-dups.
+      * the lint-banned class). On an image at least 8 pixel rows tall
+      * (each grid row samples a DISTINCT pixel row), a one-byte content
+      * perturbation touches at most one sampled cell → at most 2
+      * adjacent bits → at most 2 dirty 14-bit bands of 4, so banded
+      * blocking always retains such near-dups; below h = 8 duplicate
+      * grid rows replicate the flip (up to 8 bits), which is why the
+      * phash query plants mutants only on h ≥ 8 documents.
       */
     def dhash(payload: Array[Byte]): Long = {
       val (raw, w, h, pos, _) = parse(payload)

@@ -536,13 +536,18 @@ object IoQueries {
     * .PpmGzCodec.dhash]]), Hamming-banded blocking, Hamming-≤6 verify.
     * Completes the multimodal pillar's content operator: decode / meta
     * / resize existed, but no image-content dedup. Planted near-dups:
-    * every 5th document is re-rendered with ONE byte of its pixel
-    * plane perturbed (+1 on the code point at position doc_id mod len,
-    * the dedup-pack mutation convention, +600000 namespace) — a
-    * one-byte perturbation flips at most 2 adjacent hash bits, so at
-    * least 2 of the 4 14-bit bands stay clean and banded blocking
-    * always retains the planted pair (Hamming 0 when the byte misses
-    * the 8×8 sampled grid, ≤2 when it hits).
+    * every 5th document AT LEAST 8 PIXEL ROWS TALL (len ≥ 337 ⇒ h ≥ 8,
+    * so each grid row samples a DISTINCT pixel row) is re-rendered
+    * with ONE byte of its pixel plane perturbed (+1 on the code point
+    * at position doc_id mod len, the dedup-pack mutation convention,
+    * +600000 namespace) — on an h ≥ 8 image a one-byte perturbation
+    * flips at most 2 adjacent hash bits, so at least 2 of the 4 14-bit
+    * bands stay clean and banded blocking always retains the planted
+    * pair (Hamming 0 when the byte misses the 8×8 sampled grid, ≤2
+    * when it hits). Below h = 8 the flipped comparison would replicate
+    * across every grid row that re-samples the same pixel row (up to 8
+    * bits, all 4 bands dirty), so short docs are fingerprinted but not
+    * planted — the r16 review caught the unqualified claim.
     *
     * Scale: the signature is constant-size per image; blocking is a
     * band-key equi-join over the 4-band table (the q_dedup_embed_mp
@@ -559,7 +564,7 @@ object IoQueries {
   private val mmPhash: Q = (s, d) => {
     val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val mut = base
-      .filter(pmod(col("doc_id"), lit(5)) === 0 && length(col("text")) > 0)
+      .filter(pmod(col("doc_id"), lit(5)) === 0 && length(col("text")) >= 337)
       .select((col("doc_id") + 600000L).as("doc_id"),
         expr("concat(substr(text, 1, CAST(doc_id % length(text) AS INT)), " +
           "chr(ascii(substr(text, CAST(doc_id % length(text) AS INT) + 1, 1)) + 1), " +
@@ -757,7 +762,7 @@ object IoQueries {
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
          |  SELECT doc_id + 600000 AS doc_id, $mut AS text
-         |  FROM documents WHERE doc_id % 5 = 0 AND length(text) > 0),
+         |  FROM documents WHERE doc_id % 5 = 0 AND length(text) >= 337),
          |geom AS (SELECT doc_id, text, octet_length(encode(text)) AS len,
          |                greatest(1, (octet_length(encode(text)) + 47) // 48) AS hh
          |         FROM base),

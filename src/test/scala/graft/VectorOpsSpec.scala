@@ -160,13 +160,16 @@ class VectorOpsSpec extends SparkSpec {
         ((a >> (14 * k)) & 16383L) == ((b >> (14 * k)) & 16383L))
       assert(cleanBands >= 2, s"pos $p dirties >2 bands")
     }
-    // (3) planted recall through the declared query: every 5th doc's
-    // mutant pair (id, id+600000) must be recovered at sf0.001
+    // (3) planted recall through the declared query: every planted
+    // mutant pair (id, id+600000) must be recovered at sf0.001 — the
+    // plant predicate requires h >= 8 (len >= 337), which is exactly
+    // the regime where (2)'s band bound holds, so recall is 100% BY
+    // GUARANTEE, not by luck of the mutation position
     val sf = "/root/testdata/sf0.001"
     val out = graft.queries.IoQueries.queries("q_multimodal_phash")(spark, sf)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     val planted = Tables.documents(spark, sf)
-      .filter("doc_id % 5 = 0 AND length(text) > 0")
+      .filter("doc_id % 5 = 0 AND length(text) >= 337")
       .select("doc_id").collect().map(_.getLong(0))
     assert(planted.nonEmpty)
     val missed = planted.filterNot(id => out.contains((id, id + 600000L)))
