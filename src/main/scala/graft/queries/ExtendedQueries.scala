@@ -540,7 +540,61 @@ object ExtendedQueries {
       |JOIN ca USING (x) JOIN srcs USING (source) CROSS JOIN tot
       |GROUP BY source, n_s, n""".stripMargin
 
+  // ---- k-anonymity release with one-level generalization (r16) ----
+  // The data-release audit a corpus publisher runs before sharing
+  // per-group statistics: quasi-identifier = (lang, source, 100-char
+  // length bucket). Groups meeting k are released at level 0; the
+  // suppressed remainder is GENERALIZED up the hierarchy (source and
+  // bucket collapse to '*'/-1) and re-tested per lang at level 1; what
+  // still misses k pools into one global level-2 residue row. Counts
+  // only — a pure two-aggregate cascade over one scan, map-side
+  // combined, deterministic at any corpus size; the sentinel columns
+  // keep one uniform schema across levels (the q_rollup convention).
+  private val KAnonK = 10L
+
+  private val kanonQ: Q = (s, d) => {
+    val g = graft.Scratch.persist(Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"),
+        expr("n_chars DIV 100").as("len_bucket"))
+      .agg(count(lit(1)).as("n")))
+    val fine = g.filter(col("n") >= KAnonK)
+      .select(col("lang"), col("source"), col("len_bucket"), col("n"),
+        lit(0L).as("level"))
+    val sup = g.filter(col("n") < KAnonK)
+    val mid = graft.Scratch.persist(
+      sup.groupBy("lang").agg(sum(col("n")).as("n")))
+    val midRel = mid.filter(col("n") >= KAnonK)
+      .select(col("lang"), lit("*").as("source"), lit(-1L).as("len_bucket"),
+        col("n"), lit(1L).as("level"))
+    val residue = mid.filter(col("n") < KAnonK)
+      .agg(sum(col("n")).as("n")).filter(col("n").isNotNull)
+      .select(lit("*").as("lang"), lit("*").as("source"),
+        lit(-1L).as("len_bucket"), col("n"), lit(2L).as("level"))
+    fine.unionAll(midRel).unionAll(residue)
+  }
+
+  private val kanonSql: String =
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT lang, source, n_chars // 100 AS len_bucket,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY lang, source, len_bucket),
+       |mid AS MATERIALIZED (
+       |  SELECT lang, CAST(sum(n) AS BIGINT) AS n
+       |  FROM g WHERE n < $KAnonK GROUP BY lang)
+       |SELECT lang, source, len_bucket, n, CAST(0 AS BIGINT) AS level
+       |FROM g WHERE n >= $KAnonK
+       |UNION ALL
+       |SELECT lang, '*' AS source, CAST(-1 AS BIGINT) AS len_bucket, n,
+       |       CAST(1 AS BIGINT) AS level
+       |FROM mid WHERE n >= $KAnonK
+       |UNION ALL
+       |SELECT '*' AS lang, '*' AS source, CAST(-1 AS BIGINT) AS len_bucket,
+       |       CAST(n AS BIGINT) AS n, CAST(2 AS BIGINT) AS level
+       |FROM (SELECT sum(n) AS n FROM mid WHERE n < $KAnonK)
+       |WHERE n IS NOT NULL""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_kanon" -> kanonQ,
     "q_ks_drift" -> ksDriftQ,
     "q_outliers_mad" -> madQ,
     "q_rank_corr" -> rankCorrQ,
@@ -562,6 +616,7 @@ object ExtendedQueries {
     "q_bucketed_join" -> bucketedQ)
 
   val oracle: Map[String, String] = Map(
+    "q_kanon" -> kanonSql,
     "q_ks_drift" -> ksDriftSql,
     "q_outliers_mad" ->
       """WITH e AS (SELECT event_id, event_type, value FROM events),

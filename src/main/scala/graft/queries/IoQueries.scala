@@ -561,7 +561,12 @@ object IoQueries {
   private val MmPhashBandBits = 14
   private val MmPhashMaxHamming = 6L
 
-  private val mmPhash: Q = (s, d) => {
+  private val mmPhash: Q = (s, d) => phashPairs(s, d)
+
+  /** The (doc_a, doc_b, hamming) near-dup pair frame q_multimodal_phash
+    * declares — also the edge list of [[phashGroups]].
+    */
+  private def phashPairs(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val mut = base
       .filter(pmod(col("doc_id"), lit(5)) === 0 && length(col("text")) >= 337)
@@ -586,6 +591,33 @@ object IoQueries {
       .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
       .filter(col("hamming") <= MmPhashMaxHamming)
       .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Image dup-GROUP resolution (r16): connected components over the
+    * phash near-dup pairs, keeper = min image id per group — the
+    * keep-one-per-group decision the multimodal pillar was missing
+    * (q_dedup_minhash_groups is the text-side precedent, same GraphX
+    * CC shape, same recursive-CTE closure oracle). Vertices = every
+    * fingerprinted image (base corpus + planted mutants), so
+    * singleton images appear as their own keeper.
+    */
+  private val phashGroups: Q = (s, d) => {
+    import s.implicits._
+    val pairs = phashPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val ids = Tables.documents(s, d).select(col("doc_id"))
+      .unionAll(Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(5)) === 0 && length(col("text")) >= 337)
+        .select((col("doc_id") + 600000L).as("doc_id")))
+    // sized from Catalyst's estimate — NOT a count (minhashGroups rule:
+    // a count would re-run the pair generation); edge coalesce must
+    // SHUFFLE so the band join stays at full width
+    val p = graft.operators.SizedRdd.parts(pairs)
+    val vRDD = ids.as[Long].rdd.coalesce(p).map(id => (id, ()))
+    val eRDD = pairs.as[(Long, Long)].rdd.coalesce(p, shuffle = true)
+      .map { case (a, b) => Edge(a, b, ()) }
+    XGraph(vRDD, eRDD, ()).connectedComponents().vertices
+      .toDF("doc_id", "keeper")
+      .select(col("doc_id"), col("keeper").cast("long").as("keeper"))
   }
 
   /** Parquet sink + small-file compaction round trip: the engine's own
@@ -616,6 +648,7 @@ object IoQueries {
     "q_multimodal_decode" -> mmDecode,
     "q_multimodal_resize" -> mmResize,
     "q_multimodal_phash" -> mmPhash,
+    "q_phash_groups" -> phashGroups,
     "o02_wholefile_roundtrip" -> wholefile,
     "o03_csv_roundtrip" -> csv,
     "q_json_roundtrip" -> jsonRt,
@@ -635,6 +668,47 @@ object IoQueries {
     "q_infer_onnx" -> inferOnnx,
     "q_multimodal_meta" -> multimodal,
     "q_graphx_depth" -> graphxDepth)
+
+  /** The q_multimodal_phash twin body (dHash replay from text by
+    * integer arithmetic — see the query's Scaladoc) — shared verbatim
+    * with the q_phash_groups closure oracle.
+    */
+  private def phashPairsSql: String = {
+      val mutPos = "CAST(doc_id % length(text) AS INT)"
+      val mut = s"(substr(text, 1, $mutPos) || " +
+        s"chr(ascii(substr(text, $mutPos + 1, 1)) + 1) || substr(text, $mutPos + 2))"
+      def byteAt(i: String) =
+        s"(CASE WHEN ($i) < len THEN unicode(substr(text, CAST(($i) + 1 AS INT), 1)) ELSE 0 END)"
+      def graySql(cCol: String) =
+        s"((${byteAt(s"r*48 + $cCol*3")} + ${byteAt(s"r*48 + $cCol*3 + 1")} + " +
+          s"${byteAt(s"r*48 + $cCol*3 + 2")}) // 3)"
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 600000 AS doc_id, $mut AS text
+         |  FROM documents WHERE doc_id % 5 = 0 AND length(text) >= 337),
+         |geom AS (SELECT doc_id, text, octet_length(encode(text)) AS len,
+         |                greatest(1, (octet_length(encode(text)) + 47) // 48) AS hh
+         |         FROM base),
+         |cells AS (SELECT doc_id, text, len, g, j,
+         |                 (g * hh) // 8 AS r, 2*j AS c0, 2*(j+1) AS c1
+         |          FROM geom
+         |          CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS g)
+         |          CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS j)),
+         |bits AS (SELECT doc_id,
+         |                CASE WHEN ${graySql("c0")} < ${graySql("c1")}
+         |                     THEN (1::BIGINT << (g*7 + j)) ELSE 0::BIGINT END AS bit
+         |         FROM cells),
+         |hashes AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS dhash FROM bits GROUP BY doc_id),
+         |bands AS (SELECT doc_id, dhash, b, (dhash >> (14*b)) & 16383 AS bv
+         |          FROM hashes CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                a.dhash AS ha, b.dhash AS hb
+         |         FROM bands a JOIN bands b
+         |           ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 6""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "q_e1_features" -> e1FeaturesSql,
@@ -749,42 +823,24 @@ object IoQueries {
     // sampled rows g·h//8, even pixel columns, gray = 3-byte sum // 3,
     // 7 comparison bits per grid row at 1<<(g·7+j), then the same
     // 4×14-bit band blocking and Hamming-≤6 verification.
-    "q_multimodal_phash" -> {
-      val mutPos = "CAST(doc_id % length(text) AS INT)"
-      val mut = s"(substr(text, 1, $mutPos) || " +
-        s"chr(ascii(substr(text, $mutPos + 1, 1)) + 1) || substr(text, $mutPos + 2))"
-      def byteAt(i: String) =
-        s"(CASE WHEN ($i) < len THEN unicode(substr(text, CAST(($i) + 1 AS INT), 1)) ELSE 0 END)"
-      def graySql(cCol: String) =
-        s"((${byteAt(s"r*48 + $cCol*3")} + ${byteAt(s"r*48 + $cCol*3 + 1")} + " +
-          s"${byteAt(s"r*48 + $cCol*3 + 2")}) // 3)"
-      s"""WITH base AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 600000 AS doc_id, $mut AS text
-         |  FROM documents WHERE doc_id % 5 = 0 AND length(text) >= 337),
-         |geom AS (SELECT doc_id, text, octet_length(encode(text)) AS len,
-         |                greatest(1, (octet_length(encode(text)) + 47) // 48) AS hh
-         |         FROM base),
-         |cells AS (SELECT doc_id, text, len, g, j,
-         |                 (g * hh) // 8 AS r, 2*j AS c0, 2*(j+1) AS c1
-         |          FROM geom
-         |          CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS g)
-         |          CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS j)),
-         |bits AS (SELECT doc_id,
-         |                CASE WHEN ${graySql("c0")} < ${graySql("c1")}
-         |                     THEN (1::BIGINT << (g*7 + j)) ELSE 0::BIGINT END AS bit
-         |         FROM cells),
-         |hashes AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS dhash FROM bits GROUP BY doc_id),
-         |bands AS (SELECT doc_id, dhash, b, (dhash >> (14*b)) & 16383 AS bv
-         |          FROM hashes CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |                a.dhash AS ha, b.dhash AS hb
-         |         FROM bands a JOIN bands b
-         |           ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-         |FROM cand WHERE bit_count(xor(ha, hb)) <= 6""".stripMargin
-    },
+    "q_multimodal_phash" -> phashPairsSql,
+    // q_phash_groups twin: the q_dedup_minhash_groups closure shape —
+    // recursive reachability over the (materialized) phash pairs,
+    // keeper = min reachable id; vertices = every fingerprinted image
+    "q_phash_groups" ->
+      s"""WITH RECURSIVE pairs AS MATERIALIZED ($phashPairsSql),
+         |ids AS (SELECT doc_id FROM documents
+         |        UNION ALL
+         |        SELECT doc_id + 600000 AS doc_id FROM documents
+         |        WHERE doc_id % 5 = 0 AND length(text) >= 337),
+         |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |        UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id AS a, doc_id AS b FROM ids
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+         |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS keeper
+         |FROM reach GROUP BY a""".stripMargin,
     "q_graphx_depth" -> {
       val o07Sql = GraphQueries.oracle("o07_graph_ids")
       s"SELECT id, CAST(len(string_split(path, '.')) - 1 AS BIGINT) AS depth_pregel FROM ($o07Sql)"

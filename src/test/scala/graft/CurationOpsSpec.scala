@@ -31,6 +31,24 @@ class CurationOpsSpec extends SparkSpec {
       odd.count(_.getAs[Long]("precision_bp") < 10000L) > odd.length / 2)
   }
 
+  test("kanon: released rows partition the corpus; k respected per level") {
+    val rows = SparkEntry.queries("q_kanon")(spark, sf).collect()
+    Scratch.release(spark)
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total,
+      "released mass must partition the corpus exactly")
+    rows.foreach { r =>
+      val (lvl, n) = (r.getAs[Long]("level"), r.getAs[Long]("n"))
+      assert(lvl >= 0 && lvl <= 2)
+      if (lvl < 2) assert(n >= 10L, s"level-$lvl group below k: $n")
+      if (lvl == 0) assert(r.getAs[String]("source") != "*" &&
+        r.getAs[Long]("len_bucket") >= 0)
+      if (lvl >= 1) assert(r.getAs[String]("source") == "*" &&
+        r.getAs[Long]("len_bucket") == -1L)
+    }
+    assert(rows.count(_.getAs[Long]("level") == 2) <= 1, "at most one residue row")
+  }
+
   test("shard_manifest: 16 exhaustive shards, counts partition the corpus") {
     val rows = SparkEntry.queries("q_shard_manifest")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("shard")).toSet == (0L until 16L).toSet)
