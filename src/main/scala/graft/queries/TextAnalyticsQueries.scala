@@ -132,6 +132,34 @@ object TextAnalyticsQueries {
        |           CAST(length(text) AS BIGINT) AS _nch
        |    FROM documents))""".stripMargin
 
+  // ---- quality-vs-duplication audit (r16) ----
+  // The cross-family curation audit ("are low-quality docs more
+  // duplicated?") a pipeline runs before picking filter thresholds:
+  // rank the corpus by the composite quality score, cut into 10
+  // deciles, and report the exact-duplicate rate per decile. Dup flag
+  // = the doc's md5 fingerprint is shared (a fp-partitioned window
+  // count — never a self-join); the global decile rank rides
+  // `Ordinals.rankAndCount`'s adaptive gate under the non-foldable
+  // constant group (the quantilesOf convention), so past 64k docs the
+  // rank switches to the range-partitioned ordinal branch instead of
+  // one window partition. 10 output rows at any corpus size.
+  private val qualityDupAudit: Q = (s, d) => {
+    val q = quality(s, d).select(col("doc_id"), col("quality_bp"))
+    val dupF = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .withColumn("k", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .select(col("doc_id"), (col("k") > 1).cast("long").as("is_dup"))
+    val ranked = graft.operators.Ordinals.rankAndCount(
+      q.join(dupF, Seq("doc_id"))
+        .withColumn("g", pmod(col("doc_id"), lit(1L))),
+      "g", Seq(col("quality_bp").asc, col("doc_id").asc), "rk", Some("n"))
+    ranked.withColumn("decile", expr("((rk - 1) * 10) DIV n"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dup"))
+      .withColumn("dup_bp", expr("(n_dup * 10000) DIV n_docs"))
+  }
+
   // ---- document fingerprinting (md5 + min-shingle rolling hash) ----
   // min over md5 of all trigrams == min over the DISTINCT trigram set,
   // so the native token_shingles kernel applies (one md5 per distinct
@@ -497,6 +525,7 @@ object TextAnalyticsQueries {
     "q_langid_eval" -> langIdEval,
     "q_ngram_overlap" -> ngramOverlap,
     "q_shard_manifest" -> shardManifest,
+    "q_quality_dup_audit" -> qualityDupAudit,
     "q_quality_score" -> quality,
     "q_fingerprint" -> fingerprint,
     "q_data_split" -> splitQ,
@@ -620,6 +649,21 @@ object TextAnalyticsQueries {
          |  FROM documents)
          |GROUP BY shard""".stripMargin,
     "q_quality_score" -> qualitySql,
+    "q_quality_dup_audit" ->
+      s"""WITH q AS (SELECT doc_id, quality_bp FROM ($qualitySql)),
+         |dupf AS (SELECT doc_id,
+         |                CASE WHEN count(*) OVER (PARTITION BY md5(text)) > 1
+         |                     THEN 1 ELSE 0 END AS is_dup
+         |         FROM documents),
+         |r AS (SELECT q.doc_id, quality_bp, is_dup,
+         |             CAST(row_number() OVER (ORDER BY quality_bp, q.doc_id) AS BIGINT) AS rk,
+         |             CAST(count(*) OVER () AS BIGINT) AS n
+         |      FROM q JOIN dupf USING (doc_id))
+         |SELECT ((rk - 1) * 10) // n AS decile,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(is_dup) AS BIGINT) AS n_dup,
+         |       (CAST(sum(is_dup) AS BIGINT) * 10000) // count(*) AS dup_bp
+         |FROM r GROUP BY decile""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, substr(md5(text), 1, 16) AS fp,
         |       list_min(list_transform(
