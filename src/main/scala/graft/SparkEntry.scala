@@ -64,6 +64,7 @@ object SparkEntry {
     "build_hnsw_layers" -> VectorQueries.rebuildHnsw,
     "build_pq_codebooks" -> VectorQueries.rebuildPq,
     "build_bm25_index" -> CorpusQueries.rebuildBm25,
+    "build_bm25_upsert" -> CorpusQueries.rebuildBm25Upsert,
     "build_bpe_model" -> BpeQueries.rebuildBpe,
     "build_e1_model" -> IoQueries.rebuildE1,
     "build_pagerank_edges" -> GraphAnalyticsQueries.rebuildEdges)
@@ -97,8 +98,13 @@ object SparkEntry {
       "build_hnsw_layers"),
     "build_hnsw_layers" -> Set("q_ann_recall_hnsw"),
     "build_pq_codebooks" -> Set("q_pq_encode", "q_ann_recall_pq"),
+    // build_bm25_upsert merges the delta into the standing index memo,
+    // so it is a dependent of build_bm25_index (transitive-listing
+    // convention: its query dependent rides both sets)
     "build_bm25_index" -> Set("q_bm25_topk", "q_bm25_upsert",
-      "q_retrieval_mrr", "q_hybrid_retrieval", "q_hybrid_retrieval_ivf"),
+      "q_retrieval_mrr", "q_hybrid_retrieval", "q_hybrid_retrieval_ivf",
+      "build_bm25_upsert"),
+    "build_bm25_upsert" -> Set("q_bm25_upsert"),
     "build_bpe_model" -> Set("q_tokenize_bpe", "q_bpe_terms",
       "q_bpe_fertility", "q_pack_sequences_bpe", "q_token_windows_bpe"),
     "build_e1_model" -> Set("q_e1_pipeline", "q_e1_features",

@@ -1099,9 +1099,13 @@ object DedupQueries {
       s"""WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id+400000 AS doc_id,
-        |         'p' || CAST(doc_id AS VARCHAR) || ' ' || text AS text
-        |  FROM documents WHERE doc_id % 5 = 0),
+        |  -- mutation computed in an inner subquery so the prefix's
+        |  -- doc_id reference can never bind to the +400000 alias
+        |  -- (ADVICE r16 #1 class)
+        |  SELECT base_id + 400000 AS doc_id, mut AS text FROM (
+        |    SELECT doc_id AS base_id,
+        |           'p' || CAST(doc_id AS VARCHAR) || ' ' || text AS mut
+        |    FROM documents WHERE doc_id % 5 = 0)),
         |b AS (SELECT doc_id, text,
         |        [i FOR i IN generate_series(8, length(text))
         |           IF (unicode(text[i])::BIGINT + unicode(text[i-1])*31::BIGINT +

@@ -550,6 +550,15 @@ object ExtendedQueries {
   // only — a pure two-aggregate cascade over one scan, map-side
   // combined, deterministic at any corpus size; the sentinel columns
   // keep one uniform schema across levels (the q_rollup convention).
+  //
+  // The level-2 residue row is EXEMPT from the k floor BY DESIGN
+  // (ADVICE r16 #2): its count equals total_corpus − Σ(released n),
+  // and the corpus cardinality is public in this release model (every
+  // shard manifest / profile query publishes it), so the residue is
+  // derivable from the release whether or not the row is printed —
+  // suppressing it would hide nothing while breaking the exact
+  // partition-of-the-corpus accounting the audit relies on.
+  // CurationOpsSpec pins this argument: residue == total − released.
   private val KAnonK = 10L
 
   private val kanonQ: Q = (s, d) => {

@@ -685,8 +685,13 @@ object IoQueries {
       s"""WITH base AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 600000 AS doc_id, $mut AS text
-         |  FROM documents WHERE doc_id % 5 = 0 AND length(text) >= 337),
+         |  -- mutation computed in an inner subquery so no SELECT list
+         |  -- both shadows and references doc_id/text (ADVICE r16 #1:
+         |  -- correctness must not lean on DuckDB's alias-shadowing
+         |  -- resolution order)
+         |  SELECT base_id + 600000 AS doc_id, mut AS text FROM (
+         |    SELECT doc_id AS base_id, $mut AS mut
+         |    FROM documents WHERE doc_id % 5 = 0 AND length(text) >= 337)),
          |geom AS (SELECT doc_id, text, octet_length(encode(text)) AS len,
          |                greatest(1, (octet_length(encode(text)) + 47) // 48) AS hh
          |         FROM base),

@@ -47,6 +47,15 @@ class CurationOpsSpec extends SparkSpec {
         r.getAs[Long]("len_bucket") == -1L)
     }
     assert(rows.count(_.getAs[Long]("level") == 2) <= 1, "at most one residue row")
+    // the level-2 residue is exempt from k BY DESIGN: it equals
+    // total − Σ released, i.e. it is derivable from the release plus
+    // the public corpus cardinality whether or not the row is printed
+    val released = rows.filter(_.getAs[Long]("level") < 2)
+      .map(_.getAs[Long]("n")).sum
+    rows.filter(_.getAs[Long]("level") == 2).foreach { r =>
+      assert(r.getAs[Long]("n") == total - released,
+        "residue must be exactly the derivable complement of the release")
+    }
   }
 
   test("shard_manifest: 16 exhaustive shards, counts partition the corpus") {

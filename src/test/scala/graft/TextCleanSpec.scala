@@ -92,6 +92,13 @@ class TextCleanSpec extends SparkSpec {
     // corpus parity at two SFs: the declared single-pass query must be
     // row-identical to the historical sequential form (counts included)
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { sf =>
+      // the twin counts typed tokens via literal '<URL>'-style length
+      // deltas, valid only on a '<'-free corpus (ADVICE r16 #3): assert
+      // it here so a corpus regen fails BY NAME, not as an opaque hash
+      // mismatch
+      assert(Tables.documents(spark, sf)
+          .filter(col("text").contains("<")).count() == 0,
+        s"corpus $sf contains '<' — the pii twin's length-delta counts are invalid")
       val fused = graft.queries.TextAnalyticsQueries.queries("q_pii_scrub")(spark, sf)
       val seq = graft.queries.TextAnalyticsQueries.piiSequential(spark, sf)
       assert(fused.exceptAll(seq).count() == 0 && seq.exceptAll(fused).count() == 0,
