@@ -29,7 +29,8 @@ object SparkEntry {
       (SketchQueries.queries, SketchQueries.oracle),
       (GraphAnalyticsQueries.queries, GraphAnalyticsQueries.oracle),
       (SelectionQueries.queries, SelectionQueries.oracle),
-      (CorpusStatsQueries.queries, CorpusStatsQueries.oracle))
+      (CorpusStatsQueries.queries, CorpusStatsQueries.oracle),
+      (PersistQueries.queries, PersistQueries.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -67,7 +68,9 @@ object SparkEntry {
     "build_bm25_upsert" -> CorpusQueries.rebuildBm25Upsert,
     "build_bpe_model" -> BpeQueries.rebuildBpe,
     "build_e1_model" -> IoQueries.rebuildE1,
-    "build_pagerank_edges" -> GraphAnalyticsQueries.rebuildEdges)
+    "build_pagerank_edges" -> GraphAnalyticsQueries.rebuildEdges,
+    // last: reads the ivf/bm25/pq memos built above (dependency order)
+    "build_index_store" -> PersistQueries.rebuildStore)
 
   /** build_* entry → the declared queries that read its memo. Lives
     * NEXT TO [[benchArtifacts]] so adding an artifact or a consumer is
@@ -89,7 +92,8 @@ object SparkEntry {
     "build_ivf_index" -> Set("q_ann_ivf", "q_ann_ivf_upsert",
       "q_ann_recall_ivf", "q_ann_recall_nsw", "q_ann_recall_hnsw",
       "q_hybrid_retrieval_ivf", "q_contrastive_pairs",
-      "q_dedup_semantic", "q_knn_eval", "build_nsw_graph"),
+      "q_dedup_semantic", "q_knn_eval", "build_nsw_graph",
+      "build_index_store", "q_index_persist"),
     // build_hnsw_layers rides build_nsw_graph's memo (layer 0 IS the
     // NSW graph), so it is a dependent of that build too. Convention:
     // every set lists its TRANSITIVE query dependents directly (the
@@ -97,14 +101,16 @@ object SparkEntry {
     "build_nsw_graph" -> Set("q_ann_recall_nsw", "q_ann_recall_hnsw",
       "build_hnsw_layers"),
     "build_hnsw_layers" -> Set("q_ann_recall_hnsw"),
-    "build_pq_codebooks" -> Set("q_pq_encode", "q_ann_recall_pq"),
+    "build_pq_codebooks" -> Set("q_pq_encode", "q_ann_recall_pq",
+      "build_index_store", "q_index_persist"),
     // build_bm25_upsert merges the delta into the standing index memo,
     // so it is a dependent of build_bm25_index (transitive-listing
     // convention: its query dependent rides both sets)
     "build_bm25_index" -> Set("q_bm25_topk", "q_bm25_upsert",
       "q_retrieval_mrr", "q_hybrid_retrieval", "q_hybrid_retrieval_ivf",
-      "build_bm25_upsert"),
+      "build_bm25_upsert", "build_index_store", "q_index_persist"),
     "build_bm25_upsert" -> Set("q_bm25_upsert"),
+    "build_index_store" -> Set("q_index_persist"),
     "build_bpe_model" -> Set("q_tokenize_bpe", "q_bpe_terms",
       "q_bpe_fertility", "q_pack_sequences_bpe", "q_token_windows_bpe"),
     "build_e1_model" -> Set("q_e1_pipeline", "q_e1_features",
@@ -123,6 +129,7 @@ object SparkEntry {
     CorpusQueries.clearCache()
     BpeQueries.clearCache()
     GraphAnalyticsQueries.clearCache()
+    graft.operators.IndexStore.clearCache()
     Scratch.releaseAll()
   }
 }

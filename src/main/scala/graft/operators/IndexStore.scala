@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Durable index persistence (r17 — VERDICT r16 #1).
+  *
+  * The reference's indexes are durable database state that survives
+  * restarts: the HNSW cosine index
+  * (src/backend/db/models/embedding.py:15-18,
+  * services/db_service/db_init.sql:23-28) and the GiST/btree path
+  * indexes (db_init.sql:12-13). The engine's equivalents — IVF lists,
+  * BM25 postings/lengths/idf, PQ codes+codebooks — were only
+  * session-memoized TrieMaps until r17, so a fresh session paid the
+  * full rebuild. This seam writes them as partitioned parquet
+  * artifacts under one store root with a small manifest (row counts,
+  * shape metadata, order-independent content checksums via the
+  * q_shard_manifest machinery) and loads them back into servable index
+  * states WITHOUT touching any builder: a fresh SparkSession answers
+  * q_ann_ivf / q_bm25_topk / q_pq_encode from the loaded artifacts
+  * with zero rebuild jobs (IndexStoreSpec pins this).
+  *
+  * Scale notes: `ivf_assigned` is written `partitionBy("cluster")` so
+  * a probe-time broadcast join prunes to the probed lists' partitions
+  * (nProbe/nList of the data) at the SCAN, which is the point of a
+  * durable IVF artifact at 100 TB; postings/lens/codes stay
+  * multi-file parquet written at the build's parallelism. Only the
+  * bounded frames (nList centroids, m·k codebooks, the manifest) are
+  * single-file.
+  */
+object IndexStore {
+
+  /** Servable index states reconstructed from a store root — plain
+    * DataFrames over the artifact files plus the two bounded driver
+    * arrays (PQ codebooks; IVF centroids stay a frame, topK broadcasts
+    * it). Nothing here is persisted or memoized: serving reads the
+    * artifact, which is the durability story.
+    */
+  final case class LoadedIndexes(
+      ivf: AnnIvf.IvfIndex,
+      bm25Post: DataFrame, bm25Lens: DataFrame, bm25G: DataFrame,
+      bm25TermsPath: String,
+      pq: PqOps.PqIndex,
+      manifest: DataFrame)
+
+  private[graft] val ChecksumMod = 2305843009213693951L // 2^61 − 1
+
+  def storeRoot(d: String): String = java.nio.file.Paths
+    .get(sys.props("java.io.tmpdir"),
+      "graft_index_store_" + graft.Scratch.dirTag(d)).toString
+
+  private def sub(root: String, name: String): String =
+    java.nio.file.Paths.get(root, name).toString
+
+  /** (n_rows, checksum) over a frame's `_r` string rendering — Σ 9-hex
+    * md5 prefixes, exact via DECIMAL(38,0), published mod 2⁶¹−1 (the
+    * q_shard_manifest machinery). Rendering of non-integer columns
+    * (to_json arrays) is Spark-deterministic; the manifest is compared
+    * Spark-vs-Spark (save vs load), while the cross-engine oracle
+    * checksums in PersistQueries render integers only.
+    */
+  private[graft] def contentStats(rendered: DataFrame): DataFrame =
+    rendered.select(
+        expr("CAST(conv(substring(md5(_r), 1, 9), 16, 10) AS BIGINT)").as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr(s"CAST(coalesce(sum(CAST(h AS DECIMAL(38,0))), 0) % $ChecksumMod AS BIGINT)")
+          .as("checksum"))
+
+  private def manifestRow(name: String, df: DataFrame,
+      render: org.apache.spark.sql.Column, meta: String): DataFrame =
+    contentStats(df.select(render.as("_r")))
+      .select(lit(name).as("artifact"), col("n_rows"), col("checksum"),
+        lit(meta).as("meta"))
+
+  /** Recompute a loaded artifact's manifest row (the load-integrity
+    * check IndexStoreSpec runs; a production load would gate on it).
+    */
+  private[graft] def recomputedRow(s: SparkSession, root: String,
+      name: String): DataFrame = {
+    val (df, render, meta) = artifactSpec(s, root, name)
+    manifestRow(name, df, render, meta)
+  }
+
+  /** artifact name → (frame over its files, render column, meta). The
+    * ONE definition both save (manifest write) and verify (recompute)
+    * share, so they can never drift.
+    */
+  private def artifactSpec(s: SparkSession, root: String,
+      name: String): (DataFrame, org.apache.spark.sql.Column, String) = {
+    val df = s.read.parquet(sub(root, name))
+    name match {
+      case "ivf_assigned" =>
+        (df, concat_ws("|", col("vec_id"), col("cluster")), "")
+      case "ivf_centroids" =>
+        (df, concat_ws("|", col("cluster"), to_json(col("centroid"))), "")
+      case "bm25_post" =>
+        (df, concat_ws("|", col("doc_id"), col("tok"), col("tf")), "")
+      case "bm25_lens" =>
+        (df, concat_ws("|", col("doc_id"), col("len")), "")
+      case "bm25_g" =>
+        (df, concat_ws("|", col("n"), col("t")), "")
+      case "bm25_terms" =>
+        (df, concat_ws("|", col("tok"), col("df"), col("idf_e6")), "")
+      case "pq_codes" =>
+        (df, concat_ws("|", col("vec_id"), to_json(col("codes"))), "")
+      case "pq_codebooks" =>
+        (df, concat_ws("|", col("j"), col("c"), to_json(col("centroid"))), "")
+      case other => throw new IllegalArgumentException(s"unknown artifact $other")
+    }
+  }
+
+  private[graft] val ArtifactNames = Seq("ivf_assigned", "ivf_centroids",
+    "bm25_post", "bm25_lens", "bm25_g", "bm25_terms", "pq_codes",
+    "pq_codebooks")
+
+  // save is idempotent per (session, dir): a path string only, nothing
+  // persisted — memoized so bench reps of q_index_persist time load +
+  // serve, never the writer (build_index_store is the timed build).
+  private val savedCache = new graft.SessionCache[String]
+
+  private[graft] def clearCache(): Unit = { savedCache.clearAll(); () }
+
+  /** Write the session's built indexes (forcing their builds if not
+    * yet memoized) as parquet artifacts under [[storeRoot]], plus the
+    * manifest. Returns the root.
+    */
+  def save(s: SparkSession, d: String): String = savedCache.getOrElseUpdate(s, d) {
+    val root = storeRoot(d)
+    val ivf = graft.queries.VectorQueries.ivfIndex(s, d)
+    val bm = graft.queries.CorpusQueries.bm25Index(s, d)
+    val pq = graft.queries.VectorQueries.pqIndex(s, d)
+    // partitionBy(cluster): the probe join broadcasts ~nProbe lists, so
+    // dynamic partition pruning cuts the artifact scan to the probed
+    // lists — the durable form of the in-memory equi-join's selectivity
+    ivf.assigned.write.mode("overwrite").partitionBy("cluster")
+      .parquet(sub(root, "ivf_assigned"))
+    ivf.centroids.coalesce(1).write.mode("overwrite")
+      .parquet(sub(root, "ivf_centroids"))
+    bm.post.write.mode("overwrite").parquet(sub(root, "bm25_post"))
+    bm.lens.write.mode("overwrite").parquet(sub(root, "bm25_lens"))
+    bm.g.coalesce(1).write.mode("overwrite").parquet(sub(root, "bm25_g"))
+    s.read.parquet(bm.termsPath).coalesce(1).write.mode("overwrite")
+      .parquet(sub(root, "bm25_terms"))
+    pq.codes.write.mode("overwrite").parquet(sub(root, "pq_codes"))
+    val sp = s
+    import sp.implicits._
+    (0 until pq.m).flatMap(j => (0 until pq.k).map(c =>
+        (j, c, pq.codebooks(j)(c).toSeq)))
+      .toDF("j", "c", "centroid")
+      .select(col("j"), col("c"),
+        col("centroid").cast("array<double>").as("centroid"))
+      .coalesce(1).write.mode("overwrite").parquet(sub(root, "pq_codebooks"))
+    // shape metadata rides the relevant artifact's manifest row
+    val dim = ivf.centroids.select(size(col("centroid"))).head().getInt(0)
+    val nList = ivf.centroids.count()
+    val metas = Map(
+      "ivf_centroids" -> s"dim=$dim,nlist=$nList",
+      "pq_codebooks" -> s"m=${pq.m},k=${pq.k},dsub=${pq.dSub}")
+    val manifest = ArtifactNames.map { name =>
+      val (df, render, _) = artifactSpec(s, root, name)
+      manifestRow(name, df, render, metas.getOrElse(name, ""))
+    }.reduce(_.unionAll(_))
+    manifest.coalesce(1).write.mode("overwrite").parquet(sub(root, "manifest"))
+    root
+  }
+
+  /** Reconstruct servable index states from a store root — reads only
+    * the artifacts (plus two bounded driver collects: the m·k PQ
+    * codebooks; manifest metadata), never a builder or a memo.
+    */
+  def load(s: SparkSession, root: String): LoadedIndexes = {
+    val assigned = s.read.parquet(sub(root, "ivf_assigned"))
+      .select(col("vec_id"), col("e"), col("cluster").cast("int").as("cluster"))
+    val centroids = s.read.parquet(sub(root, "ivf_centroids"))
+    val ivf = AnnIvf.IvfIndex(assigned, centroids, "vec_id")
+    val post = s.read.parquet(sub(root, "bm25_post"))
+    val lens = s.read.parquet(sub(root, "bm25_lens"))
+    val g = s.read.parquet(sub(root, "bm25_g"))
+    val cbRows = s.read.parquet(sub(root, "pq_codebooks"))
+      .select(col("j"), col("c"), col("centroid")).collect()
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val k = cbRows.map(_.getInt(1)).max + 1
+    val codebooks = Array.ofDim[Array[Double]](m, k)
+    cbRows.foreach { r =>
+      codebooks(r.getInt(0))(r.getInt(1)) =
+        r.getAs[scala.collection.Seq[Double]](2).toArray
+    }
+    val dSub = codebooks(0)(0).length
+    val pq = PqOps.PqIndex(codebooks,
+      s.read.parquet(sub(root, "pq_codes")), "vec_id", m, k, dSub)
+    LoadedIndexes(ivf, post, lens, g, sub(root, "bm25_terms"), pq,
+      s.read.parquet(sub(root, "manifest")))
+  }
+}

@@ -229,7 +229,7 @@ object CorpusQueries {
   private[graft] val Bm25K = 10
   private[graft] val Bm25QTerms = 5
 
-  private def bm25ExportPath: String = java.nio.file.Paths
+  private[graft] def bm25ExportPath: String = java.nio.file.Paths
     .get(sys.props("java.io.tmpdir"), "graft_bm25_terms").toString
 
   /** Probe terms whose quantized idf falls below this floor are cut
@@ -277,6 +277,10 @@ object CorpusQueries {
     }
     bm25UpsertCache.clearAll().foreach(_.dPost.unpersist())
   }
+
+  /** Live memo entries for `s` (IndexStoreSpec's zero-rebuild proof). */
+  private[graft] def bm25CacheCount(s: SparkSession): Int =
+    bm25Cache.activeCount(s)
 
   private[graft] def bm25Index(s: SparkSession, d: String): Bm25Index =
     bm25Cache.getOrElseUpdate(s, d) {
@@ -359,13 +363,30 @@ object CorpusQueries {
       .agg(sum(expr("idf_e6 * tp_bp")).as("score"))
   }
 
-  private val bm25: Q = (s, d) =>
-    bm25Scored(s, d)
+  /** The full q_bm25_topk chain over an EXPLICIT index state — the
+    * seam [[graft.operators.IndexStore]] serves through after loading a
+    * persisted index (r17, VERDICT r16 #1): identical probes, scoring,
+    * and top-k to the standing query, with the state injected instead
+    * of read from the session memo.
+    */
+  private[graft] def bm25TopkFrom(s: SparkSession, d: String, post: DataFrame,
+      lens: DataFrame, g: DataFrame, termsPath: String): DataFrame = {
+    val probes = Tables.documents(s, d).filter(col("doc_id") < Bm25Probes)
+      .select(col("doc_id").as("probe_id"),
+        explode(slice(split(col("text"), " "), 1, Bm25QTerms)).as("tok"))
+      .distinct()
+    bm25ScoreOver(s, post, lens, g, termsPath, probes)
       .withColumn("rk", row_number().over(
         Window.partitionBy("probe_id").orderBy(col("score").desc, col("doc_id")))
         .cast("long"))
       .filter(col("rk") <= Bm25K)
       .select("probe_id", "rk", "doc_id", "score")
+  }
+
+  private val bm25: Q = (s, d) => {
+    val ix = bm25Index(s, d)
+    bm25TopkFrom(s, d, ix.post, ix.lens, ix.g, ix.termsPath)
+  }
 
   // ---- retrieval eval: MRR of the planted relevant (r16) ----
   // The eval loop a retrieval stack actually runs: take documents whose
@@ -560,7 +581,7 @@ object CorpusQueries {
        |  CROSS JOIN g
        |  GROUP BY p.probe_id, post.doc_id)""".stripMargin
 
-  private def bm25Sql: String =
+  private[graft] def bm25Sql: String =
     s"""WITH $bm25ScoredCtes
        |SELECT probe_id, rk, doc_id, score FROM (
        |  SELECT probe_id, doc_id, score,

@@ -244,10 +244,13 @@ object VectorQueries {
   /** PQ codes, long form — the 64×-compressed representation itself as
     * a declared result (vec_id, subspace, code).
     */
-  private val pqEncode: Q = (s, d) =>
-    pqIndex(s, d).codes.select(col("vec_id"), posexplode(col("codes")))
+  /** PQ codes long form over an EXPLICIT index (the IndexStore seam). */
+  private[graft] def pqEncodeFrom(ix: graft.operators.PqOps.PqIndex): DataFrame =
+    ix.codes.select(col("vec_id"), posexplode(col("codes")))
       .select(col("vec_id"), col("pos").cast("long").as("j"),
         col("col").cast("long").as("code"))
+
+  private val pqEncode: Q = (s, d) => pqEncodeFrom(pqIndex(s, d))
 
   /** PQ recall@10 vs the exact L2 top-10, both stages of the standard
     * PQ pipeline as one declared metric:
@@ -323,13 +326,24 @@ object VectorQueries {
       .withColumn("recall_bp", expr(s"(n_hits * 10000) DIV $RecallK"))
   }
 
-  private val ivf: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-    val index = ivfIndex(s, d)
-    val probes = emb.filter(col("vec_id") < 5)
+  /** The q_ann_ivf search over an EXPLICIT index — the seam
+    * [[graft.operators.IndexStore]] serves through after loading a
+    * persisted index (r17, VERDICT r16 #1).
+    */
+  private[graft] def ivfTopkFrom(s: SparkSession, d: String,
+      index: graft.operators.AnnIvf.IvfIndex): DataFrame = {
+    val probes = Tables.embeddings(s, d).filter(col("vec_id") < 5)
       .select(col("vec_id").as("pid"), col("embedding"))
     graft.operators.AnnIvf.topK(index, probes, "pid", "embedding", k = 10, nProbe = 4)
   }
+
+  private val ivf: Q = (s, d) => ivfTopkFrom(s, d, ivfIndex(s, d))
+
+  /** Live memo entries for `s` (IndexStoreSpec's zero-rebuild proof). */
+  private[graft] def ivfCacheCount(s: SparkSession): Int =
+    ivfCache.activeCount(s)
+  private[graft] def pqCacheCount(s: SparkSession): Int =
+    pqCache.activeCount(s)
 
   // ---- contrastive triplet mining through the IVF lists ----
   // The training-data op that turns an embedded corpus into (anchor,
@@ -721,6 +735,65 @@ object VectorQueries {
     "o12_array_overlap" -> o12,
     "o41_f1_eval" -> o41)
 
+  /** The complete q_pq_encode twin: per-subspace nearest-codeword
+    * replay from the codebook export (strict `<` ⇒ lowest code on
+    * ties). Shared with the q_index_persist manifest oracle (r17).
+    */
+  private[graft] def pqEncodeSql: String =
+    s"""WITH cents AS (SELECT j, c, centroid FROM '$pqExportPath/*.parquet'),
+       |emb AS (SELECT vec_id, e FROM $embSql),
+       |sub AS (
+       |  SELECT vec_id, j, e[j*$PqDSub+1 : j*$PqDSub+$PqDSub] AS sv
+       |  FROM emb CROSS JOIN (SELECT unnest(generate_series(0, ${PqM - 1})) AS j))
+       |SELECT vec_id, CAST(j AS BIGINT) AS j, CAST(code AS BIGINT) AS code FROM (
+       |  SELECT s.vec_id, s.j, c.c AS code,
+       |         row_number() OVER (PARTITION BY s.vec_id, s.j
+       |           ORDER BY list_sum(list_transform(generate_series(1, $PqDSub),
+       |             i -> (s.sv[i]-c.centroid[i])*(s.sv[i]-c.centroid[i]))), c.c) AS rk
+       |  FROM sub s JOIN cents c ON c.j = s.j)
+       |WHERE rk = 1""".stripMargin
+
+  /** The shared `cents`/`emb`/`assigned` CTE block replaying the IVF
+    * list assignment from the centroid export — the q_ann_ivf rules
+    * (exact squared-L2 in index order, strict `<` ⇒ lowest cluster on
+    * ties). Reused by the q_ann_ivf twin and the q_index_persist
+    * manifest oracle (r17).
+    */
+  private[graft] def ivfAssignCtes: String = {
+    val sqDist = (a: String, b: String) =>
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+    s"""cents AS (SELECT cluster, centroid FROM '$ivfExportPath/*.parquet'),
+       |emb AS (SELECT vec_id, e FROM $embSql),
+       |assigned AS (
+       |  SELECT vec_id, e, cluster FROM (
+       |    SELECT a.vec_id, a.e, c.cluster,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY ${sqDist("a.e", "c.centroid")}, c.cluster) AS ark
+       |    FROM emb a CROSS JOIN cents c)
+       |  WHERE ark = 1)""".stripMargin
+  }
+
+  /** The complete q_ann_ivf twin: centroid-export replay of list
+    * assignment, probe→list ranking, and in-list cosine top-k.
+    */
+  private[graft] def ivfTopkSql: String =
+    s"""WITH $ivfAssignCtes,
+       |probes AS (SELECT vec_id AS probe_id, e AS pv FROM emb WHERE vec_id < 5),
+       |plists AS (
+       |  SELECT probe_id, pv, cluster FROM (
+       |    SELECT p.probe_id, p.pv, c.cluster,
+       |           row_number() OVER (PARTITION BY p.probe_id
+       |             ORDER BY ${l2DistanceSql("p.pv", "c.centroid")}, c.cluster) AS crk
+       |    FROM probes p CROSS JOIN cents c)
+       |  WHERE crk <= 4)
+       |SELECT probe_id, vec_id, cos, rk FROM (
+       |  SELECT l.probe_id, a.vec_id,
+       |         round(${cosineSimilaritySql("a.e", "l.pv")}, 6) + 0.0 AS cos,
+       |         CAST(row_number() OVER (PARTITION BY l.probe_id
+       |           ORDER BY round(${cosineSimilaritySql("a.e", "l.pv")}, 6) + 0.0 DESC, a.vec_id) AS BIGINT) AS rk
+       |  FROM plists l JOIN assigned a ON a.cluster = l.cluster)
+       |WHERE rk <= 10""".stripMargin
+
   /** q_ann_recall_nsw twin (r13, VERDICT r12 #4): replays the bounded
     * best-first walk from the exported per-list adjacency
     * ([[nswExportPath]]) with a RECURSIVE CTE carrying the walk state
@@ -1056,34 +1129,7 @@ object VectorQueries {
     // cluster id; the probe→list ranking mirrors topK's full-precision
     // sqrt l2 with the same (cdist, cluster) tie-break; the in-list
     // cosine top-k is the proven o56 convention.
-    "q_ann_ivf" -> {
-      val sqDist = (a: String, b: String) =>
-        s"list_sum(list_transform(generate_series(1, len($a)), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
-      s"""WITH cents AS (SELECT cluster, centroid FROM '$ivfExportPath/*.parquet'),
-         |emb AS (SELECT vec_id, e FROM $embSql),
-         |assigned AS (
-         |  SELECT vec_id, e, cluster FROM (
-         |    SELECT a.vec_id, a.e, c.cluster,
-         |           row_number() OVER (PARTITION BY a.vec_id
-         |             ORDER BY ${sqDist("a.e", "c.centroid")}, c.cluster) AS ark
-         |    FROM emb a CROSS JOIN cents c)
-         |  WHERE ark = 1),
-         |probes AS (SELECT vec_id AS probe_id, e AS pv FROM emb WHERE vec_id < 5),
-         |plists AS (
-         |  SELECT probe_id, pv, cluster FROM (
-         |    SELECT p.probe_id, p.pv, c.cluster,
-         |           row_number() OVER (PARTITION BY p.probe_id
-         |             ORDER BY ${l2DistanceSql("p.pv", "c.centroid")}, c.cluster) AS crk
-         |    FROM probes p CROSS JOIN cents c)
-         |  WHERE crk <= 4)
-         |SELECT probe_id, vec_id, cos, rk FROM (
-         |  SELECT l.probe_id, a.vec_id,
-         |         round(${cosineSimilaritySql("a.e", "l.pv")}, 6) + 0.0 AS cos,
-         |         CAST(row_number() OVER (PARTITION BY l.probe_id
-         |           ORDER BY round(${cosineSimilaritySql("a.e", "l.pv")}, 6) + 0.0 DESC, a.vec_id) AS BIGINT) AS rk
-         |  FROM plists l JOIN assigned a ON a.cluster = l.cluster)
-         |WHERE rk <= 10""".stripMargin
-    },
+    "q_ann_ivf" -> ivfTopkSql,
     // Centroid-export replay of the triplet mining: q_ann_ivf's rules
     // with crk <= 2 (own list + hard-negative list), self excluded
     // before ranking, per-(probe, list) argmax, margin on the rounded
@@ -1237,19 +1283,9 @@ object VectorQueries {
     // over the codebook export — the q_ann_ivf assignment rule applied
     // per subspace (index-order squared L2, strict < ⇒ row_number tie
     // to the lowest code).
-    "q_pq_encode" ->
-      s"""WITH cents AS (SELECT j, c, centroid FROM '$pqExportPath/*.parquet'),
-         |emb AS (SELECT vec_id, e FROM $embSql),
-         |sub AS (
-         |  SELECT vec_id, j, e[j*$PqDSub+1 : j*$PqDSub+$PqDSub] AS sv
-         |  FROM emb CROSS JOIN (SELECT unnest(generate_series(0, ${PqM - 1})) AS j))
-         |SELECT vec_id, CAST(j AS BIGINT) AS j, CAST(code AS BIGINT) AS code FROM (
-         |  SELECT s.vec_id, s.j, c.c AS code,
-         |         row_number() OVER (PARTITION BY s.vec_id, s.j
-         |           ORDER BY list_sum(list_transform(generate_series(1, $PqDSub),
-         |             i -> (s.sv[i]-c.centroid[i])*(s.sv[i]-c.centroid[i]))), c.c) AS rk
-         |  FROM sub s JOIN cents c ON c.j = s.j)
-         |WHERE rk = 1""".stripMargin,
+    "q_pq_encode" -> pqEncodeSql,
+    // (q_pq_encode twin lives in pqEncodeSql — shared with the
+    // q_index_persist manifest oracle, r17)
     // PQ ADC recall replay: same encode CTE, codebook assembled into one
     // ordered list, ADC = nested list_sum folds (the proven
     // fold/list_sum parity pair), rank by (rounded adc, vec_id) against

@@ -14,11 +14,10 @@ class CacheHygieneSpec extends SparkSpec {
   // artifacts — graph build, IVF index, LSH bucket table — are a
   // different, deliberately keyed cache with clearCache hooks)
   // (q_tfidf_terms left this list in r16: its single-consumption
-  // restructure removed the scratch persist entirely. q_bm25_upsert
-  // also scratch-persists its delta postings, but additionally rides
-  // the MEMOIZED standing-index persist — the keyed build cache this
-  // suite deliberately excludes — so the empty-CacheManager assertion
-  // can't apply to it.)
+  // restructure removed the scratch persist entirely. q_bm25_upsert's
+  // delta postings moved into the memoized upsert-state cache in r17
+  // (build_bm25_upsert) — the keyed build cache this suite
+  // deliberately excludes.)
   private val scratchUsers = Seq("q_dedup_minhash", "q_dedup_jaccard",
     "q_dedup_chunks", "q_decontaminate", "q_sketch_quantiles",
     "q_multimodal_phash", "q_langid_eval", "q_span_corrupt")

@@ -1,0 +1,59 @@
+package graft
+
+/** Durable index persistence (r17 — VERDICT r16 #1): a FRESH
+  * SparkSession must answer q_ann_ivf / q_bm25_topk / q_pq_encode from
+  * the loaded parquet artifacts — identical rows to the standing
+  * session's memo-served answers — with ZERO builder rebuilds (the
+  * builder memo caches of the fresh session stay empty), and the
+  * manifest's content checksums must match a recompute over the loaded
+  * files (the integrity gate a production load runs before serving).
+  */
+class IndexStoreSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("fresh session serves ivf/bm25/pq from the loaded artifact, zero rebuilds") {
+    // standing session: build the memos, compute the reference answers
+    val standingIvf = SparkEntry.queries("q_ann_ivf")(spark, sf).collect().toSet
+    val standingBm = SparkEntry.queries("q_bm25_topk")(spark, sf).collect().toSet
+    val standingPq = SparkEntry.queries("q_pq_encode")(spark, sf).collect().toSet
+    val root = operators.IndexStore.save(spark, sf)
+
+    // the restart: a fresh session with no memo state of its own
+    val s2 = spark.newSession()
+    val lx = operators.IndexStore.load(s2, root)
+    val servedIvf = queries.VectorQueries.ivfTopkFrom(s2, sf, lx.ivf)
+      .collect().toSet
+    val servedBm = queries.CorpusQueries.bm25TopkFrom(s2, sf,
+      lx.bm25Post, lx.bm25Lens, lx.bm25G, lx.bm25TermsPath).collect().toSet
+    val servedPq = queries.VectorQueries.pqEncodeFrom(lx.pq).collect().toSet
+    assert(servedIvf == standingIvf, "loaded IVF serve diverges")
+    assert(servedBm == standingBm, "loaded BM25 serve diverges")
+    assert(servedPq == standingPq, "loaded PQ serve diverges")
+
+    // zero rebuild: serving never touched a builder — the fresh
+    // session's memo caches hold nothing
+    assert(queries.VectorQueries.ivfCacheCount(s2) == 0, "IVF was rebuilt")
+    assert(queries.VectorQueries.pqCacheCount(s2) == 0, "PQ was rebuilt")
+    assert(queries.CorpusQueries.bm25CacheCount(s2) == 0, "BM25 was rebuilt")
+  }
+
+  test("manifest checksums match a recompute over the loaded artifacts") {
+    val root = operators.IndexStore.save(spark, sf)
+    val man = spark.read.parquet(root + "/manifest").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(man.keySet == operators.IndexStore.ArtifactNames.toSet)
+    operators.IndexStore.ArtifactNames.foreach { name =>
+      val rec = operators.IndexStore.recomputedRow(spark, root, name).head()
+      assert(rec.getLong(1) == man(name).getAs[Long]("n_rows"),
+        s"$name row count drifted between save and load")
+      assert(rec.getLong(2) == man(name).getAs[Long]("checksum"),
+        s"$name content checksum drifted between save and load")
+    }
+    // shape metadata rides the relevant rows
+    assert(man("ivf_centroids").getAs[String]("meta").contains("dim=") &&
+      man("ivf_centroids").getAs[String]("meta").contains("nlist="))
+    assert(man("pq_codebooks").getAs[String]("meta").contains("m=") &&
+      man("pq_codebooks").getAs[String]("meta").contains("dsub="))
+  }
+}
