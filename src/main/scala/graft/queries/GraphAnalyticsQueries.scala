@@ -273,13 +273,76 @@ object GraphAnalyticsQueries {
        |SELECT node AS doc_id, label AS community FROM l$LpaIters""".stripMargin
   }
 
+  // ---- k-core peeling of the LSH similarity graph (r17, VERDICT r16
+  // #4) ----
+  // The template-farm / boilerplate-hub audit signal next to
+  // CC/LPA/triangles: iteratively remove nodes whose degree in the
+  // surviving subgraph is < k until the k-core remains. Bounded-round
+  // synchronous peeling (the pagerank/LPA convention — a FIXED round
+  // count keeps both engines on the same deterministic computation;
+  // KCoreSpec asserts a further round is a no-op at the bench SFs, so
+  // the bounded peel IS the true 2-core there). Per round: two
+  // left-semi joins restrict the persisted edge list to surviving
+  // endpoints, one map-side-combined degree aggregation, filter ≥ k —
+  // the Pregel join-per-round shape; the node set shrinks
+  // monotonically, the corpus never reshuffles. Output = the core's
+  // nodes with their in-core degree.
+  private[graft] val KCoreK = 2L
+  private[graft] val KCoreRounds = 6
+
+  private val kcore: Q = (s, d) => {
+    val pairs = graft.Scratch.persist(DedupQueries.minhash(s, d))
+    val und = graft.Scratch.persist(
+      pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .unionAll(pairs.select(col("doc_b").as("a"), col("doc_a").as("b"))))
+    var alive: DataFrame = null
+    var degs: DataFrame = null
+    for (i <- 1 to KCoreRounds) {
+      val e =
+        if (alive == null) und
+        else und
+          .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
+          .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
+      degs = e.groupBy("a").agg(count(lit(1)).as("degree"))
+      alive = degs.filter(col("degree") >= KCoreK).select(col("a").as("node"))
+      // same lineage-depth bound as pagerank/LPA
+      if (i < KCoreRounds && i % 2 == 0) alive = alive.localCheckpoint()
+    }
+    degs.filter(col("degree") >= KCoreK)
+      .select(col("a").as("doc_id"), col("degree"))
+  }
+
+  // Twin: unrolled chained CTEs over the MATERIALIZED pair graph (the
+  // communities conventions — un-materialized, DuckDB would re-derive
+  // the minhash pipeline once per round).
+  private val kcoreSql: String = {
+    val chain = (2 to KCoreRounds).map { i =>
+      s"""e$i AS (SELECT e.a, e.b FROM g e
+         |  JOIN a${i - 1} x ON x.node = e.a JOIN a${i - 1} y ON y.node = e.b),
+         |d$i AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+         |        FROM e$i GROUP BY a),
+         |a$i AS (SELECT node FROM d$i WHERE degree >= $KCoreK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (${DedupQueries.minhashSql}),
+       |g AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |      UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |d1 AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+       |       FROM g GROUP BY a),
+       |a1 AS (SELECT node FROM d1 WHERE degree >= $KCoreK),
+       |$chain
+       |SELECT node AS doc_id, degree FROM d$KCoreRounds
+       |WHERE degree >= $KCoreK""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_graph_pagerank" -> pagerank,
     "q_graph_triangles" -> triangles,
-    "q_graph_communities" -> communities)
+    "q_graph_communities" -> communities,
+    "q_graph_kcore" -> kcore)
 
   val oracle: Map[String, String] = Map(
     "q_graph_pagerank" -> pagerankSql,
     "q_graph_triangles" -> trianglesSql,
-    "q_graph_communities" -> communitiesSql)
+    "q_graph_communities" -> communitiesSql,
+    "q_graph_kcore" -> kcoreSql)
 }

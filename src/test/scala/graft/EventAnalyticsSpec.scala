@@ -105,4 +105,32 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(counts.sum % 3 == 0,
       s"per-node counts sum to ${counts.sum}, not a multiple of 3")
   }
+
+  // ---- q_graph_kcore ----
+
+  test("kcore: bounded peel equals the true fixpoint core at bench SF") {
+    val got = run("q_graph_kcore").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("degree")).toMap
+    // independent driver-side peel to the TRUE fixpoint over the same
+    // (bounded) LSH pair list — proves the fixed round count has
+    // converged here, so the declared query IS the 2-core
+    val pairs = queries.DedupQueries.minhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    Scratch.release(spark)
+    var adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    var changed = true
+    while (changed) {
+      val alive = adj.filter(_._2.size >= 2).keySet
+      val next = adj.collect {
+        case (n, ns) if alive(n) => n -> ns.filter(alive)
+      }.filter(_._2.size >= 2)
+      changed = next.size != adj.size
+      adj = next
+    }
+    val want = adj.map { case (n, ns) => n -> ns.size.toLong }
+    assert(got == want,
+      s"bounded peel diverges from the fixpoint core (${got.size} vs ${want.size} nodes)")
+    assert(got.nonEmpty, "2-core is empty — the invariant test lost its signal")
+  }
 }
