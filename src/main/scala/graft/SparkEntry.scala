@@ -108,8 +108,9 @@ object SparkEntry {
     // convention: its query dependent rides both sets)
     "build_bm25_index" -> Set("q_bm25_topk", "q_bm25_upsert",
       "q_retrieval_mrr", "q_hybrid_retrieval", "q_hybrid_retrieval_ivf",
+      "q_retrieval_ndcg",
       "build_bm25_upsert", "build_index_store", "q_index_persist"),
-    "build_bm25_upsert" -> Set("q_bm25_upsert"),
+    "build_bm25_upsert" -> Set("q_bm25_upsert", "q_retrieval_ndcg"),
     "build_index_store" -> Set("q_index_persist"),
     "build_bpe_model" -> Set("q_tokenize_bpe", "q_bpe_terms",
       "q_bpe_fertility", "q_pack_sequences_bpe", "q_token_windows_bpe"),

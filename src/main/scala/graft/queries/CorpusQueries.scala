@@ -538,6 +538,131 @@ object CorpusQueries {
       .select("probe_id", "rk", "doc_id", "score", "probe_df")
   }
 
+  // ---- retrieval eval: NDCG@k with graded relevance (r17, VERDICT
+  // r16 #7) ----
+  // The graded companion of q_retrieval_mrr: probes are base docs that
+  // HAVE an upserted mutant (doc_id % 7 == 0, bounded), queried by
+  // their own leading terms against the UPSERTED index, where relevance
+  // is known by construction at TWO grades — the doc itself (grade 3)
+  // and its first-token-dropped +700000 mutant (grade 2). The log2
+  // discounts are the one transcendental: tabulated ONCE in Scala as
+  // e6-scaled integers ([[NdcgW]]) and interpolated into BOTH engines'
+  // expressions, so DCG/IDCG are exact integer sums and ndcg_bp is an
+  // integer basis-point DIV — no FP anywhere past the table.
+  //
+  // Absolute values are corpus-bounded BY THE DATA, not the operator:
+  // the synthetic vocabulary is small and near-uniform (the rarest
+  // term of any doc appears in ~38% of docs at sf0.1), so no 5-term
+  // lexical query can single out its source doc — the same honest
+  // floor q_retrieval_mrr reports. The metric still varies (17/50
+  // probes nonzero at sf0.001) and the hash pins every rank.
+  private[graft] val NdcgProbes = 50
+
+  /** w(i) = round(1e6 / log2(i+1)) for ranks 1..Bm25K. */
+  private[graft] val NdcgW: Seq[Long] = (1 to Bm25K).map(i =>
+    math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+
+  /** Ideal DCG: both planted relevants exist for every probe by
+    * construction — grade 3 at rank 1, grade 2 at rank 2.
+    */
+  private[graft] val NdcgIdealE6: Long = 3 * NdcgW(0) + 2 * NdcgW(1)
+
+  private val ndcgGradeSql =
+    "CASE WHEN doc_id = probe_id THEN 3 WHEN doc_id = probe_id + 700000 THEN 2 ELSE 0 END"
+
+  private val retrievalNdcg: Q = (s, d) => {
+    val st = bm25UpsertState(s, d)
+    val base = Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(Bm25UpsertMod)) === 0 &&
+        col("doc_id") < lit(NdcgProbes * Bm25UpsertMod))
+    val probes = base
+      .select(col("doc_id").as("probe_id"),
+        explode(slice(split(col("text"), " "), 1, Bm25QTerms)).as("tok"))
+      .distinct()
+    val dcg = bm25ScoreOver(s, st.post2, st.lens2, st.g2, st.termsPath, probes)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("score").desc, col("doc_id")))
+        .cast("long"))
+      .filter(col("rk") <= Bm25K)
+      .select(col("probe_id"),
+        (expr(ndcgGradeSql) *
+          expr(s"element_at(array(${NdcgW.mkString(", ")}), CAST(rk AS INT))"))
+          .as("gw"))
+      .groupBy("probe_id").agg(sum(col("gw")).as("dcg_e6"))
+    base.select(col("doc_id").as("probe_id"))
+      .join(dcg, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("dcg_e6"), lit(0L)).as("dcg_e6"))
+      .withColumn("ndcg_bp", expr(s"(dcg_e6 * 10000) DIV $NdcgIdealE6"))
+  }
+
+  private def ndcgSql: String = {
+    val probesSql =
+      s"""SELECT DISTINCT probe_id, tok FROM (
+         |    SELECT doc_id AS probe_id,
+         |           unnest(string_split(text, ' ')[1:$Bm25QTerms]) AS tok
+         |    FROM documents
+         |    WHERE doc_id % $Bm25UpsertMod = 0 AND doc_id < ${NdcgProbes * Bm25UpsertMod})""".stripMargin
+    s"""WITH ${bm25UpsertScoredCtesWith(probesSql)},
+       |ranked AS (
+       |  SELECT probe_id, doc_id,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY probe_id ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+       |  FROM scored),
+       |dcg AS (
+       |  SELECT probe_id,
+       |         CAST(sum(($ndcgGradeSql) *
+       |           ([${NdcgW.mkString(", ")}][CAST(rk AS INT)])) AS BIGINT) AS dcg_e6
+       |  FROM ranked WHERE rk <= $Bm25K GROUP BY probe_id)
+       |SELECT b.probe_id,
+       |       coalesce(dcg.dcg_e6, 0) AS dcg_e6,
+       |       (coalesce(dcg.dcg_e6, 0) * 10000) // $NdcgIdealE6 AS ndcg_bp
+       |FROM (SELECT doc_id AS probe_id FROM documents
+       |      WHERE doc_id % $Bm25UpsertMod = 0
+       |        AND doc_id < ${NdcgProbes * Bm25UpsertMod}) b
+       |LEFT JOIN dcg USING (probe_id)""".stripMargin
+  }
+
+  /** The full-rebuild WITH-body over the UNIONED (standing ∪ delta)
+    * corpus producing `scored(probe_id, doc_id, score)` with the probe
+    * CTE swapped in — the upserted-state analog of
+    * [[bm25ScoredCtesWith]], shared by the q_bm25_upsert and
+    * q_retrieval_ndcg twins (r17: parameterized so the two can't
+    * drift).
+    */
+  private def bm25UpsertScoredCtesWith(probesSql: String): String =
+    s"""delta AS (
+       |  -- mutation computed in an inner subquery so no SELECT list
+       |  -- both shadows and references doc_id/text (ADVICE r16 #1)
+       |  SELECT base_id + 700000 AS doc_id, mut AS text FROM (
+       |    SELECT doc_id AS base_id, substr(text, instr(text, ' ') + 1) AS mut
+       |    FROM documents WHERE doc_id % $Bm25UpsertMod = 0)),
+       |udocs AS (SELECT doc_id, text FROM documents
+       |          UNION ALL SELECT doc_id, text FROM delta),
+       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM udocs),
+       |post AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |         FROM toks GROUP BY doc_id, tok),
+       |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len
+       |         FROM post GROUP BY doc_id),
+       |g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len) AS BIGINT) AS t FROM lens),
+       |terms AS (SELECT tok, idf_e6 FROM '$bm25UpsertExportPath/*.parquet'
+       |          WHERE idf_e6 >= $Bm25IdfFloorE6),
+       |probes AS (
+       |  $probesSql),
+       |scored AS (
+       |  SELECT p.probe_id, post.doc_id,
+       |         CAST(sum(tm.idf_e6 * CAST(
+       |           (CAST(post.tf AS HUGEINT) * 2200000 * g.t * 10000)
+       |           // (CAST(post.tf AS HUGEINT) * 1000000 * g.t
+       |               + CAST(300000 AS HUGEINT) * g.t
+       |               + CAST(900000 AS HUGEINT) * l.len * g.n) AS BIGINT)) AS BIGINT) AS score
+       |  FROM probes p
+       |  JOIN post ON post.tok = p.tok
+       |  JOIN terms tm ON tm.tok = p.tok
+       |  JOIN lens l ON l.doc_id = post.doc_id
+       |  CROSS JOIN g
+       |  GROUP BY p.probe_id, post.doc_id)""".stripMargin
+
   /** The shared WITH-body producing `scored(probe_id, doc_id, score)` —
     * the twin of [[bm25Scored]], reused by both oracle queries.
     */
@@ -948,6 +1073,7 @@ object CorpusQueries {
     "q_bm25_topk" -> bm25,
     "q_bm25_upsert" -> bm25Upsert,
     "q_retrieval_mrr" -> retrievalMrr,
+    "q_retrieval_ndcg" -> retrievalNdcg,
     "q_hybrid_retrieval" -> hybrid,
     "q_hybrid_retrieval_ivf" -> hybridIvf,
     "q_embed_quantize" -> embedQuantize)
@@ -1065,41 +1191,12 @@ object CorpusQueries {
     // export, so any incremental-merge drift on the Spark side flips
     // the hash
     "q_bm25_upsert" ->
-      s"""WITH delta AS (
-         |  -- mutation computed in an inner subquery so no SELECT list
-         |  -- both shadows and references doc_id/text (ADVICE r16 #1)
-         |  SELECT base_id + 700000 AS doc_id, mut AS text FROM (
-         |    SELECT doc_id AS base_id, substr(text, instr(text, ' ') + 1) AS mut
-         |    FROM documents WHERE doc_id % $Bm25UpsertMod = 0)),
-         |udocs AS (SELECT doc_id, text FROM documents
-         |          UNION ALL SELECT doc_id, text FROM delta),
-         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM udocs),
-         |post AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-         |         FROM toks GROUP BY doc_id, tok),
-         |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len
-         |         FROM post GROUP BY doc_id),
-         |g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len) AS BIGINT) AS t FROM lens),
-         |terms AS (SELECT tok, idf_e6 FROM '$bm25UpsertExportPath/*.parquet'
-         |          WHERE idf_e6 >= $Bm25IdfFloorE6),
+      s"""WITH ${bm25UpsertScoredCtesWith(
+             s"""SELECT DISTINCT probe_id, tok FROM (
+                |    SELECT doc_id AS probe_id,
+                |           unnest(string_split(text, ' ')[1:$Bm25QTerms]) AS tok
+                |    FROM delta WHERE doc_id < ${700000L + Bm25Probes * Bm25UpsertMod})""".stripMargin)},
          |dfr AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY tok),
-         |probes AS (
-         |  SELECT DISTINCT probe_id, tok FROM (
-         |    SELECT doc_id AS probe_id,
-         |           unnest(string_split(text, ' ')[1:$Bm25QTerms]) AS tok
-         |    FROM delta WHERE doc_id < ${700000L + Bm25Probes * Bm25UpsertMod})),
-         |scored AS (
-         |  SELECT p.probe_id, post.doc_id,
-         |         CAST(sum(tm.idf_e6 * CAST(
-         |           (CAST(post.tf AS HUGEINT) * 2200000 * g.t * 10000)
-         |           // (CAST(post.tf AS HUGEINT) * 1000000 * g.t
-         |               + CAST(300000 AS HUGEINT) * g.t
-         |               + CAST(900000 AS HUGEINT) * l.len * g.n) AS BIGINT)) AS BIGINT) AS score
-         |  FROM probes p
-         |  JOIN post ON post.tok = p.tok
-         |  JOIN terms tm ON tm.tok = p.tok
-         |  JOIN lens l ON l.doc_id = post.doc_id
-         |  CROSS JOIN g
-         |  GROUP BY p.probe_id, post.doc_id),
          |pdf AS (SELECT p.probe_id, CAST(sum(d.df) AS BIGINT) AS probe_df
          |        FROM probes p
          |        JOIN terms tm ON tm.tok = p.tok
@@ -1113,6 +1210,7 @@ object CorpusQueries {
          |  FROM scored) s
          |JOIN pdf USING (probe_id)
          |WHERE s.rk <= $Bm25K""".stripMargin,
+    "q_retrieval_ndcg" -> ndcgSql,
     "q_hybrid_retrieval" -> hybridSql,
     "q_hybrid_retrieval_ivf" -> hybridIvfSql,
     "q_embed_quantize" ->

@@ -81,6 +81,23 @@ class CorpusQueriesSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("retrieval_ndcg: bounds, exact ratio identity, live signal") {
+    val rows = q("q_retrieval_ndcg").collect()
+    Scratch.release(spark)
+    assert(rows.length == CorpusQueries.NdcgProbes, "one row per probe")
+    rows.foreach { r =>
+      val (dcg, bp) = (r.getAs[Long]("dcg_e6"), r.getAs[Long]("ndcg_bp"))
+      assert(dcg >= 0 && dcg <= CorpusQueries.NdcgIdealE6,
+        s"dcg $dcg outside [0, ideal] — a grade landed twice or ideal is wrong")
+      assert(bp == dcg * 10000 / CorpusQueries.NdcgIdealE6,
+        "ndcg_bp must be the exact integer ratio of its own dcg")
+    }
+    // the uniform synthetic vocabulary bounds absolute NDCG (documented
+    // in the scaladoc); the metric must still carry signal at this SF
+    assert(rows.count(_.getAs[Long]("ndcg_bp") > 0) >= 5,
+      "NDCG signal lost — relevants never retrieved")
+  }
+
   test("hybrid_retrieval: fused ranks well-formed and rrf reconstructible from leg ranks") {
     val k = CorpusQueries.Bm25K
     val r = q("q_hybrid_retrieval").cache()
