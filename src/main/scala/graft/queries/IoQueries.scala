@@ -660,6 +660,7 @@ object IoQueries {
     "q_stream_dedup" -> streamDedup,
     "q_stream_hll" -> streamHll,
     "q_stream_cms" -> ((s, d) => graft.streaming.StreamingTwins.cmsRegisters(s, d)),
+    "q_stream_merge_upsert" -> ((s, d) => graft.streaming.StreamingTwins.mergeUpsert(s, d)),
     "q_stream_dedup_wm" -> streamDedupWm,
     "q_stream_sessionize" -> streamSess,
     "q_stream_sessionize_wm" -> streamSessWm,
@@ -777,6 +778,9 @@ object IoQueries {
     // over the same ids IS the oracle (the q_stream_hll convention)
     "q_stream_cms" -> graft.queries.SketchQueries.cmsSketchSqlFrom(
       "SELECT CAST(user_id AS VARCHAR) AS sh FROM events"),
+    // disjoint update/insert key spaces make the per-batch merge fold
+    // commute, so the batch MERGE oracle checks the 3-batch stream
+    "q_stream_merge_upsert" -> IncrementalQueries.oracle("q_merge_upsert"),
     "q_stream_sessionize" -> RelationalQueries.oracle("q_sessionize"),
     "q_stream_sessionize_wm" -> RelationalQueries.oracle("q_sessionize"),
     "q_stream_join" ->
