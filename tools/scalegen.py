@@ -24,7 +24,7 @@ Replica construction (replica 0 is the original):
 - remaining TPC-H tables: copied verbatim (none of the rehearsal's
   heavy queries scans them; present so any query can still run).
 
-Usage: python3 tools/scalegen.py SRC_DIR DST_DIR FACTOR [--single-source] [--shared-vocab]
+Usage: python3 tools/scalegen.py SRC_DIR DST_DIR FACTOR [--single-source] [--shared-vocab] [--scrambled-alpha]
 
 --single-source rewrites documents.source to the constant 'web': the
 worst-case source skew for per-source operators (q_pack_sequences'
@@ -44,6 +44,15 @@ doc lengths are preserved exactly (token multiset unchanged). NOT for
 dedup rehearsals: shared vocabulary plants cross-replica near-dup
 pairs by construction, making pair-generating queries quadratic by
 design rather than by plan defect.
+
+--scrambled-alpha replaces the affine letter bijections with seeded
+RANDOM letter permutations (still bijections — all within-replica
+structure preserved exactly) whose byte ordering is non-monotone: the
+image-perceptual rehearsal mode (VERDICT r16 #9). The default affine
+maps at low r are Caesar rotations that preserve byte-order
+comparisons, planting cross-replica dHash near-dups by construction;
+scrambled alphabets decorrelate the gray-grid comparisons so
+q_phash_groups' CC rehearsal measures the plan, not the dataset.
 """
 import shutil
 import string
@@ -74,8 +83,38 @@ def letters_mapped(r):
     return mp(string.ascii_lowercase) + mp(string.ascii_uppercase)
 
 
+def letters_scrambled(r):
+    """Seeded per-replica random letter permutation (still a bijection,
+    so every within-replica structure is preserved exactly like the
+    affine map) whose byte ordering is NON-monotone: the affine maps at
+    low r are Caesar rotations, which preserve most byte-order
+    comparisons — exactly what the dHash grid measures — so replicas
+    plant cross-replica IMAGE near-dups by construction (the r16
+    q_phash_groups rehearsal measured the dataset, not the plan:
+    113x pair inflation). A scrambled alphabet decorrelates the gray
+    comparisons (~50% bit flips), so cross-replica phash pairs vanish
+    and the CC rehearsal measures the plan (VERDICT r16 #9).
+    """
+    import random
+    rng = random.Random(0xC0FFEE + r)
+    # ONE permutation over all 52 letters (case-mixing): a case-class-
+    # preserving shuffle leaves every cell mean inside the 97..122
+    # lowercase byte band, so the dHash bits decided by SPACE geometry
+    # (positions are replica-invariant under any bijection) still
+    # dominate and ~6.9x cross-replica pair inflation survives
+    # (measured). Mixing cases spreads cell means across the 65..122
+    # range, decorrelating letter-cell comparisons too. Still a strict
+    # bijection — all within-replica identity structure is exact; only
+    # case-CLASS-dependent features change, which no phash-rehearsal
+    # query reads (this mode is for the image-perceptual rehearsal
+    # ONLY).
+    allc = list(string.ascii_letters)
+    rng.shuffle(allc)
+    return "".join(allc)
+
+
 def gen_documents(src, dst, factor, con, single_source=False,
-                  shared_vocab=False):
+                  shared_vocab=False, scrambled_alpha=False):
     assert factor <= 26 * len(AFFINE_A), "affine letter bijections exhausted"
     source = "'web' AS source" if single_source else "source"
     parts = []
@@ -90,8 +129,10 @@ def gen_documents(src, dst, factor, con, single_source=False,
             text = ("array_to_string(string_split(text, ' ')[%d:] || "
                     "string_split(text, ' ')[1:%d], ' ')" % (r + 1, r))
         else:
+            mapped = (letters_scrambled(r) if scrambled_alpha
+                      else letters_mapped(r))
             text = ("translate(text, '%s', '%s')"
-                    % (string.ascii_letters, letters_mapped(r)))
+                    % (string.ascii_letters, mapped))
         parts.append(
             "SELECT doc_id + %d AS doc_id, %s AS text, lang, %s, n_chars "
             "FROM read_parquet('%s/documents.parquet')"
@@ -143,10 +184,12 @@ def main():
     src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
     single_source = "--single-source" in sys.argv[4:]
     shared_vocab = "--shared-vocab" in sys.argv[4:]
+    scrambled_alpha = "--scrambled-alpha" in sys.argv[4:]
     import os
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
-    gen_documents(src, dst, factor, con, single_source, shared_vocab)
+    gen_documents(src, dst, factor, con, single_source, shared_vocab,
+                  scrambled_alpha)
     gen_embeddings(src, dst, factor, con)
     gen_events(src, dst, factor)
     for tbl in ("region", "nation", "customer", "supplier", "part",
