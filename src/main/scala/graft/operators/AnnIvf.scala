@@ -213,6 +213,23 @@ object AnnIvf {
       .agg(count(lit(1)).as("n"),
         avg(VectorOps.l2DistanceNative(col("e"), col("centroid"))).as("mean_dist"))
 
+  /** Hash-checkable face of [[assignDrift]] (r17, q_ann_drift): each
+    * row's distance to its owning centroid is quantized to integer
+    * micro-units BEFORE aggregation — a sum of integers is
+    * order-independent where the double mean is not — and the mean
+    * published as an integer DIV. Same retrain signal, exact in both
+    * engines (the per-row double is the bit-stable index-order fold +
+    * IEEE sqrt, so round(d·1e6) lands on the same BIGINT).
+    */
+  def assignDriftExact(index: IvfIndex): DataFrame =
+    withGen(index.assigned).join(broadcast(index.centroids), Seq("cluster"))
+      .select(col("gen").cast("long").as("gen"),
+        round(VectorOps.l2DistanceNative(col("e"), col("centroid")) * lit(1000000L))
+          .cast("long").as("d_e6"))
+      .groupBy("gen")
+      .agg(count(lit(1)).as("n"), sum(col("d_e6")).as("sum_dist_e6"))
+      .withColumn("mean_dist_e6", expr("sum_dist_e6 DIV n"))
+
   /** Cosine top-k per probe, scanning only the nProbe nearest lists. */
   def topK(index: IvfIndex, probes: DataFrame, probeId: String,
       probeVec: String, k: Int, nProbe: Int): DataFrame = {

@@ -614,14 +614,19 @@ object VectorQueries {
     * itself at rk=1 (asserted in AnnRecallSpec, along with the
     * generation-drift staleness metric that signals retrain).
     */
-  private val ivfUpsert: Q = (s, d) => {
-    val embT = Tables.embeddings(s, d)
-    val index = ivfIndex(s, d)
-    val appended = embT.select((col("vec_id") + 200000L).as("vec_id"),
-      // +0.05 keeps the perturbed copy's cosine with its source strictly
-      // below 1.0 at 6 dp, so self (cos = 1.0 exactly) wins rank 1
-      // outright instead of tie-breaking against the original id
+  /** The upsert delta (shared by q_ann_ivf_upsert and q_ann_drift):
+    * every vector re-enters perturbed (+0.05 per dim) under a +200000
+    * id. +0.05 keeps the perturbed copy's cosine with its source
+    * strictly below 1.0 at 6 dp, so self (cos = 1.0 exactly) wins
+    * rank 1 outright instead of tie-breaking against the original id.
+    */
+  private def upsertAppended(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select((col("vec_id") + 200000L).as("vec_id"),
       expr("transform(embedding, x -> cast(x as double) + 0.05)").as("embedding"))
+
+  private val ivfUpsert: Q = (s, d) => {
+    val index = ivfIndex(s, d)
+    val appended = upsertAppended(s, d)
     val upserted = graft.operators.AnnIvf.appendToIndex(index, appended, "embedding")
     val probes = appended.filter(col("vec_id") < 200020L)
       .select(col("vec_id").as("pid"), col("embedding"))
@@ -629,6 +634,20 @@ object VectorQueries {
       k = 3, nProbe = upserted.centroids.count().toInt)
       .select("probe_id", "rk", "vec_id", "cos")
   }
+
+  // ---- index staleness monitoring (r17) ----
+  // The retrain trigger a production vector deployment alerts on: per
+  // GENERATION (0 = build, 1 = appended batch) count + mean distance
+  // to the owning frozen centroid. When the appended generation's mean
+  // drifts above the build's, the coarse quantizer no longer
+  // represents the corpus — time to re-train. Exact integers end to
+  // end (AnnIvf.assignDriftExact: per-row round(d·1e6) before the
+  // sum); one broadcast join over the memoized lists + the delta's
+  // assignment pass, no corpus re-scan.
+  private val annDrift: Q = (s, d) =>
+    graft.operators.AnnIvf.assignDriftExact(
+      graft.operators.AnnIvf.appendToIndex(
+        ivfIndex(s, d), upsertAppended(s, d), "embedding"))
 
   // ---- MMR diversified re-rank ----
   // Maximal marginal relevance (Carbonell & Goldstein 1998) over each
@@ -724,6 +743,7 @@ object VectorQueries {
     "q_contrastive_pairs" -> contrastive,
     "q_knn_eval" -> knnEval,
     "q_ann_ivf_upsert" -> ivfUpsert,
+    "q_ann_drift" -> annDrift,
     "q_ann_recall" -> annRecall,
     "q_ann_recall_ivf" -> ivfRecall,
     "q_ann_recall_nsw" -> nswRecall,
@@ -1279,6 +1299,33 @@ object VectorQueries {
          |           ORDER BY round(${cosineSimilaritySql("a.e", "p.pv")}, 6) + 0.0 DESC, a.vec_id) AS BIGINT) AS rk
          |  FROM corpus a CROSS JOIN probes p)
          |WHERE rk <= 3""".stripMargin,
+    // Drift replay: gen-0 assignment from the shared ivfAssignCtes,
+    // gen-1 = the upsert twin's +0.05 delta assigned by the same rule;
+    // per-row round(d·1e6) BEFORE the sum (integer-sum order freedom),
+    // mean as integer //.
+    "q_ann_drift" -> {
+      val sqDist = (a: String, b: String) =>
+        s"list_sum(list_transform(generate_series(1, len($a)), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+      s"""WITH $ivfAssignCtes,
+         |delta AS (SELECT vec_id + 200000 AS vec_id,
+         |                 list_transform(e, x -> x + 0.05) AS e FROM emb),
+         |dass AS (
+         |  SELECT vec_id, e, cluster FROM (
+         |    SELECT a.vec_id, a.e, c.cluster,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY ${sqDist("a.e", "c.centroid")}, c.cluster) AS ark
+         |    FROM delta a CROSS JOIN cents c)
+         |  WHERE ark = 1),
+         |allg AS (SELECT 0 AS gen, e, cluster FROM assigned
+         |         UNION ALL SELECT 1 AS gen, e, cluster FROM dass),
+         |d AS (SELECT gen,
+         |             CAST(round(${l2DistanceSql("b.e", "c.centroid")} * 1000000) AS BIGINT) AS d_e6
+         |      FROM allg b JOIN cents c USING (cluster))
+         |SELECT CAST(gen AS BIGINT) AS gen, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(d_e6) AS BIGINT) AS sum_dist_e6,
+         |       CAST(sum(d_e6) // count(*) AS BIGINT) AS mean_dist_e6
+         |FROM d GROUP BY gen""".stripMargin
+    },
     // PQ encode replay: per-(vector, subspace) exact nearest-codeword
     // over the codebook export — the q_ann_ivf assignment rule applied
     // per subspace (index-order squared L2, strict < ⇒ row_number tie

@@ -638,8 +638,15 @@ object StreamingTwins {
     withStreamConf(spark, finalNoDataBatch = false) {
       val t0 = System.nanoTime()
       val name = s"graft_stream_${runId.incrementAndGet()}"
+      // reap earlier runs' final-state dirs (each rep keeps only its
+      // own final version alive for the returned lazy frame; a bench
+      // sweep runs many reps and tmpdir lives on tmpfs)
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+      val prefix = s"graft_stream_merge_${graft.Scratch.dirTag(dir)}_"
+      Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.startsWith(prefix)).foreach(deleteRec)
       val stateRoot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_stream_merge_${graft.Scratch.dirTag(dir)}_$name").toString
+        s"${prefix}$name").toString
       Tables.orders(spark, dir)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
         .write.mode("overwrite").parquet(s"$stateRoot/v0")
