@@ -326,12 +326,20 @@ object CorpusQueries {
     */
   private def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val ix = bm25Index(s, d)
-    val probes = Tables.documents(s, d).filter(col("doc_id") < Bm25Probes)
+    bm25ScoreOver(s, ix.post, ix.lens, ix.g, ix.termsPath, standingProbes(s, d))
+  }
+
+  /** The standing (probe_id, tok) probe set — first [[Bm25Probes]]
+    * docs' leading [[Bm25QTerms]] terms. ONE home for the
+    * parity-critical probe definition (r17 review: it had drifted into
+    * two verbatim copies), shared by the hybrid leg ([[bm25Scored]])
+    * and the explicit-state serve ([[bm25TopkFrom]]).
+    */
+  private def standingProbes(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") < Bm25Probes)
       .select(col("doc_id").as("probe_id"),
         explode(slice(split(col("text"), " "), 1, Bm25QTerms)).as("tok"))
       .distinct()
-    bm25ScoreOver(s, ix.post, ix.lens, ix.g, ix.termsPath, probes)
-  }
 
   /** The probe⋈postings BM25 scoring chain over an explicit index state
     * (postings, lens, totals, terms export) — shared by the standing
@@ -371,11 +379,7 @@ object CorpusQueries {
     */
   private[graft] def bm25TopkFrom(s: SparkSession, d: String, post: DataFrame,
       lens: DataFrame, g: DataFrame, termsPath: String): DataFrame = {
-    val probes = Tables.documents(s, d).filter(col("doc_id") < Bm25Probes)
-      .select(col("doc_id").as("probe_id"),
-        explode(slice(split(col("text"), " "), 1, Bm25QTerms)).as("tok"))
-      .distinct()
-    bm25ScoreOver(s, post, lens, g, termsPath, probes)
+    bm25ScoreOver(s, post, lens, g, termsPath, standingProbes(s, d))
       .withColumn("rk", row_number().over(
         Window.partitionBy("probe_id").orderBy(col("score").desc, col("doc_id")))
         .cast("long"))

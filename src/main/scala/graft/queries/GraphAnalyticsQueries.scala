@@ -208,11 +208,30 @@ object GraphAnalyticsQueries {
   // argmax is a groupBy max(struct), NOT a window — nothing funnels.
   private[graft] val LpaIters = 4
 
-  private val communities: Q = (s, d) => {
-    // persisted: the symmetrized edge view is consumed once per round
+  /** The symmetrized LSH near-dup graph (both directions of the
+    * persisted canonical pair list) — ONE home for the edge contract
+    * shared by communities and kcore (r17 review: it had drifted into
+    * per-query copies). Rides a Scratch-persisted pair frame; callers
+    * persist the union themselves where it is re-consumed per round.
+    */
+  private def undirectedLsh(s: SparkSession, d: String): DataFrame = {
     val pairs = graft.Scratch.persist(DedupQueries.minhash(s, d))
-    val und = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionAll(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+  }
+
+  /** The shared twin prelude: MATERIALIZED canonical pairs + the
+    * symmetrized `und(a, b)` view.
+    */
+  private def undSql: String =
+    s"""pairs AS MATERIALIZED (${DedupQueries.minhashSql}),
+       |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |        UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs)""".stripMargin
+
+  private val communities: Q = (s, d) => {
+    // persisted pairs inside the helper: the symmetrized edge view is
+    // consumed once per round
+    val und = undirectedLsh(s, d)
     // the self-vote rides the edge list as one self-loop per node.
     // g itself is persisted too (r15): it is consumed once per round,
     // and unpersisted it re-ran the node-distinct 4× (probe: ~0.2 s of
@@ -263,9 +282,7 @@ object GraphAnalyticsQueries {
          |          FROM g e JOIN l${i - 1} l ON l.node = e.b
          |          GROUP BY e.a, l.label)) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS MATERIALIZED (${DedupQueries.minhashSql}),
-       |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-       |        UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+    s"""WITH $undSql,
        |g AS MATERIALIZED (SELECT a, b FROM und
        |      UNION ALL SELECT DISTINCT a, a AS b FROM und),
        |l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
@@ -291,10 +308,7 @@ object GraphAnalyticsQueries {
   private[graft] val KCoreRounds = 6
 
   private val kcore: Q = (s, d) => {
-    val pairs = graft.Scratch.persist(DedupQueries.minhash(s, d))
-    val und = graft.Scratch.persist(
-      pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-        .unionAll(pairs.select(col("doc_b").as("a"), col("doc_a").as("b"))))
+    val und = graft.Scratch.persist(undirectedLsh(s, d))
     var alive: DataFrame = null
     var degs: DataFrame = null
     for (i <- 1 to KCoreRounds) {
@@ -323,9 +337,8 @@ object GraphAnalyticsQueries {
          |        FROM e$i GROUP BY a),
          |a$i AS (SELECT node FROM d$i WHERE degree >= $KCoreK)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS MATERIALIZED (${DedupQueries.minhashSql}),
-       |g AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs
-       |      UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+    s"""WITH $undSql,
+       |g AS MATERIALIZED (SELECT a, b FROM und),
        |d1 AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
        |       FROM g GROUP BY a),
        |a1 AS (SELECT node FROM d1 WHERE degree >= $KCoreK),

@@ -779,19 +779,30 @@ object VectorQueries {
     * ties). Reused by the q_ann_ivf twin and the q_index_persist
     * manifest oracle (r17).
     */
-  private[graft] def ivfAssignCtes: String = {
+  /** A `$name` CTE assigning each row of `src(vec_id, e)` to its
+    * nearest exported centroid by THE replayable rule (index-order
+    * squared L2, strict `<` ⇒ row_number tie to the lowest cluster).
+    * The one definition every twin that replays list assignment
+    * composes (r17 review: the rule had drifted into three copies —
+    * the r12/r13 history shows it changes, and a copy would not
+    * follow).
+    */
+  private[graft] def assignCteOver(src: String, name: String): String = {
     val sqDist = (a: String, b: String) =>
       s"list_sum(list_transform(generate_series(1, len($a)), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
-    s"""cents AS (SELECT cluster, centroid FROM '$ivfExportPath/*.parquet'),
-       |emb AS (SELECT vec_id, e FROM $embSql),
-       |assigned AS (
+    s"""$name AS (
        |  SELECT vec_id, e, cluster FROM (
        |    SELECT a.vec_id, a.e, c.cluster,
        |           row_number() OVER (PARTITION BY a.vec_id
        |             ORDER BY ${sqDist("a.e", "c.centroid")}, c.cluster) AS ark
-       |    FROM emb a CROSS JOIN cents c)
+       |    FROM $src a CROSS JOIN cents c)
        |  WHERE ark = 1)""".stripMargin
   }
+
+  private[graft] def ivfAssignCtes: String =
+    s"""cents AS (SELECT cluster, centroid FROM '$ivfExportPath/*.parquet'),
+       |emb AS (SELECT vec_id, e FROM $embSql),
+       |${assignCteOver("emb", "assigned")}""".stripMargin
 
   /** The complete q_ann_ivf twin: centroid-export replay of list
     * assignment, probe→list ranking, and in-list cosine top-k.
@@ -1155,17 +1166,7 @@ object VectorQueries {
     // before ranking, per-(probe, list) argmax, margin on the rounded
     // cosines. `ranked` is consumed by both triplet legs → MATERIALIZED.
     "q_contrastive_pairs" -> {
-      val sqDist = (a: String, b: String) =>
-        s"list_sum(list_transform(generate_series(1, len($a)), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
-      s"""WITH cents AS (SELECT cluster, centroid FROM '$ivfExportPath/*.parquet'),
-         |emb AS (SELECT vec_id, e FROM $embSql),
-         |assigned AS (
-         |  SELECT vec_id, e, cluster FROM (
-         |    SELECT a.vec_id, a.e, c.cluster,
-         |           row_number() OVER (PARTITION BY a.vec_id
-         |             ORDER BY ${sqDist("a.e", "c.centroid")}, c.cluster) AS ark
-         |    FROM emb a CROSS JOIN cents c)
-         |  WHERE ark = 1),
+      s"""WITH $ivfAssignCtes,
          |probes AS (SELECT vec_id AS probe_id, e AS pv FROM emb
          |           WHERE vec_id < $ContrastiveProbes),
          |plists AS (
@@ -1304,18 +1305,10 @@ object VectorQueries {
     // per-row round(d·1e6) BEFORE the sum (integer-sum order freedom),
     // mean as integer //.
     "q_ann_drift" -> {
-      val sqDist = (a: String, b: String) =>
-        s"list_sum(list_transform(generate_series(1, len($a)), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
       s"""WITH $ivfAssignCtes,
          |delta AS (SELECT vec_id + 200000 AS vec_id,
          |                 list_transform(e, x -> x + 0.05) AS e FROM emb),
-         |dass AS (
-         |  SELECT vec_id, e, cluster FROM (
-         |    SELECT a.vec_id, a.e, c.cluster,
-         |           row_number() OVER (PARTITION BY a.vec_id
-         |             ORDER BY ${sqDist("a.e", "c.centroid")}, c.cluster) AS ark
-         |    FROM delta a CROSS JOIN cents c)
-         |  WHERE ark = 1),
+         |${assignCteOver("delta", "dass")},
          |allg AS (SELECT 0 AS gen, e, cluster FROM assigned
          |         UNION ALL SELECT 1 AS gen, e, cluster FROM dass),
          |d AS (SELECT gen,

@@ -185,6 +185,12 @@ def main():
     single_source = "--single-source" in sys.argv[4:]
     shared_vocab = "--shared-vocab" in sys.argv[4:]
     scrambled_alpha = "--scrambled-alpha" in sys.argv[4:]
+    # shared-vocab's token rotation bypasses the letter map entirely —
+    # silently ignoring --scrambled-alpha would leave the byte-order-
+    # preserving text untouched while the operator believes the
+    # image-perceptual mode is active, invalidating the rehearsal
+    assert not (shared_vocab and scrambled_alpha), \
+        "--shared-vocab and --scrambled-alpha are mutually exclusive"
     import os
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
