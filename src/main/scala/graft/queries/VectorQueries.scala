@@ -326,6 +326,65 @@ object VectorQueries {
       .withColumn("recall_bp", expr(s"(n_hits * 10000) DIV $RecallK"))
   }
 
+  // ---- scalar int8 quantization recall (r17) ----
+  // The standard sibling of PQ in a serving stack: symmetric per-DIM
+  // int8 quantization (q_embed_quantize is the per-VECTOR encode; this
+  // is the shared-scale form search actually uses — one scale vector
+  // for the whole corpus, so dot products stay comparable ACROSS
+  // vectors) and the end-to-end metric that decides whether to deploy
+  // it: recall@10 of quantized-dot search against the exact float-dot
+  // top-10. 4× memory cut vs float32 with a plain integer dot kernel —
+  // the cheap rung below PQ's 64×.
+  //
+  // Oracle parity: scales are per-dim max(abs(x)) — MAX, not a sum, so
+  // engine-exact over doubles in any order. Codes are
+  // floor(x/m·127 + 0.5) (floor-based half-up: cross-engine `round`
+  // rounding modes differ, floor does not), kept as DOUBLE-typed
+  // integers so the proven dot fold applies; |x| ≤ m ⇒ the IEEE
+  // quotient ≤ 1 ⇒ codes land in [−127, 127] with no clamp. Integer
+  // products ≤ 127²·64 ≈ 10⁶ keep every partial sum exact in double,
+  // so quantized dots are exact integers in BOTH engines — the arm's
+  // ranking is replayable without any export. Truth arm = float dot at
+  // the house round-6 discipline. dot is NOT self-maximal (no
+  // normalization), so a probe can score 0 hits — the probe list
+  // left-join keeps its row (the inner-join-drop trap).
+  private val int8Recall: Q = (s, d) => {
+    val vecs = emb(s, d).select(col("vec_id"), col("e"))
+    // per-dim scale vector, assembled in dim order (1-row stats frame)
+    val marr = vecs
+      .select(posexplode(col("e")).as(Seq("j", "x")))
+      .groupBy("j").agg(max(abs(col("x"))).as("m"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, m))), s -> s.m)").as("ms"))
+    val qCol = zip_with(col("e"), col("ms"), (x, m) =>
+      when(m === 0.0, lit(0.0))
+        .otherwise(floor(x / m * lit(127.0) + lit(0.5)).cast("double")))
+    // quantized corpus persisted: feeds the probe selection AND the scan
+    val qc = graft.Scratch.persist(
+      vecs.crossJoin(broadcast(marr)).select(col("vec_id"), col("e"), qCol.as("q")))
+    val probes = qc.filter(col("vec_id") < RecallProbes)
+      .select(col("vec_id").as("probe_id"), col("e").as("pv"), col("q").as("pq"))
+    val truth = qc.crossJoin(broadcast(probes.select("probe_id", "pv")))
+      .select(col("probe_id"), col("vec_id"),
+        (round(dotNative(col("e"), col("pv")), 6) + lit(0.0)).as("dot"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("dot").desc, col("vec_id"))))
+      .filter(col("rk") <= RecallK)
+      .select("probe_id", "vec_id")
+    val int8Top = qc.crossJoin(broadcast(probes.select("probe_id", "pq")))
+      .select(col("probe_id"), col("vec_id"),
+        dotNative(col("q"), col("pq")).cast("long").as("qdot"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("qdot").desc, col("vec_id"))))
+      .filter(col("rk") <= RecallK)
+      .select("probe_id", "vec_id")
+    val hits = int8Top.join(truth, Seq("probe_id", "vec_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hits"))
+    probes.select("probe_id").join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_bp", expr(s"(n_hits * 10000) DIV $RecallK"))
+  }
+
   /** The q_ann_ivf search over an EXPLICIT index — the seam
     * [[graft.operators.IndexStore]] serves through after loading a
     * persisted index (r17, VERDICT r16 #1).
@@ -750,6 +809,7 @@ object VectorQueries {
     "q_ann_recall_hnsw" -> hnswRecall,
     "q_pq_encode" -> pqEncode,
     "q_ann_recall_pq" -> pqRecall,
+    "q_ann_recall_int8" -> int8Recall,
     "q_mmr_rerank" -> mmrRerank,
     "o37_cluster_centroids" -> o37,
     "o12_array_overlap" -> o12,
@@ -1097,6 +1157,40 @@ object VectorQueries {
   val oracle: Map[String, String] = Map(
     "q_ann_recall_hnsw" -> hnswRecallSql,
     "q_ann_recall_nsw" -> nswRecallSql,
+    "q_ann_recall_int8" ->
+      s"""WITH emb AS (SELECT vec_id, e FROM $embSql),
+         |dims AS (
+         |  SELECT j, max(abs(x)) AS m
+         |  FROM (SELECT unnest(generate_series(1, len(e))) AS j, unnest(e) AS x FROM emb)
+         |  GROUP BY j),
+         |marr AS MATERIALIZED (SELECT list(m ORDER BY j) AS ms FROM dims),
+         |qc AS MATERIALIZED (
+         |  SELECT vec_id, e,
+         |         list_transform(generate_series(1, len(e)),
+         |           i -> CASE WHEN ms[i] = 0 THEN CAST(0 AS DOUBLE)
+         |                     ELSE CAST(floor(e[i] / ms[i] * 127.0 + 0.5) AS DOUBLE) END) AS q
+         |  FROM emb CROSS JOIN marr),
+         |probes AS MATERIALIZED (
+         |  SELECT vec_id AS probe_id, e AS pv, q AS pq FROM qc WHERE vec_id < $RecallProbes),
+         |truth AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT p.probe_id, a.vec_id,
+         |           row_number() OVER (PARTITION BY p.probe_id
+         |             ORDER BY round(${dotSql("a.e", "p.pv")}, 6) + 0.0 DESC, a.vec_id) AS rk
+         |    FROM qc a CROSS JOIN probes p)
+         |  WHERE rk <= $RecallK),
+         |i8 AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT p.probe_id, a.vec_id,
+         |           row_number() OVER (PARTITION BY p.probe_id
+         |             ORDER BY CAST(${dotSql("a.q", "p.pq")} AS BIGINT) DESC, a.vec_id) AS rk
+         |    FROM qc a CROSS JOIN probes p)
+         |  WHERE rk <= $RecallK),
+         |h AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_hits
+         |      FROM i8 JOIN truth USING (probe_id, vec_id) GROUP BY probe_id)
+         |SELECT p.probe_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |       (CAST(coalesce(h.n_hits, 0) AS BIGINT) * 10000) // $RecallK AS recall_bp
+         |FROM (SELECT probe_id FROM probes) p LEFT JOIN h USING (probe_id)""".stripMargin,
     "o54_vec_distance" ->
       s"""SELECT a.vec_id,
          |       round(${l2DistanceSql("a.e", "b.pv")}, 6) + 0.0 AS l2,

@@ -60,6 +60,44 @@ class AnnRecallSpec extends SparkSpec {
     assert(drift(1L)._2 > 0.0)
   }
 
+  test("int8: codes need no clamp; recall matches a full scalar re-implementation") {
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray).sortBy(_._1)
+    val dims = vecs.head._2.length
+    val m = Array.tabulate(dims)(j => vecs.map(v => math.abs(v._2(j))).max)
+    def quant(e: Array[Double]): Array[Double] =
+      Array.tabulate(dims)(j =>
+        if (m(j) == 0.0) 0.0 else math.floor(e(j) / m(j) * 127.0 + 0.5))
+    // the no-clamp claim: |x| <= m_j forces every code into [-127, 127]
+    vecs.foreach { case (_, e) =>
+      quant(e).foreach(c => assert(c >= -127.0 && c <= 127.0 && c == c.floor))
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dims) { s += a(i) * b(i); i += 1 }; s
+    }
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val probes = vecs.filter(_._1 < 50)
+    def topk(score: Array[Double] => Double): Set[Long] =
+      vecs.map(v => v._1 -> score(v._2))
+        .sortBy { case (id, sc) => (-sc, id) }.take(10).map(_._1).toSet
+    val expected = probes.map { case (p, pe) =>
+      val pq = quant(pe)
+      val truth = topk(e => r6(dot(e, pe)))
+      val i8 = topk(e => dot(quant(e), pq))
+      p -> (i8 & truth).size.toLong
+    }.toMap
+    val got = SparkEntry.queries("q_ann_recall_int8")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (p, h) =>
+      assert(got(p) == h, s"probe $p: query $h-hit claim != scalar recount ${got(p)}")
+    }
+  }
+
   test("PQ: encoding is the per-subspace argmin; exact re-rank dominates raw ADC") {
     import org.apache.spark.sql.functions._
     // encoding law: for every (vector, subspace), the assigned codeword
