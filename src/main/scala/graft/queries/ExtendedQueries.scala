@@ -602,7 +602,102 @@ object ExtendedQueries {
        |FROM (SELECT sum(n) AS n FROM mid WHERE n < $KAnonK)
        |WHERE n IS NOT NULL""".stripMargin
 
+  // ---- Z-order data layout audit (r17) ----
+  // The data-LAYOUT lever behind every 100 TB scan-pruning story
+  // (Delta/Iceberg OPTIMIZE ZORDER BY): interleave the bits of two
+  // scaled dimensions so files cluster in BOTH, then measure what the
+  // layout buys — for 16 equal-width range probes per dimension, how
+  // many file bounding boxes ([min,max] per dim per file, exactly what
+  // parquet footers publish) must be read under (a) the z-order layout
+  // vs (b) a single-dimension sort. The x-sort prunes x-probes
+  // perfectly and y-probes not at all; z-order pays a small x premium
+  // to make BOTH dims prunable — the published √-tradeoff, here as a
+  // hash-checked integer metric (`skip_bp` = share of file reads
+  // avoided). All arithmetic is integer: dims scale to 8 bits by
+  // (k·256) DIV (max+1) (operands positive ⇒ trunc == floor), the
+  // interleave is 16 unrolled literal terms (the q_dedup_cdc
+  // literal-unroll precedent), file ids are equal-WIDTH z/bx ranges —
+  // no global sort, no window; the per-file stats are one
+  // map-side-combined groupBy over a 128-row output, so the audit
+  // itself is a single-scan job at any corpus size.
+  private val ZFiles = 64
+  private val ZProbes = 16
+
+  /** The 8+8-bit Morton interleave as engine-portable SQL: x bits land
+    * on odd positions, y bits on even. `div` is `DIV` (Spark) / `//`
+    * (DuckDB).
+    */
+  private[graft] def zExpr(div: String): String =
+    (0 to 7).map(i =>
+      s"((bx $div ${1 << i}) % 2) * ${1L << (2 * i + 1)} + " +
+        s"((by $div ${1 << i}) % 2) * ${1L << (2 * i)}").mkString(" + ")
+
+  private val zorderQ: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+    val mx = li.agg(max(col("l_partkey")).as("mpk"), max(col("l_suppkey")).as("msk"))
+    val f = li.crossJoin(broadcast(mx))
+      .select(expr("(l_partkey * 256) DIV (mpk + 1)").as("bx"),
+        expr("(l_suppkey * 256) DIV (msk + 1)").as("by"))
+      .withColumn("z", expr(zExpr("DIV")))
+      .select(col("bx"), col("by"),
+        expr(s"z DIV ${65536 / ZFiles}").as("zf"),
+        expr(s"bx DIV ${256 / ZFiles}").as("xf"))
+    // per (layout, file) bounding boxes — the parquet-footer stats
+    val lf = f.select(explode(array(
+        struct(lit("zorder").as("layout"), col("zf").as("file")),
+        struct(lit("xsort").as("layout"), col("xf").as("file")))).as("a"),
+        col("bx"), col("by"))
+      .groupBy(col("a.layout").as("layout"), col("a.file").as("file"))
+      .agg(min(col("bx")).as("minx"), max(col("bx")).as("maxx"),
+        min(col("by")).as("miny"), max(col("by")).as("maxy"))
+    val nf = lf.groupBy("layout").agg(countDistinct(col("file")).as("n_files"))
+    val pr = s.range(ZProbes).select(col("id").as("t"))
+      .select(explode(array(lit("x"), lit("y"))).as("dim"),
+        (col("t") * (256 / ZProbes)).as("lo"),
+        (col("t") * (256 / ZProbes) + (256 / ZProbes - 1)).as("hi"))
+    lf.crossJoin(broadcast(pr))
+      .filter(when(col("dim") === "x", col("minx") <= col("hi") && col("maxx") >= col("lo"))
+        .otherwise(col("miny") <= col("hi") && col("maxy") >= col("lo")))
+      .groupBy("layout", "dim").agg(count(lit(1)).as("files_touched"))
+      .join(nf, Seq("layout"))
+      .select(col("layout"), col("dim"), col("n_files"), col("files_touched"),
+        expr(s"(($ZProbes * n_files - files_touched) * 10000) DIV ($ZProbes * n_files)")
+          .as("skip_bp"))
+      .orderBy("layout", "dim")
+  }
+
+  private val zorderSql: String =
+    s"""WITH mx AS (SELECT max(l_partkey) AS mpk, max(l_suppkey) AS msk FROM lineitem),
+       |b AS (SELECT (l_partkey * 256) // (mpk + 1) AS bx,
+       |             (l_suppkey * 256) // (msk + 1) AS by
+       |      FROM lineitem CROSS JOIN mx),
+       |f AS MATERIALIZED (
+       |  SELECT bx, by, z // ${65536 / ZFiles} AS zf, bx // ${256 / ZFiles} AS xf
+       |  FROM (SELECT bx, by, ${zExpr("//")} AS z FROM b)),
+       |lf AS MATERIALIZED (
+       |  SELECT layout, file, min(bx) AS minx, max(bx) AS maxx,
+       |         min(by) AS miny, max(by) AS maxy
+       |  FROM (SELECT 'zorder' AS layout, zf AS file, bx, by FROM f
+       |        UNION ALL SELECT 'xsort' AS layout, xf AS file, bx, by FROM f)
+       |  GROUP BY layout, file),
+       |nf AS (SELECT layout, CAST(count(DISTINCT file) AS BIGINT) AS n_files
+       |       FROM lf GROUP BY layout),
+       |pr AS (SELECT dim, t * ${256 / ZProbes} AS lo,
+       |              t * ${256 / ZProbes} + ${256 / ZProbes - 1} AS hi
+       |       FROM (SELECT unnest(generate_series(0, ${ZProbes - 1})) AS t)
+       |       CROSS JOIN (SELECT unnest(['x', 'y']) AS dim)),
+       |t AS (SELECT layout, dim, CAST(count(*) AS BIGINT) AS files_touched
+       |      FROM lf CROSS JOIN pr
+       |      WHERE CASE WHEN dim = 'x' THEN minx <= hi AND maxx >= lo
+       |                 ELSE miny <= hi AND maxy >= lo END
+       |      GROUP BY layout, dim)
+       |SELECT layout, dim, n_files, files_touched,
+       |       (($ZProbes * n_files - files_touched) * 10000) // ($ZProbes * n_files) AS skip_bp
+       |FROM t JOIN nf USING (layout)
+       |ORDER BY layout, dim""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_zorder_layout" -> zorderQ,
     "q_kanon" -> kanonQ,
     "q_ks_drift" -> ksDriftQ,
     "q_outliers_mad" -> madQ,
@@ -625,6 +720,7 @@ object ExtendedQueries {
     "q_bucketed_join" -> bucketedQ)
 
   val oracle: Map[String, String] = Map(
+    "q_zorder_layout" -> zorderSql,
     "q_kanon" -> kanonSql,
     "q_ks_drift" -> ksDriftSql,
     "q_outliers_mad" ->

@@ -133,4 +133,39 @@ class EventAnalyticsSpec extends SparkSpec {
       s"bounded peel diverges from the fixpoint core (${got.size} vs ${want.size} nodes)")
     assert(got.nonEmpty, "2-core is empty — the invariant test lost its signal")
   }
+
+  // ---- q_zorder_layout ----
+
+  test("zorder: interleave expr is the Morton bijection over the full 8+8-bit grid") {
+    import spark.implicits._
+    def morton(bx: Int, by: Int): Long =
+      (0 to 7).map(i => (((bx >> i) & 1).toLong << (2 * i + 1)) |
+        (((by >> i) & 1).toLong << (2 * i))).sum
+    val got = (0 until 256).flatMap(x => (0 until 256).map(y => (x.toLong, y.toLong)))
+      .toDF("bx", "by")
+      .withColumn("z", expr(graft.queries.ExtendedQueries.zExpr("DIV")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size == 65536)
+    got.foreach { case ((x, y), z) =>
+      assert(z == morton(x.toInt, y.toInt), s"($x,$y) -> $z != morton")
+    }
+    assert(got.values.toSet.size == 65536, "interleave is not a bijection")
+  }
+
+  test("zorder: x-sort is x-optimal; z-order makes y prunable too") {
+    val rows = run("q_zorder_layout").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.size == 4)
+    // the single-dim sort is the best possible layout for its own dim
+    assert(rows(("xsort", "x"))._2 <= rows(("zorder", "x"))._2,
+      "x-sort lost to z-order on its own dimension")
+    // ... and z-order buys y-pruning the x-sort cannot have
+    assert(rows(("zorder", "y"))._2 < rows(("xsort", "y"))._2,
+      "z-order did not improve y-probe pruning")
+    rows.foreach { case (k, (nf, touched, skip)) =>
+      assert(nf > 0 && touched >= 1 && touched <= 16 * nf, s"$k: bounds violated")
+      assert(skip == (16 * nf - touched) * 10000 / (16 * nf), s"$k: skip_bp identity")
+    }
+  }
 }
