@@ -246,11 +246,18 @@ object Bench {
     // planner/JIT state (PERF.md's awaitTermination attribution), so the
     // twins' samples should come from the cleanest window each pass
     // offers — right after the pass-boundary clear, before the 120
-    // relational queries churn the JVM. Twins have no build-artifact
-    // dependencies, so the reorder is free.
+    // relational queries churn the JVM. EXCEPTION (r17): a twin that is
+    // an artifact DEPENDENT (q_stream_ann_serve reads the IVF memo)
+    // runs right AFTER the builds — stream-first would pay the cold
+    // build inline (inflating the twin) and leave the build entry
+    // timing a warm memo (a lie in the other direction).
     val isStream = (n: String) => n.startsWith("q_stream_")
+    val artifactDependents: Set[String] =
+      SparkEntry.artifactDeps.values.flatten.toSet
     val (streamNamed, otherNamed) = named.partition(t => isStream(t._1))
-    val passOrder = streamNamed ++ artifacts ++ otherNamed
+    val (streamDep, streamIndep) =
+      streamNamed.partition(t => artifactDependents(t._1))
+    val passOrder = streamIndep ++ artifacts ++ streamDep ++ otherNamed
     // discard the WARMUP pass's twin phase samples — the first timed
     // twin would otherwise absorb 7 sf0.001 samples into its log
     graft.streaming.StreamingTwins.drainPhaseLog()

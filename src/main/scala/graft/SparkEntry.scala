@@ -93,7 +93,7 @@ object SparkEntry {
       "q_ann_recall_ivf", "q_ann_recall_nsw", "q_ann_recall_hnsw",
       "q_hybrid_retrieval_ivf", "q_contrastive_pairs",
       "q_dedup_semantic", "q_knn_eval", "build_nsw_graph",
-      "build_index_store", "q_index_persist"),
+      "build_index_store", "q_index_persist", "q_stream_ann_serve"),
     // build_hnsw_layers rides build_nsw_graph's memo (layer 0 IS the
     // NSW graph), so it is a dependent of that build too. Convention:
     // every set lists its TRANSITIVE query dependents directly (the

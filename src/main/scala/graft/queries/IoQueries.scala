@@ -661,6 +661,7 @@ object IoQueries {
     "q_stream_hll" -> streamHll,
     "q_stream_cms" -> ((s, d) => graft.streaming.StreamingTwins.cmsRegisters(s, d)),
     "q_stream_merge_upsert" -> ((s, d) => graft.streaming.StreamingTwins.mergeUpsert(s, d)),
+    "q_stream_ann_serve" -> ((s, d) => graft.streaming.StreamingTwins.annServe(s, d)),
     "q_stream_dedup_wm" -> streamDedupWm,
     "q_stream_sessionize" -> streamSess,
     "q_stream_sessionize_wm" -> streamSessWm,
@@ -781,6 +782,11 @@ object IoQueries {
     // disjoint update/insert key spaces make the per-batch merge fold
     // commute, so the batch MERGE oracle checks the 3-batch stream
     "q_stream_merge_upsert" -> IncrementalQueries.oracle("q_merge_upsert"),
+    // stateless per-probe search over disjoint probe ranges: the
+    // drained serving log equals the one-shot batch search, so the
+    // oracle is the q_ann_ivf centroid-export replay parameterized to
+    // the 50-probe serve set
+    "q_stream_ann_serve" -> VectorQueries.ivfTopkSqlFor("vec_id < 50"),
     "q_stream_sessionize" -> RelationalQueries.oracle("q_sessionize"),
     "q_stream_sessionize_wm" -> RelationalQueries.oracle("q_sessionize"),
     "q_stream_join" ->

@@ -866,10 +866,15 @@ object VectorQueries {
 
   /** The complete q_ann_ivf twin: centroid-export replay of list
     * assignment, probe→list ranking, and in-list cosine top-k.
+    * Parameterized over the probe predicate (r17) so the streaming
+    * serve twin (`q_stream_ann_serve`, 50 probes) composes the SAME
+    * replay block as the 5-probe batch query and the two can't drift.
     */
-  private[graft] def ivfTopkSql: String =
+  private[graft] def ivfTopkSql: String = ivfTopkSqlFor("vec_id < 5")
+
+  private[graft] def ivfTopkSqlFor(probePred: String): String =
     s"""WITH $ivfAssignCtes,
-       |probes AS (SELECT vec_id AS probe_id, e AS pv FROM emb WHERE vec_id < 5),
+       |probes AS (SELECT vec_id AS probe_id, e AS pv FROM emb WHERE $probePred),
        |plists AS (
        |  SELECT probe_id, pv, cluster FROM (
        |    SELECT p.probe_id, p.pv, c.cluster,

@@ -622,6 +622,76 @@ object StreamingTwins {
       out
     }
 
+  /** Probe stream for the ANN serve twin: the 50 recall probes split
+    * into 3 disjoint vec_id ranges, one file per micro-batch.
+    */
+  private def annProbesSplit(spark: SparkSession, dir: String): String =
+    splitCache.getOrElseUpdate(spark, s"$dir#annprobes") {
+      val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_annprobes_split_" + graft.Scratch.dirTag(dir)).toString
+      Tables.embeddings(spark, dir).filter(col("vec_id") < 50)
+        .select(col("vec_id"), col("embedding"))
+        .repartitionByRange(3, col("vec_id"))
+        .write.mode("overwrite").parquet(out)
+      new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified(1700000000000L + i * 60000L)
+        }
+      out
+    }
+
+  /** Streaming ANN serving — real-time vector retrieval against the
+    * STANDING IVF index (the online half of the index lifecycle next
+    * to build/upsert/persist): each micro-batch of probe vectors runs
+    * the UNCHANGED `AnnIvf.topK` search over the memoized lists and
+    * appends its answers to a serving log. Search is stateless per
+    * probe and the 3 range files partition the probe set, so the
+    * drained log must equal the one-shot batch search over all 50
+    * probes — the oracle is the q_ann_ivf replay parameterized to this
+    * probe set (`ivfTopkSqlFor`). ENFORCED 3 data micro-batches
+    * (maxFilesPerTrigger=1): the serve loop genuinely crosses batch
+    * boundaries, unlike a single-trigger smoke run.
+    */
+  def annServe(spark: SparkSession, dir: String): DataFrame =
+    withStreamConf(spark, finalNoDataBatch = false) {
+      val t0 = System.nanoTime()
+      val name = s"graft_stream_${runId.incrementAndGet()}"
+      val index = graft.queries.VectorQueries.ivfIndex(spark, dir)
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+      val prefix = s"graft_stream_annserve_${graft.Scratch.dirTag(dir)}_"
+      Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.startsWith(prefix)).foreach(deleteRec)
+      val resultRoot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"$prefix$name").toString
+      val split = annProbesSplit(spark, dir)
+      val schema = spark.read.parquet(split).schema
+      val served = new AtomicInteger(0)
+      val t1 = System.nanoTime()
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(split)
+        .writeStream.queryName(name)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.operators.AnnIvf
+            .topK(index, batch, "vec_id", "embedding", k = 10, nProbe = 4)
+            .write.mode("append").parquet(resultRoot)
+          served.incrementAndGet()
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val t2 = System.nanoTime()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches == 3 && served.get() >= 3,
+        s"streaming ANN serve drained in $dataBatches data micro-batch(es), " +
+          "expected exactly 3 — the multi-batch serving contract")
+      val out = spark.read.parquet(resultRoot)
+      val t3 = System.nanoTime()
+      phaseLogAdd(PhaseSample(name,
+        (t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9))
+      out
+    }
+
   /** Streaming upsert sink — the `foreachBatch` MERGE twin of
     * q_merge_upsert (the CDC-ingest shape the streaming family lacked
     * next to agg/dedup/join/sessionize/sketch): each micro-batch of

@@ -258,4 +258,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(rows == Seq(1L, 2L, 3L, 4L),
       s"state did not survive the restart (duplicates or losses): $rows")
   }
+
+  test("streaming ANN serve: drained log equals the one-shot batch search") {
+    val sf = "/root/testdata/sf0.001"
+    // batching-independence is the twin's whole contract: stateless
+    // per-probe search over disjoint probe ranges must union to exactly
+    // the single-call answer over the same standing index
+    val served = SparkEntry.queries("q_stream_ann_serve")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val idx = graft.queries.VectorQueries.ivfIndex(spark, sf)
+    val probes = Tables.embeddings(spark, sf).filter(col("vec_id") < 50)
+    val oneShot = AnnIvf.topK(idx, probes, "vec_id", "embedding", k = 10, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(served.size == 500 && served == oneShot,
+      s"streamed serving log diverges from the batch search (${served.size} rows)")
+  }
 }
