@@ -1066,7 +1066,75 @@ object CorpusQueries {
        |LEFT JOIN tgt t ON t.doc_id = i.doc_id""".stripMargin
   }
 
+  // ---- positional phrase retrieval (r17) ----
+  // The retrieval capability BM25's bag-of-words postings cannot
+  // express: exact phrase match. The scale algorithm is the standard
+  // positional-postings one — (tok, doc, pos) postings, phrase hit =
+  // p1 ⋈ p2 on (doc_id, pos+1 = pos) — never a per-query corpus text
+  // scan: probe terms broadcast-prefilter the postings stream, so only
+  // postings of query tokens survive the scan and the positional join
+  // is bounded by the probe terms' document frequency. Probes are the
+  // (distinct) token-3..4 bigrams of every doc_id ≡ 5 (mod 29), so
+  // each phrase's source doc guarantees ≥1 hit. The oracle is a
+  // DIFFERENT algorithm entirely — substring containment on the
+  // space-joined text (single-space ASCII corpus ⇒ ' '||text||' '
+  // containing ' '||phrase||' ' is exactly token adjacency) plus a
+  // token-grid occurrence count — so hash equality cross-checks the
+  // postings algebra against a direct definition, not a mirror of
+  // itself.
+  private val phraseQ: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val probes = docs
+      .filter(pmod(col("doc_id"), lit(29)) === 5 &&
+        size(split(col("text"), " ")) >= 4)
+      .select(array_join(slice(split(col("text"), " "), 3, 2), " ").as("phrase"))
+      .distinct()
+      .select(col("phrase"),
+        element_at(split(col("phrase"), " "), 1).as("t1"),
+        element_at(split(col("phrase"), " "), 2).as("t2"))
+    val post = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val p1 = post.join(broadcast(probes), col("tok") === col("t1"))
+      .select(col("phrase"), col("t2"), col("doc_id"), col("pos"))
+    val p2 = post
+      .join(broadcast(probes.select(col("t2").as("tt")).distinct()),
+        col("tok") === col("tt"))
+      .select(col("doc_id").as("d2"), col("pos").as("pos2"), col("tok").as("tok2"))
+    val matches = p1.join(p2,
+      col("d2") === col("doc_id") && col("pos2") === col("pos") + 1 &&
+        col("tok2") === col("t2"))
+      .select(col("phrase"), col("doc_id"))
+    matches.groupBy("phrase", "doc_id").agg(count(lit(1)).as("occ"))
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occ"),
+        sum(col("doc_id")).as("sum_ids"), min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy("phrase")
+  }
+
+  private val phraseSql: String =
+    """WITH pr AS MATERIALIZED (
+      |  SELECT DISTINCT array_to_string(toks[3:4], ' ') AS phrase,
+      |         toks[3] AS t1, toks[4] AS t2
+      |  FROM (SELECT string_split(text, ' ') AS toks FROM documents
+      |        WHERE doc_id % 29 = 5)
+      |  WHERE len(toks) >= 4),
+      |m AS MATERIALIZED (
+      |  SELECT p.phrase, d.doc_id,
+      |         CAST(len(list_filter(generate_series(1, len(d.toks) - 1),
+      |              i -> d.toks[i] = p.t1 AND d.toks[i+1] = p.t2)) AS BIGINT) AS occ
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents) d
+      |  CROSS JOIN pr p
+      |  WHERE instr(' ' || d.text || ' ', ' ' || p.phrase || ' ') > 0)
+      |SELECT phrase, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(occ) AS BIGINT) AS n_occ,
+      |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+      |       CAST(min(doc_id) AS BIGINT) AS min_id,
+      |       CAST(max(doc_id) AS BIGINT) AS max_id
+      |FROM m GROUP BY phrase ORDER BY phrase""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_phrase_match" -> phraseQ,
     "q_span_corrupt" -> spanCorrupt,
     "q_curation_pipeline" -> curationPipeline,
     "q_decontaminate" -> decontaminate,
@@ -1083,6 +1151,7 @@ object CorpusQueries {
     "q_embed_quantize" -> embedQuantize)
 
   val oracle: Map[String, String] = Map(
+    "q_phrase_match" -> phraseSql,
     "q_span_corrupt" -> spanCorruptSql,
     "q_curation_pipeline" ->
       s"""WITH base AS (

@@ -380,4 +380,34 @@ class CorpusQueriesSpec extends SparkSpec {
       .count() === 0L)
     graft.Scratch.release(spark)
   }
+
+  test("phrase match: equals a full scalar re-implementation; sources always hit") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val probes = docs.filter { case (id, t) => id % 29 == 5 && t.length >= 4 }
+      .map { case (_, t) => t(2) + " " + t(3) }.distinct
+    val expected = probes.map { ph =>
+      // tokens contain no spaces, so a bigram phrase splits to exactly 2
+      val parts = ph.split(" ", -1)
+      val (t1, t2) = (parts(0), parts(1))
+      val perDoc = docs.flatMap { case (id, toks) =>
+        val occ = (0 until toks.length - 1)
+          .count(i => toks(i) == t1 && toks(i + 1) == t2)
+        if (occ > 0) Some(id -> occ.toLong) else None
+      }
+      ph -> (perDoc.length.toLong, perDoc.map(_._2).sum,
+        perDoc.map(_._1).sum, perDoc.map(_._1).min, perDoc.map(_._1).max)
+    }.toMap
+    val got = q("q_phrase_match").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet == expected.keySet, "probe phrase sets differ")
+    expected.foreach { case (ph, e) =>
+      assert(got(ph) == e, s"phrase '$ph': ${got(ph)} != scalar $e")
+    }
+    // planted guarantee: each phrase's own source doc contains it
+    probes.foreach { ph =>
+      assert(expected(ph)._1 >= 1L, s"phrase '$ph' lost its source doc")
+    }
+  }
 }
