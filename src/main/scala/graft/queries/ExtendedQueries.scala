@@ -696,7 +696,99 @@ object ExtendedQueries {
        |FROM t JOIN nf USING (layout)
        |ORDER BY layout, dim""".stripMargin
 
+  // ---- hourly-series autocorrelation (r17) ----
+  // The time-series health check an event pipeline runs before trusting
+  // traffic-derived features: lag-1..6 autocorrelation of the hourly
+  // event-count series per type (daily/periodic structure shows as
+  // acf peaks; a flat series means the counts are noise). The series is
+  // the DENSE hour grid (missing hours are real zeros — computing acf
+  // over only observed hours silently rewrites the series), built from
+  // one map-side-combined (type, hour) count + a bounded
+  // types × generate_series grid. Everything downstream of that count
+  // operates on the bounded series, not the corpus — at any scale the
+  // event stream is touched exactly once.
+  //
+  // Oracle parity: the BIASED acf estimator (divisor-T autocovariance —
+  // the psd one, so |γ_l| ≤ γ_0 and the published shifted ratio stays
+  // in [0, 2e4]) with the global mean multiplied through by T²:
+  // num_l = T²·Σxy − T·S·(Σx_head + Σy_tail) + (T−l)·S², den = T²·Sxx −
+  // T·S² — exact BIGINT at every bench SF; the final basis-point step
+  // publishes (num+den)·10⁴ DIV den (all operands NON-NEGATIVE by the
+  // psd bound, so trunc == floor cross-engine; a raw num DIV would mix
+  // Spark's trunc with negative values) widened through DECIMAL(38,0)/
+  // HUGEINT (the dsir precedent — 100× hourly counts overflow the bp
+  // product in BIGINT).
+  private[graft] val AcfMaxLag = 6
+
+  private val autocorrQ: Q = (s, d) => {
+    val hourExpr = expr("(ts - pmod(ts, 3600000000000L)) DIV 3600000000000L")
+    val ev = Tables.events(s, d)
+    val counts = ev.groupBy(col("event_type"), hourExpr.as("h"))
+      .agg(count(lit(1)).as("x"))
+    val bounds = ev.agg(min(hourExpr).as("minh"), max(hourExpr).as("maxh"))
+    val grid = ev.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(sequence(col("minh"), col("maxh"))).as("h"))
+    // consumed by the stats agg AND both sides of the lag pair join
+    val dense = graft.Scratch.persist(
+      grid.join(counts, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"), coalesce(col("x"), lit(0L)).as("x")))
+    val stats = dense.groupBy("event_type")
+      .agg(count(lit(1)).as("bigt"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("sxx"))
+    val lags = s.range(1, AcfMaxLag + 1).select(col("id").as("lag"))
+    val b = dense.select(col("event_type").as("et2"), col("h").as("h2"),
+      col("x").as("y"))
+    val pairs = dense.crossJoin(broadcast(lags))
+      .join(b, col("et2") === col("event_type") && col("h2") === col("h") + col("lag"))
+      .groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("n"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x")).as("sxh"), sum(col("y")).as("syt"))
+    pairs.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("lag"), col("n"),
+        expr("bigt*bigt*sxy - bigt*s*(sxh + syt) + n*s*s").as("num"),
+        expr("bigt*bigt*sxx - bigt*s*s").as("den"))
+      .select(col("event_type"), col("lag"), col("n"), col("num"), col("den"),
+        expr("CAST((CAST(num + den AS DECIMAL(38,0)) * 10000) DIV greatest(den, 1) AS BIGINT)")
+          .as("acf1p_bp"))
+      .orderBy("event_type", "lag")
+  }
+
+  private val autocorrSql: String =
+    s"""WITH c AS (
+       |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+       |         CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |bo AS (SELECT min(h) AS minh, max(h) AS maxh FROM c),
+       |dense AS MATERIALIZED (
+       |  SELECT g.event_type, g.h, coalesce(c.x, 0) AS x
+       |  FROM (SELECT t.event_type, u.h
+       |        FROM (SELECT DISTINCT event_type FROM events) t
+       |        CROSS JOIN (SELECT unnest(generate_series(minh, maxh)) AS h FROM bo) u) g
+       |  LEFT JOIN c ON c.event_type = g.event_type AND c.h = g.h),
+       |st AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS bigt,
+       |         CAST(sum(x) AS BIGINT) AS s, CAST(sum(x*x) AS BIGINT) AS sxx
+       |  FROM dense GROUP BY event_type),
+       |p AS (
+       |  SELECT a.event_type, l.lag, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(a.x * b.x) AS BIGINT) AS sxy,
+       |         CAST(sum(a.x) AS BIGINT) AS sxh, CAST(sum(b.x) AS BIGINT) AS syt
+       |  FROM dense a
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $AcfMaxLag)) AS lag) l
+       |  JOIN dense b ON b.event_type = a.event_type AND b.h = a.h + l.lag
+       |  GROUP BY a.event_type, l.lag),
+       |nd AS (
+       |  SELECT p.event_type, CAST(p.lag AS BIGINT) AS lag, p.n,
+       |         CAST(bigt*bigt*sxy - bigt*s*(sxh + syt) + n*s*s AS BIGINT) AS num,
+       |         CAST(bigt*bigt*sxx - bigt*s*s AS BIGINT) AS den
+       |  FROM p JOIN st USING (event_type))
+       |SELECT event_type, lag, n, num, den,
+       |       CAST((CAST(num + den AS HUGEINT) * 10000) // greatest(den, 1) AS BIGINT) AS acf1p_bp
+       |FROM nd ORDER BY event_type, lag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_autocorr" -> autocorrQ,
     "q_zorder_layout" -> zorderQ,
     "q_kanon" -> kanonQ,
     "q_ks_drift" -> ksDriftQ,
@@ -720,6 +812,7 @@ object ExtendedQueries {
     "q_bucketed_join" -> bucketedQ)
 
   val oracle: Map[String, String] = Map(
+    "q_autocorr" -> autocorrSql,
     "q_zorder_layout" -> zorderSql,
     "q_kanon" -> kanonSql,
     "q_ks_drift" -> ksDriftSql,

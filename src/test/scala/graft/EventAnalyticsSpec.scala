@@ -134,6 +134,44 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty, "2-core is empty — the invariant test lost its signal")
   }
 
+  // ---- q_autocorr ----
+
+  test("autocorr: equals a full scalar recomputation; shifted ratio stays in [0, 2e4]") {
+    val hours = Tables.events(spark, sf)
+      .selectExpr("event_type", "(ts - pmod(ts, 3600000000000L)) DIV 3600000000000L AS h")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val (minh, maxh) = (hours.map(_._2).min, hours.map(_._2).max)
+    val bigT = maxh - minh + 1
+    val counts = hours.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val expected = hours.map(_._1).distinct.sorted.flatMap { et =>
+      val x = (minh to maxh).map(h => counts.getOrElse(et -> h, 0L)).toArray
+      val (s0, sxx) = (x.sum, x.map(v => v * v).sum)
+      val den = bigT * bigT * sxx - bigT * s0 * s0
+      (1L to 6L).map { l =>
+        val n = bigT - l
+        val idx = 0 until (bigT - l).toInt
+        val sxy = idx.map(t => x(t) * x(t + l.toInt)).sum
+        val sxh = idx.map(x(_)).sum
+        val syt = idx.map(t => x(t + l.toInt)).sum
+        val num = bigT * bigT * sxy - bigT * s0 * (sxh + syt) + n * s0 * s0
+        val bp = ((BigInt(num) + BigInt(den)) * 10000 / BigInt(den max 1L)).toLong
+        (et, l) -> (n, num, den, bp)
+      }
+    }.toMap
+    val got = run("q_autocorr").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, e) =>
+      assert(got(k) == e, s"$k: ${got(k)} != scalar $e")
+    }
+    // the psd bound that keeps every DIV operand non-negative
+    got.values.foreach { case (_, num, den, bp) =>
+      assert(num.abs <= den, "|num| > den — the biased-estimator bound broke")
+      assert(bp >= 0L && bp <= 20000L)
+    }
+  }
+
   // ---- q_zorder_layout ----
 
   test("zorder: interleave expr is the Morton bijection over the full 8+8-bit grid") {
