@@ -1094,15 +1094,29 @@ object CorpusQueries {
         element_at(split(col("phrase"), " "), 2).as("t2"))
     val post = docs.select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-    val p1 = post.join(broadcast(probes), col("tok") === col("t1"))
-      .select(col("phrase"), col("t2"), col("doc_id"), col("pos"))
-    val p2 = post
-      .join(broadcast(probes.select(col("t2").as("tt")).distinct()),
-        col("tok") === col("tt"))
-      .select(col("doc_id").as("d2"), col("pos").as("pos2"), col("tok").as("tok2"))
-    val matches = p1.join(p2,
-      col("d2") === col("doc_id") && col("pos2") === col("pos") + 1 &&
-        col("tok2") === col("t2"))
+    // prefilter by DISTINCT probe tokens and keep the streams NARROW
+    // (doc_id, pos, tok): joining probes before the positional merge
+    // duplicated every t1 posting once per phrase sharing that t1 and
+    // dragged the phrase string through the shuffle — measured 40× wall
+    // at 10× data for a linear-work operator. Phrases attach AFTER the
+    // merge, when only adjacent probe-token pairs remain.
+    // two codegen'd scan branches, deliberately NOT a shared persist: an
+    // A/B at 10× measured the persisted single-scan form at 16.9 s vs
+    // 13.5 s for the re-scan — materializing the 16M-row posting stream
+    // is a serial wave that costs more than the second scan+explode it
+    // saves (the serial-stage-wave class)
+    val rp1 = post
+      .join(broadcast(probes.select(col("t1").as("pt")).distinct()),
+        col("tok") === col("pt"))
+      .select(col("doc_id"), col("pos"), col("tok").as("w1"))
+    val rp2 = post
+      .join(broadcast(probes.select(col("t2").as("pt")).distinct()),
+        col("tok") === col("pt"))
+      .select(col("doc_id").as("d2"), col("pos").as("pos2"), col("tok").as("w2"))
+    val matches = rp1.join(rp2,
+      col("d2") === col("doc_id") && col("pos2") === col("pos") + 1)
+      .join(broadcast(probes),
+        col("w1") === col("t1") && col("w2") === col("t2"))
       .select(col("phrase"), col("doc_id"))
     matches.groupBy("phrase", "doc_id").agg(count(lit(1)).as("occ"))
       .groupBy("phrase")
