@@ -722,11 +722,16 @@ object ExtendedQueries {
 
   private val autocorrQ: Q = (s, d) => {
     val hourExpr = expr("(ts - pmod(ts, 3600000000000L)) DIV 3600000000000L")
-    val ev = Tables.events(s, d)
-    val counts = ev.groupBy(col("event_type"), hourExpr.as("h"))
-      .agg(count(lit(1)).as("x"))
-    val bounds = ev.agg(min(hourExpr).as("minh"), max(hourExpr).as("maxh"))
-    val grid = ev.select("event_type").distinct()
+    // the ONLY corpus-sized pass: one map-side-combined (type, hour)
+    // count. Persisted because the bounded result feeds three consumers
+    // (grid bounds, the type set, and the dense left join) — deriving
+    // bounds/types from the raw stream again would re-scan events per
+    // branch (r17 review finding).
+    val counts = graft.Scratch.persist(
+      Tables.events(s, d).groupBy(col("event_type"), hourExpr.as("h"))
+        .agg(count(lit(1)).as("x")))
+    val bounds = counts.agg(min(col("h")).as("minh"), max(col("h")).as("maxh"))
+    val grid = counts.select("event_type").distinct()
       .crossJoin(broadcast(bounds))
       .select(col("event_type"), explode(sequence(col("minh"), col("maxh"))).as("h"))
     // consumed by the stats agg AND both sides of the lag pair join
@@ -755,7 +760,7 @@ object ExtendedQueries {
   }
 
   private val autocorrSql: String =
-    s"""WITH c AS (
+    s"""WITH c AS MATERIALIZED (
        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
        |         CAST(count(*) AS BIGINT) AS x
        |  FROM events GROUP BY 1, 2),
@@ -763,7 +768,7 @@ object ExtendedQueries {
        |dense AS MATERIALIZED (
        |  SELECT g.event_type, g.h, coalesce(c.x, 0) AS x
        |  FROM (SELECT t.event_type, u.h
-       |        FROM (SELECT DISTINCT event_type FROM events) t
+       |        FROM (SELECT DISTINCT event_type FROM c) t
        |        CROSS JOIN (SELECT unnest(generate_series(minh, maxh)) AS h FROM bo) u) g
        |  LEFT JOIN c ON c.event_type = g.event_type AND c.h = g.h),
        |st AS (

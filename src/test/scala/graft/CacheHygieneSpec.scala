@@ -21,7 +21,7 @@ class CacheHygieneSpec extends SparkSpec {
   private val scratchUsers = Seq("q_dedup_minhash", "q_dedup_jaccard",
     "q_dedup_chunks", "q_decontaminate", "q_sketch_quantiles",
     "q_multimodal_phash", "q_langid_eval", "q_span_corrupt",
-    "q_ann_recall_int8")
+    "q_ann_recall_int8", "q_autocorr")
 
   test("scratch persists are fully released after each query's action") {
     SparkEntry.clearCaches()
