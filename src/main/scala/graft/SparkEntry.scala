@@ -106,7 +106,7 @@ object SparkEntry {
     // build_bm25_upsert merges the delta into the standing index memo,
     // so it is a dependent of build_bm25_index (transitive-listing
     // convention: its query dependent rides both sets)
-    "build_bm25_index" -> Set("q_bm25_topk", "q_bm25_upsert",
+    "build_bm25_index" -> Set("q_bm25_topk", "q_bm25_rm3", "q_bm25_upsert",
       "q_retrieval_mrr", "q_hybrid_retrieval", "q_hybrid_retrieval_ivf",
       "q_retrieval_ndcg",
       "build_bm25_upsert", "build_index_store", "q_index_persist"),

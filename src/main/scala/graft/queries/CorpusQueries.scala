@@ -392,6 +392,86 @@ object CorpusQueries {
     bm25TopkFrom(s, d, ix.post, ix.lens, ix.g, ix.termsPath)
   }
 
+  // ---- RM3 pseudo-relevance-feedback query expansion (r17) ----
+  // The canonical PRF baseline (Lavrenko & Croft relevance models, the
+  // Anserini/Indri "RM3" default): retrieve once, mine expansion terms
+  // from the top feedback documents, re-retrieve with the expanded
+  // query. Round 1 IS the standing q_bm25_topk scoring; feedback-term
+  // weight is the integer RM1 surrogate Σ_fb tf·idf_e6 (the published
+  // model's P(t|R) up to the per-doc normalizer — kept integer so the
+  // term ranking is exact cross-engine); top-[[Rm3FbTerms]] new terms
+  // per probe (ties → lexicographic, ASCII corpus) join the original
+  // terms for round 2 over the SAME memoized index.
+  //
+  // Scale: both rounds are the proven broadcast-probes⋈postings shape;
+  // the feedback mine touches only the ≤probes·[[Rm3FbDocs]] feedback
+  // docs' postings (broadcast semi-join on doc_id), so expansion adds
+  // one bounded stage between two index lookups — no new corpus pass.
+  private[graft] val Rm3FbDocs = 5
+  private[graft] val Rm3FbTerms = 3
+
+  /** The per-probe expansion terms — factored out so the invariant spec
+    * can pin disjointness/arity against the declared query's output.
+    */
+  private[graft] def rm3Expansion(s: SparkSession, d: String): DataFrame = {
+    val ix = bm25Index(s, d)
+    val probes = standingProbes(s, d)
+    val fb = bm25ScoreOver(s, ix.post, ix.lens, ix.g, ix.termsPath, probes)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rk") <= Rm3FbDocs)
+      .select("probe_id", "doc_id")
+    val terms = s.read.parquet(ix.termsPath)
+      .filter(col("idf_e6") >= Bm25IdfFloorE6).select("tok", "idf_e6")
+    ix.post.join(broadcast(fb), Seq("doc_id"))
+      .join(broadcast(terms), Seq("tok"))
+      .groupBy("probe_id", "tok")
+      .agg(sum(expr("tf * idf_e6")).as("w"))
+      .join(probes, Seq("probe_id", "tok"), "left_anti")
+      .withColumn("erk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("w").desc, col("tok"))))
+      .filter(col("erk") <= Rm3FbTerms)
+      .select("probe_id", "tok")
+  }
+
+  private val bm25Rm3: Q = (s, d) => {
+    val ix = bm25Index(s, d)
+    val expanded = standingProbes(s, d)
+      .unionByName(rm3Expansion(s, d)).distinct()
+    bm25ScoreOver(s, ix.post, ix.lens, ix.g, ix.termsPath, expanded)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("score").desc, col("doc_id")))
+        .cast("long"))
+      .filter(col("rk") <= Bm25K)
+      .select("probe_id", "rk", "doc_id", "score")
+  }
+
+  private def rm3Sql: String =
+    s"""WITH $bm25ScoredCtes,
+       |r1 AS (SELECT probe_id, doc_id FROM (
+       |  SELECT probe_id, doc_id,
+       |         row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, doc_id) AS rk
+       |  FROM scored) WHERE rk <= $Rm3FbDocs),
+       |cand AS (
+       |  SELECT r1.probe_id, post.tok, CAST(sum(post.tf * tm.idf_e6) AS BIGINT) AS w
+       |  FROM r1 JOIN post ON post.doc_id = r1.doc_id
+       |  JOIN terms tm ON tm.tok = post.tok AND tm.idf_e6 >= $Bm25IdfFloorE6
+       |  GROUP BY r1.probe_id, post.tok),
+       |exp AS (SELECT probe_id, tok FROM (
+       |  SELECT c.probe_id, c.tok,
+       |         row_number() OVER (PARTITION BY c.probe_id ORDER BY c.w DESC, c.tok) AS erk
+       |  FROM cand c ANTI JOIN probes p ON p.probe_id = c.probe_id AND p.tok = c.tok)
+       |  WHERE erk <= $Rm3FbTerms),
+       |ep AS (SELECT DISTINCT probe_id, tok FROM
+       |  (SELECT probe_id, tok FROM probes UNION ALL SELECT probe_id, tok FROM exp)),
+       |${bm25ScoreCteOver("ep", "scored2")}
+       |SELECT probe_id, rk, doc_id, score FROM (
+       |  SELECT probe_id, doc_id, score,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY probe_id ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+       |  FROM scored2)
+       |WHERE rk <= $Bm25K""".stripMargin
+
   // ---- retrieval eval: MRR of the planted relevant (r16) ----
   // The eval loop a retrieval stack actually runs: take documents whose
   // RELEVANT answer is known by construction (the probe text is the doc
@@ -678,10 +758,35 @@ object CorpusQueries {
   /** [[bm25ScoredCtes]] with the probe CTE body swapped in — the MRR
     * eval scores MUTATED probe texts over the same standing index.
     */
+  /** ONE home for the BM25 scoring CTE over any (probe_id, tok)
+    * relation already in scope — composed by the standing/upsert/MRR
+    * twins (via [[bm25ScoredCtesWith]]) and BOTH rounds of the RM3 twin
+    * (r17), so the scoring formula cannot drift between them.
+    */
+  private def bm25ScoreCteOver(probesRel: String, scoredName: String): String =
+    s"""$scoredName AS (
+       |  SELECT p.probe_id, post.doc_id,
+       |         CAST(sum(tm.idf_e6 * CAST(
+       |           (CAST(post.tf AS HUGEINT) * 2200000 * g.t * 10000)
+       |           // (CAST(post.tf AS HUGEINT) * 1000000 * g.t
+       |               + CAST(300000 AS HUGEINT) * g.t
+       |               + CAST(900000 AS HUGEINT) * l.len * g.n) AS BIGINT)) AS BIGINT) AS score
+       |  FROM $probesRel p
+       |  JOIN post ON post.tok = p.tok
+       |  -- idf floor mirrors Bm25IdfFloorE6: both engines drop the same
+       |  -- probe terms because both compare the SAME exported integers
+       |  JOIN terms tm ON tm.tok = p.tok AND tm.idf_e6 >= $Bm25IdfFloorE6
+       |  JOIN lens l ON l.doc_id = post.doc_id
+       |  CROSS JOIN g
+       |  GROUP BY p.probe_id, post.doc_id)""".stripMargin
+
   private def bm25ScoredCtesWith(probesSql: String): String =
     s"""toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-       |post AS (
+       |post AS MATERIALIZED (
+       |  -- MATERIALIZED since r17: the RM3 twin consumes post three
+       |  -- times (round-1 scoring, feedback-term mining, round-2
+       |  -- scoring) and DuckDB re-derives inlined CTEs per consumer
        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
        |  FROM toks GROUP BY doc_id, tok),
        |lens AS (
@@ -694,21 +799,7 @@ object CorpusQueries {
        |terms AS (SELECT tok, idf_e6 FROM '$bm25ExportPath/*.parquet'),
        |probes AS (
        |  $probesSql),
-       |scored AS (
-       |  SELECT p.probe_id, post.doc_id,
-       |         CAST(sum(tm.idf_e6 * CAST(
-       |           (CAST(post.tf AS HUGEINT) * 2200000 * g.t * 10000)
-       |           // (CAST(post.tf AS HUGEINT) * 1000000 * g.t
-       |               + CAST(300000 AS HUGEINT) * g.t
-       |               + CAST(900000 AS HUGEINT) * l.len * g.n) AS BIGINT)) AS BIGINT) AS score
-       |  FROM probes p
-       |  JOIN post ON post.tok = p.tok
-       |  -- idf floor mirrors Bm25IdfFloorE6: both engines drop the same
-       |  -- probe terms because both compare the SAME exported integers
-       |  JOIN terms tm ON tm.tok = p.tok AND tm.idf_e6 >= $Bm25IdfFloorE6
-       |  JOIN lens l ON l.doc_id = post.doc_id
-       |  CROSS JOIN g
-       |  GROUP BY p.probe_id, post.doc_id)""".stripMargin
+       |${bm25ScoreCteOver("probes", "scored")}""".stripMargin
 
   private[graft] def bm25Sql: String =
     s"""WITH $bm25ScoredCtes
@@ -1157,6 +1248,7 @@ object CorpusQueries {
     "q_mix_temperature" -> mixTemperature,
     "q_tfidf_terms" -> tfidfTerms,
     "q_bm25_topk" -> bm25,
+    "q_bm25_rm3" -> bm25Rm3,
     "q_bm25_upsert" -> bm25Upsert,
     "q_retrieval_mrr" -> retrievalMrr,
     "q_retrieval_ndcg" -> retrievalNdcg,
@@ -1250,6 +1342,7 @@ object CorpusQueries {
         |  FROM tf JOIN df USING (tok))
         |WHERE rk <= 10""".stripMargin,
     "q_bm25_topk" -> bm25Sql,
+    "q_bm25_rm3" -> rm3Sql,
     // q_retrieval_mrr twin: the standing-index CTE block with the probe
     // definition swapped to the MUTATED texts; the relevant doc's rank
     // is read off the full per-probe ranking

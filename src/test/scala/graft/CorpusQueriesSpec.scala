@@ -381,6 +381,26 @@ class CorpusQueriesSpec extends SparkSpec {
     graft.Scratch.release(spark)
   }
 
+  test("rm3: expansion is bounded, disjoint from the query, and changes rankings") {
+    val probes = Tables.documents(spark, sf).filter(col("doc_id") < 10)
+      .selectExpr("doc_id AS probe_id",
+        "explode(slice(split(text, ' '), 1, 5)) AS tok")
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val exp = graft.queries.CorpusQueries.rm3Expansion(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(exp.nonEmpty, "no expansion terms mined — the feedback loop is dead")
+    exp.groupBy(_._1).foreach { case (p, ts) =>
+      assert(ts.length <= 3, s"probe $p: ${ts.length} expansion terms > FbTerms")
+    }
+    assert(exp.forall(e => !probes(e)), "an expansion term duplicates a query term")
+    val base = q("q_bm25_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rm3 = q("q_bm25_rm3").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rm3.keySet == base.keySet, "rm3 lost the 10-per-probe top-k shape")
+    assert(rm3 != base, "expanded retrieval is identical to round 1 — expansion inert")
+  }
+
   test("phrase match: equals a full scalar re-implementation; sources always hit") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
