@@ -916,14 +916,18 @@ object DedupQueries {
 
   // built ON the shared sig/band helpers (one copy of the signature
   // derivation — the delta twin composes the same defs, so the two can
-  // never drift character-by-character)
-  private[graft] val minhashSql: String =
+  // never drift character-by-character). Parameterized over the source
+  // corpus since r17: q_link_predict's enriched three-variant corpus
+  // composes the SAME pipeline.
+  private[graft] def minhashSqlOver(src: String): String =
     s"""WITH sig AS (
-       |  ${sigSqlOf(shinglesSql)}),
+       |  ${sigSqlOf(shinglesSqlOf(src))}),
        |bands AS (${bandsSqlFromSig("sig")})
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
+
+  private[graft] val minhashSql: String = minhashSqlOver(corpusSql)
 
   val oracle: Map[String, String] = Map(
     "q_doc_sim_tfidf" -> tfidfCosSql,

@@ -347,15 +347,112 @@ object GraphAnalyticsQueries {
        |WHERE degree >= $KCoreK""".stripMargin
   }
 
+  // ---- link prediction on the LSH similarity graph (r17) ----
+  // The missing-edge audit next to CC/LPA/triangles/k-core: which
+  // UNCONNECTED doc pairs share so many near-dup neighbours that the
+  // banding probably missed them (LSH is probabilistic — a true
+  // near-dup pair survives a band with probability < 1, but its
+  // neighbourhoods still overlap). The standard q_dedup_minhash corpus
+  // (base + one mutant) yields an almost-pure matching — no distance-2
+  // structure to predict over (0 candidates at sf0.001; single-token
+  // drops leave J ≈ 0.96 between the mutants, so every triangle edge
+  // bands and every distance-2 pair is already connected) — so this
+  // query runs the SAME minhash pipeline over a THREE-variant corpus:
+  // base, drop-last-QUARTER (+800000), drop-first-QUARTER (+900000).
+  // Each fragment keeps J ≈ 0.75 with its base (bands almost surely);
+  // the two fragments share only the middle half (J ≈ 0.53), which the
+  // 4×2 banding misses for a third of pairs — the planted recoverable
+  // signal at every SF. Common-neighbours via ONE distance-2 self-join
+  // of the symmetrized edge list (edges are distinct, so path rows are
+  // distinct and count(*) IS the distinct-m count), existing edges
+  // removed by an anti-join on the canonical pair list, scored with
+  // integer Jaccard over neighbourhoods cn·10⁴ DIV (deg_a+deg_b−cn),
+  // top-[[LinkPredK]] by (score, cn, a, b) — a TakeOrderedAndProject,
+  // never a global sort. Scale: the path join is bounded by Σ_m deg(m)²
+  // with hub degrees capped upstream (BucketCap bounds the pair
+  // generator); the edge list, not the corpus, is what shuffles.
+  private[graft] val LinkPredK = 100
+
+  private[graft] def linkCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .withColumn("n", size(split(col("text"), " ")))
+      .withColumn("q", expr("n DIV 4"))
+    docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.select((col("doc_id") + 800000L).as("doc_id"),
+        expr("array_join(slice(split(text, ' '), 1, n - q), ' ')").as("text")))
+      .unionAll(docs.select((col("doc_id") + 900000L).as("doc_id"),
+        expr("array_join(slice(split(text, ' '), q + 1, n - q), ' ')").as("text")))
+  }
+
+  private val linkSrcSql: String =
+    """(WITH dq AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
+      |                    len(string_split(text, ' ')) // 4 AS q
+      |             FROM documents)
+      | SELECT doc_id, text FROM dq
+      | UNION ALL SELECT doc_id+800000 AS doc_id,
+      |        array_to_string(toks[1:len(toks)-q], ' ') AS text FROM dq
+      | UNION ALL SELECT doc_id+900000 AS doc_id,
+      |        array_to_string(toks[q+1:len(toks)], ' ') AS text FROM dq)""".stripMargin
+
+  private val linkPredict: Q = (s, d) => {
+    // canonical pairs persisted (path join needs the symmetrized view
+    // twice, the anti-join needs the canonical list), band table
+    // persisted inside as in q_dedup_minhash
+    val pairs = graft.Scratch.persist(DedupQueries.bandPairs(
+      graft.Scratch.persist(DedupQueries.minhashBands(linkCorpus(s, d)))))
+    val und = graft.Scratch.persist(
+      pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .unionAll(pairs.select(col("doc_b").as("a"), col("doc_a").as("b"))))
+    val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
+      .select(col("a").as("node"), col("deg"))
+    val cn = und.select(col("a"), col("b").as("m"))
+      .join(und.select(col("a").as("m2"), col("b").as("c")), col("m2") === col("m"))
+      .filter(col("a") < col("c"))
+      .groupBy(col("a"), col("c").as("b"))
+      .agg(count(lit(1)).as("cn"))
+    val cand = cn.join(
+      pairs.select(col("doc_a").as("a"), col("doc_b").as("b")),
+      Seq("a", "b"), "left_anti")
+    cand
+      .join(deg.select(col("node").as("a"), col("deg").as("dega")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("degb")), Seq("b"))
+      .select(col("a"), col("b"), col("cn"), col("dega"), col("degb"),
+        expr("(cn * 10000) DIV (dega + degb - cn)").as("jac_bp"))
+      .orderBy(col("jac_bp").desc, col("cn").desc, col("a"), col("b"))
+      .limit(LinkPredK)
+  }
+
+  private val linkPredictSql: String =
+    s"""WITH pairs AS MATERIALIZED (${DedupQueries.minhashSqlOver(linkSrcSql)}),
+       |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |        UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |g AS MATERIALIZED (SELECT a, b FROM und),
+       |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM g GROUP BY a),
+       |cn AS (
+       |  SELECT e1.a, e2.b, CAST(count(*) AS BIGINT) AS cn
+       |  FROM g e1 JOIN g e2 ON e2.a = e1.b AND e1.a < e2.b
+       |  GROUP BY e1.a, e2.b),
+       |cand AS (
+       |  SELECT cn.a, cn.b, cn.cn
+       |  FROM cn ANTI JOIN pairs p ON p.doc_a = cn.a AND p.doc_b = cn.b)
+       |SELECT c.a, c.b, c.cn, da.deg AS dega, db.deg AS degb,
+       |       CAST((c.cn * 10000) // (da.deg + db.deg - c.cn) AS BIGINT) AS jac_bp
+       |FROM cand c
+       |JOIN deg da ON da.node = c.a
+       |JOIN deg db ON db.node = c.b
+       |ORDER BY jac_bp DESC, c.cn DESC, c.a, c.b LIMIT $LinkPredK""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_graph_pagerank" -> pagerank,
     "q_graph_triangles" -> triangles,
     "q_graph_communities" -> communities,
-    "q_graph_kcore" -> kcore)
+    "q_graph_kcore" -> kcore,
+    "q_link_predict" -> linkPredict)
 
   val oracle: Map[String, String] = Map(
     "q_graph_pagerank" -> pagerankSql,
     "q_graph_triangles" -> trianglesSql,
     "q_graph_communities" -> communitiesSql,
-    "q_graph_kcore" -> kcoreSql)
+    "q_graph_kcore" -> kcoreSql,
+    "q_link_predict" -> linkPredictSql)
 }

@@ -134,6 +134,36 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty, "2-core is empty — the invariant test lost its signal")
   }
 
+  // ---- q_link_predict ----
+
+  test("link predict: candidates are non-edges, identity holds, siblings dominate") {
+    val rows = run("q_link_predict").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach { case (a, b, cn, da, db, jac) =>
+      assert(a < b, "pair not canonical")
+      assert(jac == cn * 10000 / (da + db - cn), "jaccard identity broke")
+      assert(cn >= 1 && cn <= math.min(da, db))
+    }
+    // none of the predicted pairs may already be an edge
+    val edges = graft.queries.DedupQueries.bandPairs(
+      graft.queries.DedupQueries.minhashBands(
+        graft.queries.GraphAnalyticsQueries.linkCorpus(spark, sf)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.Scratch.release(spark)
+    rows.foreach { case (a, b, _, _, _, _) =>
+      assert(!edges((a, b)), s"predicted pair ($a,$b) is already an edge")
+    }
+    // the planted signal: two fragments of the same base doc, connected
+    // through it but themselves missed by the banding
+    val siblings = rows.count { case (a, b, _, _, _, _) =>
+      b - a == 100000L && a >= 800000L
+    }
+    assert(siblings * 10 >= rows.length * 9,
+      s"only $siblings/${rows.length} predictions are sibling fragments")
+  }
+
   // ---- q_autocorr ----
 
   test("autocorr: equals a full scalar recomputation; shifted ratio stays in [0, 2e4]") {
