@@ -792,7 +792,51 @@ object ExtendedQueries {
        |       CAST((CAST(num + den AS HUGEINT) * 10000) // greatest(den, 1) AS BIGINT) AS acf1p_bp
        |FROM nd ORDER BY event_type, lag""".stripMargin
 
+  // ---- DP count release: the two-sided geometric mechanism (r17) ----
+  // q_kanon's sibling on the privacy shelf: released per-(lang, source)
+  // doc counts under the DISCRETE Laplace (two-sided geometric)
+  // mechanism of Ghosh-Roughgarden-Sundararajan — the canonical
+  // ε-DP mechanism for counting queries. ε = ln 2 (α = 1/2) is chosen
+  // so every CDF value is an exact dyadic rational: the inverse-CDF
+  // thresholds ×3·2³² are exact BIGINTs, tabulated ONCE here and
+  // interpolated verbatim into both engines (the q_retrieval_ndcg
+  // tabulated-log2 precedent — no transcendental ever crosses the
+  // engine boundary). The noise draw is the deterministic Knuth-hash
+  // surrogate over the group's min doc_id (the engine-wide seeded-
+  // determinism discipline; a production deployment swaps the seed
+  // source for real randomness at this one seam), clamped at ±8 (tail
+  // mass 2·⅓·2⁻⁸ ≈ 0.26%), release floored at 0. One
+  // map-side-combined aggregation; the mechanism is per-group scalar
+  // arithmetic — nothing beyond the groupBy touches the corpus.
+  private[graft] val dpNoiseCase: String = {
+    val neg = (-8 to -1).map(k => s"WHEN 3 * u < ${1L << (33 + k)} THEN ($k)")
+    val pos = (0 to 7).map(k =>
+      s"WHEN 3 * u < ${3L * (1L << 32) - (1L << (32 - k))} THEN $k")
+    (neg ++ pos).mkString("CASE ", " ", " ELSE 8 END")
+  }
+
+  private val dpReleaseQ: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("seed"))
+      .withColumn("u", expr("(seed * 2654435761) % 4294967296"))
+      .select(col("lang"), col("source"),
+        expr(s"CAST(greatest(n + ($dpNoiseCase), 0) AS BIGINT)").as("released"))
+      .orderBy("lang", "source")
+
+  private val dpReleaseSql: String =
+    s"""WITH g AS (
+       |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(min(doc_id) AS BIGINT) AS seed
+       |  FROM documents GROUP BY lang, source),
+       |u AS (SELECT lang, source, n,
+       |      (seed * 2654435761) % 4294967296 AS u FROM g)
+       |SELECT lang, source,
+       |       CAST(greatest(n + ($dpNoiseCase), 0) AS BIGINT) AS released
+       |FROM u ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_dp_release" -> dpReleaseQ,
     "q_autocorr" -> autocorrQ,
     "q_zorder_layout" -> zorderQ,
     "q_kanon" -> kanonQ,
@@ -817,6 +861,7 @@ object ExtendedQueries {
     "q_bucketed_join" -> bucketedQ)
 
   val oracle: Map[String, String] = Map(
+    "q_dp_release" -> dpReleaseSql,
     "q_autocorr" -> autocorrSql,
     "q_zorder_layout" -> zorderSql,
     "q_kanon" -> kanonSql,

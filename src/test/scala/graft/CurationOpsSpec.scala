@@ -31,6 +31,35 @@ class CurationOpsSpec extends SparkSpec {
       odd.count(_.getAs[Long]("precision_bp") < 10000L) > odd.length / 2)
   }
 
+  test("dp release: equals a from-first-principles geometric-mechanism recompute") {
+    import org.apache.spark.sql.functions._
+    val truth = Tables.documents(spark, sf).groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("seed")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // independent derivation: P(K <= k) for the two-sided geometric with
+    // alpha = 1/2 as exact BigInt fractions over 3*2^32 — NOT the shared
+    // threshold string the query interpolates
+    def noise(u: Long): Int = {
+      val scale = BigInt(3) * (BigInt(1) << 32)
+      def cdf3(k: Int): BigInt = // 3*2^32 * P(K <= k)
+        if (k < 0) BigInt(1) << (33 + k)
+        else scale - (BigInt(1) << (32 - k))
+      (-8 to 7).find(k => BigInt(3) * u < cdf3(k)).getOrElse(8)
+    }
+    val expected = truth.map { case (k, (n, seed)) =>
+      val u = (seed * 2654435761L) % 4294967296L
+      k -> math.max(n + noise(u), 0L)
+    }
+    val got = SparkEntry.queries("q_dp_release")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected, "release diverges from the first-principles mechanism")
+    // the mechanism is alive: noise must move a healthy share of groups,
+    // and zero-noise mass should sit near its true 1/3 probability
+    val zeros = truth.count { case (k, (n, _)) => got(k) == n }
+    assert(zeros > truth.size / 6 && zeros < truth.size * 6 / 10,
+      s"zero-noise share $zeros/${truth.size} far from the 1/3 law")
+  }
+
   test("kanon: released rows partition the corpus; k respected per level") {
     val rows = SparkEntry.queries("q_kanon")(spark, sf).collect()
     Scratch.release(spark)
