@@ -733,19 +733,7 @@ object CorpusQueries {
        |          WHERE idf_e6 >= $Bm25IdfFloorE6),
        |probes AS (
        |  $probesSql),
-       |scored AS (
-       |  SELECT p.probe_id, post.doc_id,
-       |         CAST(sum(tm.idf_e6 * CAST(
-       |           (CAST(post.tf AS HUGEINT) * 2200000 * g.t * 10000)
-       |           // (CAST(post.tf AS HUGEINT) * 1000000 * g.t
-       |               + CAST(300000 AS HUGEINT) * g.t
-       |               + CAST(900000 AS HUGEINT) * l.len * g.n) AS BIGINT)) AS BIGINT) AS score
-       |  FROM probes p
-       |  JOIN post ON post.tok = p.tok
-       |  JOIN terms tm ON tm.tok = p.tok
-       |  JOIN lens l ON l.doc_id = post.doc_id
-       |  CROSS JOIN g
-       |  GROUP BY p.probe_id, post.doc_id)""".stripMargin
+       |${bm25ScoreCteOver("probes", "scored")}""".stripMargin
 
   /** The shared WITH-body producing `scored(probe_id, doc_id, score)` —
     * the twin of [[bm25Scored]], reused by both oracle queries.
@@ -755,13 +743,14 @@ object CorpusQueries {
        |    SELECT doc_id AS probe_id, unnest(string_split(text, ' ')[1:$Bm25QTerms]) AS tok
        |    FROM documents WHERE doc_id < $Bm25Probes)""".stripMargin)
 
-  /** [[bm25ScoredCtes]] with the probe CTE body swapped in — the MRR
-    * eval scores MUTATED probe texts over the same standing index.
-    */
   /** ONE home for the BM25 scoring CTE over any (probe_id, tok)
-    * relation already in scope — composed by the standing/upsert/MRR
-    * twins (via [[bm25ScoredCtesWith]]) and BOTH rounds of the RM3 twin
-    * (r17), so the scoring formula cannot drift between them.
+    * relation already in scope, with post/lens/g/terms CTEs expected
+    * under those names — composed by the standing/MRR twins (via
+    * [[bm25ScoredCtesWith]]), by the UPSERT twins' state block
+    * ([[bm25UpsertScoredCtesWith]] — its terms CTE pre-applies the idf
+    * floor, so the join's floor predicate is redundant-but-identical
+    * there), and by BOTH rounds of the RM3 twin (r17), so the scoring
+    * formula cannot drift between any of them.
     */
   private def bm25ScoreCteOver(probesRel: String, scoredName: String): String =
     s"""$scoredName AS (
@@ -780,6 +769,9 @@ object CorpusQueries {
        |  CROSS JOIN g
        |  GROUP BY p.probe_id, post.doc_id)""".stripMargin
 
+  /** [[bm25ScoredCtes]] with the probe CTE body swapped in — the MRR
+    * eval scores MUTATED probe texts over the same standing index.
+    */
   private def bm25ScoredCtesWith(probesSql: String): String =
     s"""toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -789,15 +781,18 @@ object CorpusQueries {
        |  -- scoring) and DuckDB re-derives inlined CTEs per consumer
        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
        |  FROM toks GROUP BY doc_id, tok),
-       |lens AS (
+       |lens AS MATERIALIZED (
        |  -- derived from post (not documents) exactly as the Spark side
        |  -- is: a NULL-text doc drops out of the postings in BOTH
-       |  -- engines, so the corpus totals (n, t) agree on ANY input
+       |  -- engines, so the corpus totals (n, t) agree on ANY input.
+       |  -- lens/terms/probes MATERIALIZED with post (r17 review): the
+       |  -- RM3 twin reads each 2-3 times and DuckDB re-derives inlined
+       |  -- CTEs per consumer
        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len
        |  FROM post GROUP BY doc_id),
        |g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len) AS BIGINT) AS t FROM lens),
-       |terms AS (SELECT tok, idf_e6 FROM '$bm25ExportPath/*.parquet'),
-       |probes AS (
+       |terms AS MATERIALIZED (SELECT tok, idf_e6 FROM '$bm25ExportPath/*.parquet'),
+       |probes AS MATERIALIZED (
        |  $probesSql),
        |${bm25ScoreCteOver("probes", "scored")}""".stripMargin
 

@@ -920,9 +920,13 @@ object DedupQueries {
   // corpus since r17: q_link_predict's enriched three-variant corpus
   // composes the SAME pipeline.
   private[graft] def minhashSqlOver(src: String): String =
-    s"""WITH sig AS (
+    s"""WITH sig AS MATERIALIZED (
+       |  -- MATERIALIZED (r17 review): the band self-join reads `bands`
+       |  -- twice and the 4-way band unpivot reads `sig` four times —
+       |  -- inlined, DuckDB would re-run the shingle+min-agg pipeline
+       |  -- up to 8× (the r15 CTE-reinlining trap)
        |  ${sigSqlOf(shinglesSqlOf(src))}),
-       |bands AS (${bandsSqlFromSig("sig")})
+       |bands AS MATERIALIZED (${bandsSqlFromSig("sig")})
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin

@@ -819,7 +819,11 @@ object ExtendedQueries {
     Tables.documents(s, d)
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("seed"))
-      .withColumn("u", expr("(seed * 2654435761) % 4294967296"))
+      // widened through DECIMAL(38,0): seed·2654435761 passes 2⁶³ once
+      // min doc_ids reach ~3.5e9 (Spark would wrap silently where
+      // DuckDB raises — the dsir/autocorr widening precedent)
+      .withColumn("u",
+        expr("CAST((CAST(seed AS DECIMAL(38,0)) * 2654435761) % 4294967296 AS BIGINT)"))
       .select(col("lang"), col("source"),
         expr(s"CAST(greatest(n + ($dpNoiseCase), 0) AS BIGINT)").as("released"))
       .orderBy("lang", "source")
@@ -830,7 +834,7 @@ object ExtendedQueries {
        |         CAST(min(doc_id) AS BIGINT) AS seed
        |  FROM documents GROUP BY lang, source),
        |u AS (SELECT lang, source, n,
-       |      (seed * 2654435761) % 4294967296 AS u FROM g)
+       |      CAST((CAST(seed AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS u FROM g)
        |SELECT lang, source,
        |       CAST(greatest(n + ($dpNoiseCase), 0) AS BIGINT) AS released
        |FROM u ORDER BY lang, source""".stripMargin

@@ -369,8 +369,13 @@ object GraphAnalyticsQueries {
   // integer Jaccard over neighbourhoods cn·10⁴ DIV (deg_a+deg_b−cn),
   // top-[[LinkPredK]] by (score, cn, a, b) — a TakeOrderedAndProject,
   // never a global sort. Scale: the path join is bounded by Σ_m deg(m)²
-  // with hub degrees capped upstream (BucketCap bounds the pair
-  // generator); the edge list, not the corpus, is what shuffles.
+  // over an LSH graph whose per-node degree is corpus-independent here
+  // (each base links to its two fragments); as with q_dedup_minhash,
+  // the DECLARED pipeline joins the band table uncapped — on a corpus
+  // with a hot band bucket, `operators/BucketCap.cap` is the documented
+  // upstream guard (exercised in ScaleOpsSpec) that bounds deg before
+  // the distance-2 join. The edge list, not the corpus, is what
+  // shuffles.
   private[graft] val LinkPredK = 100
 
   private[graft] def linkCorpus(s: SparkSession, d: String): DataFrame = {

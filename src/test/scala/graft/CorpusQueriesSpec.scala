@@ -382,15 +382,16 @@ class CorpusQueriesSpec extends SparkSpec {
   }
 
   test("rm3: expansion is bounded, disjoint from the query, and changes rankings") {
-    val probes = Tables.documents(spark, sf).filter(col("doc_id") < 10)
+    import graft.queries.CorpusQueries.{Bm25Probes, Bm25QTerms, Rm3FbTerms}
+    val probes = Tables.documents(spark, sf).filter(col("doc_id") < Bm25Probes)
       .selectExpr("doc_id AS probe_id",
-        "explode(slice(split(text, ' '), 1, 5)) AS tok")
+        s"explode(slice(split(text, ' '), 1, $Bm25QTerms)) AS tok")
       .distinct().collect().map(r => (r.getLong(0), r.getString(1))).toSet
     val exp = graft.queries.CorpusQueries.rm3Expansion(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1)))
     assert(exp.nonEmpty, "no expansion terms mined — the feedback loop is dead")
     exp.groupBy(_._1).foreach { case (p, ts) =>
-      assert(ts.length <= 3, s"probe $p: ${ts.length} expansion terms > FbTerms")
+      assert(ts.length <= Rm3FbTerms, s"probe $p: ${ts.length} expansion terms > FbTerms")
     }
     assert(exp.forall(e => !probes(e)), "an expansion term duplicates a query term")
     val base = q("q_bm25_topk").collect()

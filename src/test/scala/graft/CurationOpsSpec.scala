@@ -47,7 +47,9 @@ class CurationOpsSpec extends SparkSpec {
       (-8 to 7).find(k => BigInt(3) * u < cdf3(k)).getOrElse(8)
     }
     val expected = truth.map { case (k, (n, seed)) =>
-      val u = (seed * 2654435761L) % 4294967296L
+      // BigInt like the engines' DECIMAL/HUGEINT widening — a Long
+      // multiply would wrap for min doc_ids past ~3.5e9
+      val u = ((BigInt(seed) * 2654435761L) mod BigInt(4294967296L)).toLong
       k -> math.max(n + noise(u), 0L)
     }
     val got = SparkEntry.queries("q_dp_release")(spark, sf).collect()
