@@ -477,7 +477,13 @@ object ExtendedQueries {
   // ride `Ordinals.prefixSum`'s adaptive gate, so a degenerate domain
   // (millions of distinct lengths in O(10) source groups) takes the
   // range-partitioned two-level form instead of funneling.
-  private val ksDriftQ: Q = (s, d) => {
+  /** The shared drift frame: per (source, observed length x) the
+    * cross-multiplied CDF deviation `diff` = |cum_s·(n−n_s) −
+    * cum_rest·n_s| (DECIMAL-widened), with n_s/n along for the ride —
+    * the common core of the KS (max over x) and W1 (gap-weighted sum
+    * over x) statistics (r17).
+    */
+  private def driftDiffs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("source"), col("n_chars"))
     val xs = docs.select(col("n_chars").as("x")).distinct()
     val srcs = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
@@ -506,12 +512,75 @@ object ExtendedQueries {
       .withColumn("diff", expr(
         "abs(CAST(cum_s AS DECIMAL(38,0)) * (n - n_s) " +
           "- CAST(cum_all - cum_s AS DECIMAL(38,0)) * n_s)"))
+  }
+
+  private val ksDriftQ: Q = (s, d) =>
+    driftDiffs(s, d)
       .groupBy("source", "n_s", "n")
       .agg(max(col("diff")).as("dmax"))
       .select(col("source"), col("n_s"), expr(
         "CAST((dmax * 10000) DIV greatest(CAST(n_s AS DECIMAL(38,0)) * (n - n_s), 1) AS BIGINT)")
         .as("ks_bp"))
+
+  // ---- W1 (earth-mover) drift per source (r17) ----
+  // The INTEGRAL companion of the KS max: W1(F_s, F_rest) =
+  // ∫|F_s − F_rest| dx — KS fires on one sharp localized shift, W1 on
+  // broad low-amplitude drift KS under-weights; monitoring stacks run
+  // both. Exact integers: on a step-function pair the integral is
+  // Σ_jump diff(x)·(next_x − x) with the SAME cross-multiplied diff as
+  // KS (the last jump contributes 0 — both CDFs are 1 there — so the
+  // null-lead row drops out losslessly). Normalized by
+  // n_s·(n−n_s)·(xmax−xmin) ⇒ w1_bp ∈ [0, 10⁴], all operands
+  // non-negative, DECIMAL-widened end to end. The gap window is
+  // per-source (partitioned); everything downstream of the shared
+  // drift frame is |sources|×|distinct lengths| — value-domain
+  // bounded, corpus-size independent.
+  private val w1DriftQ: Q = (s, d) => {
+    val wSrc = Window.partitionBy("source").orderBy("x")
+    driftDiffs(s, d)
+      .withColumn("gap", lead(col("x"), 1).over(wSrc) - col("x"))
+      .filter(col("gap").isNotNull)
+      .groupBy("source", "n_s", "n")
+      .agg(sum(expr("diff * gap")).as("area"))
+      .crossJoin(broadcast(Tables.documents(s, d)
+        .agg((max(col("n_chars")) - min(col("n_chars"))).as("span"))))
+      .select(col("source"), col("n_s"), expr(
+        "CAST((area * 10000) DIV greatest(CAST(n_s AS DECIMAL(38,0)) * (n - n_s) * span, 1) AS BIGINT)")
+        .as("w1_bp"))
   }
+
+  private val w1DriftSql: String =
+    """WITH xs AS (SELECT DISTINCT n_chars AS x FROM documents),
+      |srcs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |sp AS (SELECT CAST(max(n_chars) - min(n_chars) AS BIGINT) AS span FROM documents),
+      |c AS (SELECT source, n_chars AS x, CAST(count(*) AS BIGINT) AS c
+      |      FROM documents GROUP BY source, n_chars),
+      |grid AS (
+      |  SELECT s.source, xs.x, coalesce(c.c, 0) AS c
+      |  FROM xs CROSS JOIN srcs s
+      |  LEFT JOIN c ON c.source = s.source AND c.x = xs.x),
+      |cum AS (
+      |  SELECT source, x, CAST(sum(c) OVER (PARTITION BY source ORDER BY x
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_s
+      |  FROM grid),
+      |ca AS (
+      |  SELECT x, CAST(sum(ca) OVER (ORDER BY x
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_all
+      |  FROM (SELECT n_chars AS x, CAST(count(*) AS BIGINT) AS ca
+      |        FROM documents GROUP BY n_chars)),
+      |dd AS (
+      |  SELECT cum.source, cum.x, s.n_s, t.n,
+      |         abs(CAST(cum.cum_s AS HUGEINT) * (t.n - s.n_s)
+      |           - CAST(ca.cum_all - cum.cum_s AS HUGEINT) * s.n_s) AS diff,
+      |         lead(cum.x) OVER (PARTITION BY cum.source ORDER BY cum.x) - cum.x AS gap
+      |  FROM cum JOIN ca USING (x) JOIN srcs s USING (source) CROSS JOIN tot t)
+      |SELECT source, n_s,
+      |       CAST((sum(diff * gap) * 10000)
+      |         // greatest(CAST(n_s AS HUGEINT) * (n - n_s) * (SELECT span FROM sp), 1) AS BIGINT)
+      |         AS w1_bp
+      |FROM dd WHERE gap IS NOT NULL
+      |GROUP BY source, n_s, n""".stripMargin
 
   private val ksDriftSql: String =
     """WITH xs AS (SELECT DISTINCT n_chars AS x FROM documents),
@@ -840,6 +909,7 @@ object ExtendedQueries {
        |FROM u ORDER BY lang, source""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q_w1_drift" -> w1DriftQ,
     "q_dp_release" -> dpReleaseQ,
     "q_autocorr" -> autocorrQ,
     "q_zorder_layout" -> zorderQ,
@@ -865,6 +935,7 @@ object ExtendedQueries {
     "q_bucketed_join" -> bucketedQ)
 
   val oracle: Map[String, String] = Map(
+    "q_w1_drift" -> w1DriftSql,
     "q_dp_release" -> dpReleaseSql,
     "q_autocorr" -> autocorrSql,
     "q_zorder_layout" -> zorderSql,

@@ -31,6 +31,31 @@ class CurationOpsSpec extends SparkSpec {
       odd.count(_.getAs[Long]("precision_bp") < 10000L) > odd.length / 2)
   }
 
+  test("w1 drift: equals an exact scalar earth-mover recompute; bounded in [0, 1e4]") {
+    import org.apache.spark.sql.functions._
+    val rows = Tables.documents(spark, sf).select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val xs = rows.map(_._2).distinct.sorted
+    val n = rows.length.toLong
+    val span = BigInt(xs.max - xs.min)
+    val expected = rows.map(_._1).distinct.sorted.map { src =>
+      val ns = rows.count(_._1 == src).toLong
+      var (cumS, cumAll) = (0L, 0L)
+      var area = BigInt(0)
+      xs.sliding(2).foreach { case Array(x, nx) =>
+        cumS += rows.count(r => r._1 == src && r._2 == x)
+        cumAll += rows.count(_._2 == x)
+        val diff = (BigInt(cumS) * (n - ns) - BigInt(cumAll - cumS) * ns).abs
+        area += diff * BigInt(nx - x)
+      }
+      src -> (area * 10000 / (BigInt(ns) * (n - ns) * span max BigInt(1))).toLong
+    }.toMap
+    val got = SparkEntry.queries("q_w1_drift")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == expected, "w1 diverges from the scalar earth-mover recompute")
+    assert(got.values.forall(v => v >= 0L && v <= 10000L))
+  }
+
   test("dp release: equals a from-first-principles geometric-mechanism recompute") {
     import org.apache.spark.sql.functions._
     val truth = Tables.documents(spark, sf).groupBy("lang", "source")
