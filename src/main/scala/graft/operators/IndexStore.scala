@@ -24,7 +24,9 @@ import org.apache.spark.sql.functions._
   * a probe-time broadcast join prunes to the probed lists' partitions
   * (nProbe/nList of the data) at the SCAN, which is the point of a
   * durable IVF artifact at 100 TB; postings/lens/codes stay
-  * multi-file parquet written at the build's parallelism. Only the
+  * multi-file parquet written at the build's parallelism, and terms
+  * (vocabulary-sized — unbounded under Heap's law) is hash-partitioned
+  * by tok (r18, VERDICT r17 #3). Only the
   * bounded frames (nList centroids, m·k codebooks, the manifest) are
   * single-file.
   */
@@ -139,8 +141,13 @@ object IndexStore {
     bm.post.write.mode("overwrite").parquet(sub(root, "bm25_post"))
     bm.lens.write.mode("overwrite").parquet(sub(root, "bm25_lens"))
     bm.g.coalesce(1).write.mode("overwrite").parquet(sub(root, "bm25_g"))
-    s.read.parquet(bm.termsPath).coalesce(1).write.mode("overwrite")
-      .parquet(sub(root, "bm25_terms"))
+    // terms written hash-partitioned by tok at session parallelism
+    // (r18, VERDICT r17 #3 — the old coalesce(1) funneled a
+    // vocabulary-sized frame (grows with corpus under Heap's law,
+    // unlike nList/m·k) through one task); the loader globs the dir
+    // and the manifest checksum is order-independent
+    s.read.parquet(bm.termsPath).repartition(col("tok")).write
+      .mode("overwrite").parquet(sub(root, "bm25_terms"))
     pq.codes.write.mode("overwrite").parquet(sub(root, "pq_codes"))
     val sp = s
     import sp.implicits._

@@ -353,7 +353,19 @@ object CorpusQueries {
       .select("tok", "idf_e6")
     // probe terms ⋈ floored term stats FIRST (both tiny, broadcast): a
     // sub-floor probe term never reaches the postings join at all
-    broadcast(probes.join(broadcast(terms), Seq("tok")))
+    bm25ScoreOverJoined(probes.join(broadcast(terms), Seq("tok")),
+      post, lens, g)
+  }
+
+  /** The scoring chain downstream of the probes⋈floored-terms join —
+    * split out (r18, VERDICT r17 #1) so q_bm25_upsert can compute that
+    * join ONCE and serve both the scoring chain and the probe_df arm
+    * from it instead of re-reading the terms parquet and re-deriving
+    * the probe set (each derivation was a corpus-scan wave).
+    */
+  private def bm25ScoreOverJoined(probesJoined: DataFrame, post: DataFrame,
+      lens: DataFrame, g: DataFrame): DataFrame = {
+    broadcast(probesJoined.select("probe_id", "tok", "idf_e6"))
       .join(post, Seq("tok"))
       .join(lens, Seq("doc_id"))
       .crossJoin(broadcast(g))
@@ -578,13 +590,13 @@ object CorpusQueries {
       // engine, fixed for the static oracle SQL
       val dirPath = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_bm25_upsert_terms_" + graft.Scratch.dirTag(d)).toString
-      // repartition(1) (NOT coalesce — a narrow coalesce would pull the
-      // whole df merge into one task): the merged vocab is ~10⁴ rows, so
-      // the export cost is committer/file overhead, not data (at 100 TB
-      // the terms table would stay partitioned and the export be a
-      // catalog swap)
-      terms2.repartition(1).write.mode("overwrite").parquet(dirPath)
-      s.read.parquet(dirPath).coalesce(1).write.mode("overwrite")
+      // written at the merge's parallelism (r18, VERDICT r17 #4 — the
+      // old repartition(1) funneled the vocabulary-sized frame through
+      // one task; vocab grows with the corpus under Heap's law, so at
+      // 100 TB that single task is a real bottleneck). Every reader —
+      // engine and oracle glob alike — handles the multi-file dir.
+      terms2.write.mode("overwrite").parquet(dirPath)
+      s.read.parquet(dirPath).write.mode("overwrite")
         .parquet(bm25UpsertExportPath)
       Bm25UpsertState(delta, dPost, post2, lens2, g2, dirPath)
     }
@@ -605,20 +617,24 @@ object CorpusQueries {
       .select(col("doc_id").as("probe_id"),
         explode(slice(split(col("text"), " "), 1, Bm25QTerms)).as("tok"))
       .distinct()
-    val scored = bm25ScoreOver(s, st.post2, st.lens2, st.g2, dirPath, probes)
+    // ONE probes⋈floored-terms join (persisted, bounded by
+    // probes·terms) feeds BOTH the scoring chain and probe_df (r18,
+    // VERDICT r17 #1 — the old shape derived the probe set twice (two
+    // delta corpus scans) and read the terms parquet twice)
+    val pj = graft.Scratch.persist(probes.join(
+      broadcast(s.read.parquet(dirPath).filter(col("idf_e6") >= Bm25IdfFloorE6)
+        .select("tok", "idf_e6", "df")), Seq("tok")))
+    val scored = bm25ScoreOverJoined(pj, st.post2, st.lens2, st.g2)
     // probe_df: Σ merged df over the probe's floored terms — the twin
     // RECOUNTS df from the unioned corpus, so a df-merge drift flips
     // the hash even where the idf export would mask it
-    val pdf = probes.join(
-        s.read.parquet(dirPath).filter(col("idf_e6") >= Bm25IdfFloorE6)
-          .select("tok", "df"), Seq("tok"))
-      .groupBy("probe_id").agg(sum(col("df")).as("probe_df"))
+    val pdf = pj.groupBy("probe_id").agg(sum(col("df")).as("probe_df"))
     scored
       .withColumn("rk", row_number().over(
         Window.partitionBy("probe_id").orderBy(col("score").desc, col("doc_id")))
         .cast("long"))
       .filter(col("rk") <= Bm25K)
-      .join(pdf, Seq("probe_id"))
+      .join(broadcast(pdf), Seq("probe_id"))
       .select("probe_id", "rk", "doc_id", "score", "probe_df")
   }
 

@@ -541,9 +541,14 @@ object ExtendedQueries {
       .withColumn("gap", lead(col("x"), 1).over(wSrc) - col("x"))
       .filter(col("gap").isNotNull)
       .groupBy("source", "n_s", "n")
-      .agg(sum(expr("diff * gap")).as("area"))
-      .crossJoin(broadcast(Tables.documents(s, d)
-        .agg((max(col("n_chars")) - min(col("n_chars"))).as("span"))))
+      // span = (xmax − xmin) derived from the drift frame itself
+      // (ADVICE r17 #2 — a separate documents scan for it was one
+      // corpus pass per rep): the gap filter drops each source's
+      // max-x row, so max(x + gap) recovers the global max while
+      // min(x) is untouched; the grid carries EVERY distinct x per
+      // source, so per-source min/max == global min/max.
+      .agg(sum(expr("diff * gap")).as("area"),
+        (max(col("x") + col("gap")) - min(col("x"))).as("span"))
       .select(col("source"), col("n_s"), expr(
         "CAST((area * 10000) DIV greatest(CAST(n_s AS DECIMAL(38,0)) * (n - n_s) * span, 1) AS BIGINT)")
         .as("w1_bp"))
@@ -803,25 +808,43 @@ object ExtendedQueries {
     val grid = counts.select("event_type").distinct()
       .crossJoin(broadcast(bounds))
       .select(col("event_type"), explode(sequence(col("minh"), col("maxh"))).as("h"))
-    // consumed by the stats agg AND both sides of the lag pair join
-    val dense = graft.Scratch.persist(
-      grid.join(counts, Seq("event_type", "h"), "left")
-        .select(col("event_type"), col("h"), coalesce(col("x"), lit(0L)).as("x")))
-    val stats = dense.groupBy("event_type")
-      .agg(count(lit(1)).as("bigt"), sum(col("x")).as("s"),
-        sum(col("x") * col("x")).as("sxx"))
-    val lags = s.range(1, AcfMaxLag + 1).select(col("id").as("lag"))
-    val b = dense.select(col("event_type").as("et2"), col("h").as("h2"),
-      col("x").as("y"))
-    val pairs = dense.crossJoin(broadcast(lags))
-      .join(b, col("et2") === col("event_type") && col("h2") === col("h") + col("lag"))
-      .groupBy("event_type", "lag")
-      .agg(count(lit(1)).as("n"), sum(col("x") * col("y")).as("sxy"),
-        sum(col("x")).as("sxh"), sum(col("y")).as("syt"))
-    pairs.join(broadcast(stats), Seq("event_type"))
+    val dense = grid.join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), coalesce(col("x"), lit(0L)).as("x"))
+    // Lag pairs as lead(x, l) columns over ONE per-type window (VERDICT
+    // r17 #2 — the old broadcast-lags self-join + separate stats agg +
+    // re-join spent ~5 serial waves on a 3,600-row series): on the
+    // DENSE grid, lead(x, l) is null exactly for the last l rows, so
+    // count/sum over the lead columns reproduce the join's per-lag
+    // n/sxy/sxh/syt bit-for-bit. The window's event_type hash
+    // partitioning satisfies the groupBy's clustering (subset rule), so
+    // pairs AND stats ride one exchange; the bounded per-type stack
+    // unpivot is exchange-free behind the aggregate.
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val withLeads = (1 to AcfMaxLag).foldLeft(dense)((df, l) =>
+      df.withColumn(s"y$l", lead(col("x"), l).over(w)))
+    val aggCols =
+      Seq(count(lit(1)).as("bigt"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("sxx")) ++
+      (1 to AcfMaxLag).flatMap(l => Seq(
+        count(col(s"y$l")).as(s"n$l"),
+        sum(col("x") * col(s"y$l")).as(s"sxy$l"),
+        sum(when(col(s"y$l").isNotNull, col("x"))).as(s"sxh$l"),
+        sum(col(s"y$l")).as(s"syt$l")))
+    val st = withLeads.groupBy("event_type").agg(aggCols.head, aggCols.tail: _*)
+    // num/den widened through DECIMAL(38,0) and cast back to BIGINT for
+    // output (ADVICE r17 #1 — raw BIGINT bigt²·sxy wraps silently past
+    // ~100× where DuckDB raises; bound: |num| < bigt²·Σx² ≲ 10¹⁹ at
+    // 1000×, inside DECIMAL(38,0) with 19 digits of headroom)
+    st.select(col("event_type"), col("bigt"), col("s"), col("sxx"),
+        expr(s"stack($AcfMaxLag, " + (1 to AcfMaxLag).map(l =>
+          s"CAST($l AS BIGINT), n$l, sxy$l, sxh$l, syt$l").mkString(", ") +
+          ") AS (lag, n, sxy, sxh, syt)"))
       .select(col("event_type"), col("lag"), col("n"),
-        expr("bigt*bigt*sxy - bigt*s*(sxh + syt) + n*s*s").as("num"),
-        expr("bigt*bigt*sxx - bigt*s*s").as("den"))
+        expr("CAST(CAST(bigt AS DECIMAL(38,0))*bigt*sxy " +
+          "- CAST(bigt AS DECIMAL(38,0))*s*(sxh + syt) " +
+          "+ CAST(n AS DECIMAL(38,0))*s*s AS BIGINT)").as("num"),
+        expr("CAST(CAST(bigt AS DECIMAL(38,0))*bigt*sxx " +
+          "- CAST(bigt AS DECIMAL(38,0))*s*s AS BIGINT)").as("den"))
       .select(col("event_type"), col("lag"), col("n"), col("num"), col("den"),
         expr("CAST((CAST(num + den AS DECIMAL(38,0)) * 10000) DIV greatest(den, 1) AS BIGINT)")
           .as("acf1p_bp"))
@@ -854,8 +877,11 @@ object ExtendedQueries {
        |  GROUP BY a.event_type, l.lag),
        |nd AS (
        |  SELECT p.event_type, CAST(p.lag AS BIGINT) AS lag, p.n,
-       |         CAST(bigt*bigt*sxy - bigt*s*(sxh + syt) + n*s*s AS BIGINT) AS num,
-       |         CAST(bigt*bigt*sxx - bigt*s*s AS BIGINT) AS den
+       |         CAST(CAST(bigt AS HUGEINT)*bigt*sxy
+       |           - CAST(bigt AS HUGEINT)*s*(sxh + syt)
+       |           + CAST(n AS HUGEINT)*s*s AS BIGINT) AS num,
+       |         CAST(CAST(bigt AS HUGEINT)*bigt*sxx
+       |           - CAST(bigt AS HUGEINT)*s*s AS BIGINT) AS den
        |  FROM p JOIN st USING (event_type))
        |SELECT event_type, lag, n, num, den,
        |       CAST((CAST(num + den AS HUGEINT) * 10000) // greatest(den, 1) AS BIGINT) AS acf1p_bp
