@@ -443,6 +443,21 @@ object Bench {
     // a COMPACT line: total + slowest queries, times at 3 dp, membership
     // chosen greedily by descending time under a hard 1500-char budget.
     // The complete per-query map is always in bench_out.json.
+    println(stdoutLine(mins, results.size, total, oracleTotal,
+      rowsOnlyTotal, failed.toSeq, sfDir))
+    spark.stop()
+  }
+
+  /** The compact stdout JSON line — factored out of main (ADVICE r17
+    * #4) so BenchLineSpec can render it from a synthetic 250-entry
+    * result map and assert the length bound as a named test: the
+    * greedy per-query cap self-limits, but fixed per-entry overhead
+    * (errors array, prefix fields) grows with the surface, and a blown
+    * line regresses to the BENCH_r01..r04 parsed:null failure mode.
+    */
+  private[graft] def stdoutLine(mins: Seq[(String, Double)], nQueries: Int,
+      total: Double, oracleTotal: Double, rowsOnlyTotal: Double,
+      failed: Seq[String], sfDir: String): String = {
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // r16 (VERDICT r15 #8): per-query times at 2 dp (the full 3-dp map
     // is in bench_out.json) and the stdout errors array capped at 10
@@ -452,7 +467,7 @@ object Bench {
     val errsOut =
       (failed.take(10) ++ (if (failed.size > 10) Seq(s"+${failed.size - 10} more") else Nil))
         .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"oracle_checked_s":${fmt(oracleTotal)},"rows_only_s":${fmt(rowsOnlyTotal)},"queries":{"""
+    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":$nQueries,"oracle_checked_s":${fmt(oracleTotal)},"rows_only_s":${fmt(rowsOnlyTotal)},"queries":{"""
     val suffix = s"""},"errors":$errsOut,"detail":"bench_out.json","sf":"$sfDir"}"""
     val budget = 1500 - prefix.length - suffix.length
     val entries = mins.filter(_._2 >= 0).sortBy(-_._2)
@@ -461,7 +476,6 @@ object Bench {
       val add = e.length + (if (acc.isEmpty) 0 else 1)
       if (len + add <= budget) (e :: acc, len + add) else (acc, len)
     }._1.reverse
-    println(prefix + kept.mkString(",") + suffix)
-    spark.stop()
+    prefix + kept.mkString(",") + suffix
   }
 }
