@@ -150,7 +150,7 @@ object AnnIvf {
     * blowup). Ties break to the lower cluster id, matching the old
     * window's (cdist, cluster) ordering bit-for-bit.
     */
-  private def assignNearest(vecs: DataFrame, idCol: String,
+  private[graft] def assignNearest(vecs: DataFrame, idCol: String,
       centroids: DataFrame): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._

@@ -538,7 +538,7 @@ object CorpusQueries {
   // the hash.
   private[graft] val Bm25UpsertMod = 7L
 
-  private def bm25UpsertExportPath: String = java.nio.file.Paths
+  private[graft] def bm25UpsertExportPath: String = java.nio.file.Paths
     .get(sys.props("java.io.tmpdir"), "graft_bm25_upsert_terms").toString
 
   /** The merged (standing ∪ delta) index state — memoized per
@@ -730,7 +730,11 @@ object CorpusQueries {
     * q_retrieval_ndcg twins (r17: parameterized so the two can't
     * drift).
     */
-  private def bm25UpsertScoredCtesWith(probesSql: String): String =
+  /** The delta + unioned-corpus CTE pair — ONE home (r18) shared by
+    * the upsert scoring block and the q_index_persist_upsert terms
+    * recount arm, so the mutation rule can't drift between them.
+    */
+  private[graft] def bm25UpsertUnionCtes: String =
     s"""delta AS (
        |  -- mutation computed in an inner subquery so no SELECT list
        |  -- both shadows and references doc_id/text (ADVICE r16 #1)
@@ -738,7 +742,10 @@ object CorpusQueries {
        |    SELECT doc_id AS base_id, substr(text, instr(text, ' ') + 1) AS mut
        |    FROM documents WHERE doc_id % $Bm25UpsertMod = 0)),
        |udocs AS (SELECT doc_id, text FROM documents
-       |          UNION ALL SELECT doc_id, text FROM delta),
+       |          UNION ALL SELECT doc_id, text FROM delta)""".stripMargin
+
+  private[graft] def bm25UpsertScoredCtesWith(probesSql: String): String =
+    s"""$bm25UpsertUnionCtes,
        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM udocs),
        |post AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
        |         FROM toks GROUP BY doc_id, tok),
@@ -751,13 +758,20 @@ object CorpusQueries {
        |  $probesSql),
        |${bm25ScoreCteOver("probes", "scored")}""".stripMargin
 
+  /** The standing probe set as SQL — the twin of [[standingProbes]],
+    * shared (r18) with the q_index_persist_upsert serve arm so the
+    * parity-critical probe definition keeps ONE home on the SQL side
+    * too (the r17 review lesson).
+    */
+  private[graft] def standingProbesSql: String =
+    s"""SELECT DISTINCT probe_id, tok FROM (
+       |    SELECT doc_id AS probe_id, unnest(string_split(text, ' ')[1:$Bm25QTerms]) AS tok
+       |    FROM documents WHERE doc_id < $Bm25Probes)""".stripMargin
+
   /** The shared WITH-body producing `scored(probe_id, doc_id, score)` —
     * the twin of [[bm25Scored]], reused by both oracle queries.
     */
-  private def bm25ScoredCtes: String = bm25ScoredCtesWith(
-    s"""SELECT DISTINCT probe_id, tok FROM (
-       |    SELECT doc_id AS probe_id, unnest(string_split(text, ' ')[1:$Bm25QTerms]) AS tok
-       |    FROM documents WHERE doc_id < $Bm25Probes)""".stripMargin)
+  private def bm25ScoredCtes: String = bm25ScoredCtesWith(standingProbesSql)
 
   /** ONE home for the BM25 scoring CTE over any (probe_id, tok)
     * relation already in scope, with post/lens/g/terms CTEs expected

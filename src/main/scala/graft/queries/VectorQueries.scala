@@ -679,7 +679,7 @@ object VectorQueries {
     * strictly below 1.0 at 6 dp, so self (cos = 1.0 exactly) wins
     * rank 1 outright instead of tie-breaking against the original id.
     */
-  private def upsertAppended(s: SparkSession, d: String): DataFrame =
+  private[graft] def upsertAppended(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select((col("vec_id") + 200000L).as("vec_id"),
       expr("transform(embedding, x -> cast(x as double) + 0.05)").as("embedding"))
 
@@ -820,11 +820,19 @@ object VectorQueries {
     * ties). Shared with the q_index_persist manifest oracle (r17).
     */
   private[graft] def pqEncodeSql: String =
+    pqEncodeSqlOver("SELECT vec_id, e FROM emb")
+
+  /** [[pqEncodeSql]] generalized over the encoded vector set (r18): the
+    * q_index_persist_upsert pq_codes twin encodes `emb ∪ delta` with
+    * the SAME codebook export and assignment rule.
+    */
+  private[graft] def pqEncodeSqlOver(srcSelect: String): String =
     s"""WITH cents AS (SELECT j, c, centroid FROM '$pqExportPath/*.parquet'),
        |emb AS (SELECT vec_id, e FROM $embSql),
+       |src AS ($srcSelect),
        |sub AS (
        |  SELECT vec_id, j, e[j*$PqDSub+1 : j*$PqDSub+$PqDSub] AS sv
-       |  FROM emb CROSS JOIN (SELECT unnest(generate_series(0, ${PqM - 1})) AS j))
+       |  FROM src CROSS JOIN (SELECT unnest(generate_series(0, ${PqM - 1})) AS j))
        |SELECT vec_id, CAST(j AS BIGINT) AS j, CAST(code AS BIGINT) AS code FROM (
        |  SELECT s.vec_id, s.j, c.c AS code,
        |         row_number() OVER (PARTITION BY s.vec_id, s.j
@@ -873,8 +881,36 @@ object VectorQueries {
   private[graft] def ivfTopkSql: String = ivfTopkSqlFor("vec_id < 5")
 
   private[graft] def ivfTopkSqlFor(probePred: String): String =
+    ivfTopkSqlOver("assigned", "", probePred)
+
+  /** The +0.05 / +200000 upsert delta as a SELECT over the `emb` CTE —
+    * ONE home (r18) composed by the q_ann_ivf_upsert corpus, the
+    * q_ann_drift delta, and the q_index_persist_upsert arms; the
+    * mutation rule changed copies would not follow (r17 review lesson).
+    */
+  private[graft] val upsertDeltaSelectSql: String =
+    "SELECT vec_id + 200000 AS vec_id, list_transform(e, x -> x + 0.05) AS e FROM emb"
+
+  /** Extra CTEs + relation name replaying the APPENDED lists (standing
+    * assignment ∪ delta assigned to the same exported centroids by the
+    * same rule) — the q_index_persist_upsert serve twin plugs these
+    * into [[ivfTopkSqlOver]].
+    */
+  private[graft] val upsertAssignedCtes: String =
+    s"""demb AS ($upsertDeltaSelectSql),
+       |${assignCteOver("demb", "dass")},
+       |assigned_u AS (SELECT vec_id, e, cluster FROM assigned
+       |               UNION ALL SELECT vec_id, e, cluster FROM dass)""".stripMargin
+
+  /** [[ivfTopkSqlFor]] generalized over the assigned relation (r18 —
+    * the q_index_persist_upsert twin searches the UNIONED lists while
+    * the standing twins keep `assigned`): `extraCtes` (comma-free) is
+    * spliced after the shared assignment block.
+    */
+  private[graft] def ivfTopkSqlOver(assignedRel: String, extraCtes: String,
+      probePred: String): String =
     s"""WITH $ivfAssignCtes,
-       |probes AS (SELECT vec_id AS probe_id, e AS pv FROM emb WHERE $probePred),
+       |${if (extraCtes.isEmpty) "" else extraCtes + ",\n"}probes AS (SELECT vec_id AS probe_id, e AS pv FROM emb WHERE $probePred),
        |plists AS (
        |  SELECT probe_id, pv, cluster FROM (
        |    SELECT p.probe_id, p.pv, c.cluster,
@@ -887,7 +923,7 @@ object VectorQueries {
        |         round(${cosineSimilaritySql("a.e", "l.pv")}, 6) + 0.0 AS cos,
        |         CAST(row_number() OVER (PARTITION BY l.probe_id
        |           ORDER BY round(${cosineSimilaritySql("a.e", "l.pv")}, 6) + 0.0 DESC, a.vec_id) AS BIGINT) AS rk
-       |  FROM plists l JOIN assigned a ON a.cluster = l.cluster)
+       |  FROM plists l JOIN $assignedRel a ON a.cluster = l.cluster)
        |WHERE rk <= 10""".stripMargin
 
   /** q_ann_recall_nsw twin (r13, VERDICT r12 #4): replays the bounded
@@ -1388,7 +1424,7 @@ object VectorQueries {
          |corpus AS (
          |  SELECT vec_id, e FROM emb
          |  UNION ALL
-         |  SELECT vec_id + 200000 AS vec_id, list_transform(e, x -> x + 0.05) AS e FROM emb),
+         |  $upsertDeltaSelectSql),
          |probes AS (
          |  SELECT vec_id AS probe_id, e AS pv FROM corpus
          |  WHERE vec_id >= 200000 AND vec_id < 200020)
@@ -1405,8 +1441,7 @@ object VectorQueries {
     // mean as integer //.
     "q_ann_drift" -> {
       s"""WITH $ivfAssignCtes,
-         |delta AS (SELECT vec_id + 200000 AS vec_id,
-         |                 list_transform(e, x -> x + 0.05) AS e FROM emb),
+         |delta AS ($upsertDeltaSelectSql),
          |${assignCteOver("delta", "dass")},
          |allg AS (SELECT 0 AS gen, e, cluster FROM assigned
          |         UNION ALL SELECT 1 AS gen, e, cluster FROM dass),
