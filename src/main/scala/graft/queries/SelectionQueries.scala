@@ -165,11 +165,70 @@ object SelectionQueries {
        |SELECT doc_id, n_tokens, quality_bp, cum_toks
        |FROM c CROSS JOIN b WHERE cum_toks <= budget""".stripMargin
 
+  // ---- Deterministic corpus shuffle / curriculum ordering (r18) ----
+  // The training-order reproducibility operator every 100 TB pipeline
+  // runs next to q_shard_manifest/q_pack_sequences (VERDICT r17 next
+  // #7): a seeded global permutation that is a PURE FUNCTION of doc_id
+  // — shuffle key = the Knuth multiplicative hash (the q_data_split /
+  // q_dp_release seed discipline), position = global rank by
+  // (key, doc_id). Because the key is derived, not drawn, the
+  // permutation is stable under repartitioning, re-runs, and
+  // incremental arrival (a late-arriving doc slots into its
+  // deterministic position without reshuffling anything already
+  // assigned a position BEFORE it — positions after it shift by
+  // exactly its insertion, the best any total order can do).
+  // Shards are balanced position ranges: shard = (pos−1) DIV
+  // ceil(n/16), so every shard holds a hash-random (≡ curriculum-
+  // neutral) slice of equal size — the (shard, position) pair is what
+  // a data loader replays. The global rank goes through the adaptive
+  // [[graft.operators.Ordinals.rankAndCount]] under the documented
+  // non-foldable constant group: one bounded window task at bench SFs,
+  // the range-partitioned ordinal form past 64k rows (exercised at
+  // 10×/100× — SCALE.md).
+  private[graft] val ShuffleShards = 16L
+
+  private val corpusShuffle: Q = (s, d) => {
+    val keyed = Tables.documents(s, d).select(col("doc_id"))
+      // widened through DECIMAL(38,0): doc_id·2654435761 passes 2⁶³
+      // once doc_ids reach ~3.5e9 (the dp_release precedent)
+      .withColumn("h",
+        expr("CAST((CAST(doc_id AS DECIMAL(38,0)) * 2654435761) % 4294967296 AS BIGINT)"))
+      .withColumn("_g", pmod(col("doc_id"), lit(1L)))
+    val nDocs = graft.Stats.scalar(s, d, "documents:count")(
+      Tables.documents(s, d).count())
+    val ranked = graft.operators.Ordinals.rankAndCount(
+      keyed, "_g", Seq(col("h"), col("doc_id")), "pos", Some("n"),
+      knownMaxGroup = Some(nDocs))
+    val shardSize = s"((n + ${ShuffleShards - 1}) DIV $ShuffleShards)"
+    ranked.select(col("doc_id"), col("h"), col("pos"),
+      expr(s"(pos - 1) DIV $shardSize").as("shard"),
+      expr(s"(pos - 1) % $shardSize + 1").as("pos_in_shard"))
+  }
+
+  private val corpusShuffleSql: String = {
+    val shardSize = s"((n + ${ShuffleShards - 1}) // $ShuffleShards)"
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |         CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS h
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, h,
+       |         CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos,
+       |         CAST(count(*) OVER () AS BIGINT) AS n
+       |  FROM k)
+       |SELECT doc_id, h, pos,
+       |       (pos - 1) // $shardSize AS shard,
+       |       (pos - 1) % $shardSize + 1 AS pos_in_shard
+       |FROM r ORDER BY pos""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dsir_sample" -> dsir,
-    "q_token_budget" -> tokenBudget)
+    "q_token_budget" -> tokenBudget,
+    "q_corpus_shuffle" -> corpusShuffle)
 
   val oracle: Map[String, String] = Map(
     "q_dsir_sample" -> dsirSql,
-    "q_token_budget" -> tokenBudgetSql)
+    "q_token_budget" -> tokenBudgetSql,
+    "q_corpus_shuffle" -> corpusShuffleSql)
 }
