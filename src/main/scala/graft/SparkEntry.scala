@@ -92,7 +92,8 @@ object SparkEntry {
     "build_graph_depth" -> Set("q_serve_children_pruned"),
     // build_nsw_graph is itself a dependent of the IVF memo (the NSW
     // graphs are built per IVF list), so it rides in this set too
-    "build_ivf_index" -> Set("q_ann_ivf", "q_ann_ivf_upsert", "q_ann_drift",
+    "build_ivf_index" -> Set("q_ann_ivf", "q_bitext_mine",
+      "q_ann_ivf_upsert", "q_ann_drift",
       "q_ann_recall_ivf", "q_ann_recall_nsw", "q_ann_recall_hnsw",
       "q_hybrid_retrieval_ivf", "q_contrastive_pairs",
       "q_dedup_semantic", "q_knn_eval", "build_nsw_graph",

@@ -795,9 +795,137 @@ object VectorQueries {
         (round(col("col.s"), 6) + lit(0.0)).as("score"))
   }
 
+  // ---- aligned-pair (bitext-style) mining through the IVF lists ----
+  // The margin-based criterion of Artetxe & Schwenk 2019 ("Margin-based
+  // Parallel Corpus Mining with Multilingual Sentence Embeddings" — the
+  // CCMatrix/LASER mining rule; VERDICT r17 next #8): a candidate pair
+  // (x, y) is aligned when cos(x, y) stands OUT against each side's
+  // neighborhood — margin = cos(x,y) / mean(kNN-cos(x) ∪ kNN-cos(y)).
+  // Absolute cosine alone over-selects hubs; the ratio normalizes per
+  // neighborhood density.
+  //
+  // Sides: corpus A = the standing embeddings; corpus B = the canonical
+  // +0.05/+200000 perturbed replica (upsertAppended — the planted
+  // "translation" of every A vector, the q_ann_ivf_upsert family).
+  // Candidates come from the IVF lists, never all pairs: forward = A
+  // probes search the delta-assigned lists (nProbe nearest, in-list
+  // cosine top-k); reverse = each surviving candidate searches the
+  // STANDING lists; both sides keep only positive-cos neighbors so
+  // every margin-DIV operand is positive (trunc == floor cross-engine).
+  // Integer surrogate: margin_bp = cos_e6·(nx+ny)·10⁴ DIV (Σx+Σy) —
+  // the k-means cancel (both sums carry their own counts), all values
+  // bounded by constants (cos_e6 ≤ 1e6, nx+ny ≤ 2k) so BIGINT is safe
+  // at any corpus size. BitextSpec pins planted recall at sf0.1.
+  private[graft] val BitextProbes = 50
+  private[graft] val BitextK = 8
+  private[graft] val BitextNProbe = 4
+
+  /** Positive-cos in-list top-k — the [[graft.operators.AnnIvf.topK]]
+    * shape with the positivity filter applied BEFORE ranking (both
+    * mining directions share it; the twin replays it verbatim).
+    */
+  private def listTopkPos(assigned: DataFrame, cents: DataFrame,
+      probes: DataFrame): DataFrame = {
+    val lists = probes.crossJoin(broadcast(cents))
+      .withColumn("cdist", l2DistanceNative(col("pv"), col("centroid")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cdist"), col("cluster"))))
+      .filter(col("crk") <= BitextNProbe)
+      .select("probe_id", "pv", "cluster")
+    lists.join(assigned, Seq("cluster"))
+      .select(col("probe_id"), col("vec_id"),
+        (round(cosineSimilarityNative(col("e"), col("pv")), 6) + lit(0.0)).as("cos"))
+      .filter(col("cos") > 0)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= BitextK)
+      .withColumn("cos_e6", expr("CAST(round(cos * 1000000) AS BIGINT)"))
+  }
+
+  private val bitextMine: Q = (s, d) => {
+    val index = ivfIndex(s, d)
+    val demb = upsertAppended(s, d)
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("e"))
+    // persisted: feeds the forward candidate join AND the reverse
+    // probes' vector lookup
+    val dass = graft.Scratch.persist(
+      graft.operators.AnnIvf.assignNearest(demb, "vec_id", index.centroids))
+    val probes = emb(s, d).filter(col("vec_id") < BitextProbes)
+      .select(col("vec_id").as("probe_id"), col("e").as("pv"))
+    // persisted: fwd feeds its own stats, the reverse probe set, and
+    // the final pair join (≤ probes·k rows)
+    val fwd = graft.Scratch.persist(listTopkPos(dass, index.centroids, probes))
+    val fstats = fwd.groupBy("probe_id")
+      .agg(count(lit(1)).as("nx"), sum(col("cos_e6")).as("sumx"))
+    val cvec = fwd.select("vec_id").distinct()
+      .join(dass, Seq("vec_id"))
+      .select(col("vec_id").as("probe_id"), col("e").as("pv"))
+    val rev = listTopkPos(index.assigned, index.centroids, cvec)
+    val rstats = rev.groupBy("probe_id")
+      .agg(count(lit(1)).as("ny"), sum(col("cos_e6")).as("sumy"))
+      .withColumnRenamed("probe_id", "cand_id")
+    fwd.select("probe_id", "vec_id", "cos_e6")
+      .join(broadcast(fstats), Seq("probe_id"))
+      .join(broadcast(rstats), col("vec_id") === col("cand_id"))
+      .select(col("probe_id"), col("vec_id"), col("cos_e6"),
+        expr("(cos_e6 * (nx + ny) * 10000) DIV greatest(sumx + sumy, 1)")
+          .as("margin_bp"))
+      .withColumn("mrk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("margin_bp").desc, col("vec_id")))
+        .cast("long"))
+      .orderBy("probe_id", "mrk")
+  }
+
+  private def bitextSql: String = {
+    def topkPosCtes(probesRel: String, assignedRel: String,
+        listsName: String, outName: String): String =
+      s"""$listsName AS (
+         |  SELECT probe_id, pv, cluster FROM (
+         |    SELECT p.probe_id, p.pv, c.cluster,
+         |           row_number() OVER (PARTITION BY p.probe_id
+         |             ORDER BY ${l2DistanceSql("p.pv", "c.centroid")}, c.cluster) AS crk
+         |    FROM $probesRel p CROSS JOIN cents c)
+         |  WHERE crk <= $BitextNProbe),
+         |$outName AS (
+         |  SELECT probe_id, vec_id, CAST(round(cos * 1000000) AS BIGINT) AS cos_e6 FROM (
+         |    SELECT l.probe_id, a.vec_id,
+         |           round(${cosineSimilaritySql("a.e", "l.pv")}, 6) + 0.0 AS cos,
+         |           row_number() OVER (PARTITION BY l.probe_id
+         |             ORDER BY round(${cosineSimilaritySql("a.e", "l.pv")}, 6) + 0.0 DESC, a.vec_id) AS rk
+         |    FROM $listsName l JOIN $assignedRel a ON a.cluster = l.cluster
+         |    WHERE round(${cosineSimilaritySql("a.e", "l.pv")}, 6) + 0.0 > 0)
+         |  WHERE rk <= $BitextK)""".stripMargin
+    s"""WITH $ivfAssignCtes,
+       |demb AS ($upsertDeltaSelectSql),
+       |${assignCteOver("demb", "dass")},
+       |probes AS (SELECT vec_id AS probe_id, e AS pv FROM emb
+       |           WHERE vec_id < $BitextProbes),
+       |${topkPosCtes("probes", "dass", "plists", "fwd")},
+       |fstats AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS nx,
+       |                  CAST(sum(cos_e6) AS BIGINT) AS sumx
+       |           FROM fwd GROUP BY probe_id),
+       |cvec AS (SELECT d.vec_id AS probe_id, d.e AS pv
+       |         FROM dass d JOIN (SELECT DISTINCT vec_id FROM fwd) c USING (vec_id)),
+       |${topkPosCtes("cvec", "assigned", "clists", "rev")},
+       |rstats AS (SELECT probe_id AS cand_id, CAST(count(*) AS BIGINT) AS ny,
+       |                  CAST(sum(cos_e6) AS BIGINT) AS sumy
+       |           FROM rev GROUP BY probe_id),
+       |pairs AS (
+       |  SELECT f.probe_id, f.vec_id, f.cos_e6,
+       |         CAST((f.cos_e6 * (fs.nx + rs.ny) * 10000)
+       |           // greatest(fs.sumx + rs.sumy, 1) AS BIGINT) AS margin_bp
+       |  FROM fwd f JOIN fstats fs USING (probe_id)
+       |  JOIN rstats rs ON rs.cand_id = f.vec_id)
+       |SELECT probe_id, vec_id, cos_e6, margin_bp,
+       |       CAST(row_number() OVER (PARTITION BY probe_id
+       |         ORDER BY margin_bp DESC, vec_id) AS BIGINT) AS mrk
+       |FROM pairs ORDER BY probe_id, mrk""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "o54_vec_distance" -> o54,
     "o56_ann_topk" -> o56,
+    "q_bitext_mine" -> bitextMine,
     "q_ann_ivf" -> ivf,
     "q_contrastive_pairs" -> contrastive,
     "q_knn_eval" -> knnEval,
@@ -1296,6 +1424,7 @@ object VectorQueries {
     // sqrt l2 with the same (cdist, cluster) tie-break; the in-list
     // cosine top-k is the proven o56 convention.
     "q_ann_ivf" -> ivfTopkSql,
+    "q_bitext_mine" -> bitextSql,
     // Centroid-export replay of the triplet mining: q_ann_ivf's rules
     // with crk <= 2 (own list + hard-negative list), self excluded
     // before ranking, per-(probe, list) argmax, margin on the rounded
