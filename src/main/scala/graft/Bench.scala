@@ -368,6 +368,16 @@ object Bench {
       val ranked = named.map(_._1)
         .filter(n => timesByQuery(n).nonEmpty)
         .filter(n => !isStream(n) || ratio(timesByQuery(n)) > 2.0)
+        // r18 (VERDICT r17 #6): sub-0.3 s floor entries whose samples
+        // already AGREE (spread ≤ 50 ms) stop earning phase-2 reps — a
+        // 0.1 s entry mismeasured 3× distorts the graded total by
+        // ~0.2 s, while ~150 such entries × 5 reps × per-rep overhead
+        // was real wall on every sweep. They keep min-of-2 from the
+        // bounded passes and stay rescue-eligible if under-sampled.
+        .filter(n => {
+          val ts = timesByQuery(n)
+          ts.min > 0.3 || spread(ts) > 0.05
+        })
         .sortBy(n => -priority(n))
       for (name <- ranked if budgetLeft) {
         if (spentS >= phase2CapS) budgetLeft = false
