@@ -73,7 +73,8 @@ object SparkEntry {
     // above; build_index_append clones that store and merges the
     // upsert deltas (dependency order)
     "build_index_store" -> PersistQueries.rebuildStore,
-    "build_index_append" -> PersistQueries.rebuildAppend)
+    "build_index_append" -> PersistQueries.rebuildAppend,
+    "build_index_compact" -> PersistQueries.rebuildCompact)
 
   /** build_* entry → the declared queries that read its memo. Lives
     * NEXT TO [[benchArtifacts]] so adding an artifact or a consumer is
@@ -98,7 +99,8 @@ object SparkEntry {
       "q_hybrid_retrieval_ivf", "q_contrastive_pairs",
       "q_dedup_semantic", "q_knn_eval", "build_nsw_graph",
       "build_index_store", "q_index_persist",
-      "build_index_append", "q_index_persist_upsert", "q_stream_ann_serve"),
+      "build_index_append", "q_index_persist_upsert",
+      "build_index_compact", "q_index_compact", "q_stream_ann_serve"),
     // build_hnsw_layers rides build_nsw_graph's memo (layer 0 IS the
     // NSW graph), so it is a dependent of that build too. Convention:
     // every set lists its TRANSITIVE query dependents directly (the
@@ -108,7 +110,8 @@ object SparkEntry {
     "build_hnsw_layers" -> Set("q_ann_recall_hnsw"),
     "build_pq_codebooks" -> Set("q_pq_encode", "q_ann_recall_pq",
       "build_index_store", "q_index_persist",
-      "build_index_append", "q_index_persist_upsert"),
+      "build_index_append", "q_index_persist_upsert",
+      "build_index_compact", "q_index_compact"),
     // build_bm25_upsert merges the delta into the standing index memo,
     // so it is a dependent of build_bm25_index (transitive-listing
     // convention: its query dependent rides both sets)
@@ -116,12 +119,17 @@ object SparkEntry {
       "q_retrieval_mrr", "q_hybrid_retrieval", "q_hybrid_retrieval_ivf",
       "q_retrieval_ndcg",
       "build_bm25_upsert", "build_index_store", "q_index_persist",
-      "build_index_append", "q_index_persist_upsert"),
+      "build_index_append", "q_index_persist_upsert",
+      "build_index_compact", "q_index_compact"),
     "build_bm25_upsert" -> Set("q_bm25_upsert", "q_retrieval_ndcg",
-      "build_index_append", "q_index_persist_upsert"),
+      "build_index_append", "q_index_persist_upsert",
+      "build_index_compact", "q_index_compact"),
     "build_index_store" -> Set("q_index_persist",
-      "build_index_append", "q_index_persist_upsert"),
-    "build_index_append" -> Set("q_index_persist_upsert"),
+      "build_index_append", "q_index_persist_upsert",
+      "build_index_compact", "q_index_compact"),
+    "build_index_append" -> Set("q_index_persist_upsert",
+      "build_index_compact", "q_index_compact"),
+    "build_index_compact" -> Set("q_index_compact"),
     "build_bpe_model" -> Set("q_tokenize_bpe", "q_bpe_terms",
       "q_bpe_fertility", "q_pack_sequences_bpe", "q_token_windows_bpe"),
     "build_e1_model" -> Set("q_e1_pipeline", "q_e1_features",

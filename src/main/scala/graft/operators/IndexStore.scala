@@ -119,7 +119,7 @@ object IndexStore {
   private val savedCache = new graft.SessionCache[String]
 
   private[graft] def clearCache(): Unit = {
-    savedCache.clearAll(); appendedCache.clearAll(); ()
+    savedCache.clearAll(); appendedCache.clearAll(); compactedCache.clearAll(); ()
   }
 
   /** Write the session's built indexes (forcing their builds if not
@@ -310,6 +310,61 @@ object IndexStore {
     rows.toDF("artifact", "n_rows", "checksum", "meta")
       .coalesce(1).write.mode("overwrite").parquet(sub(root, "manifest"))
     dVecs.unpersist(); dAssigned.unpersist(); dCodes.unpersist(); dLens.unpersist()
+    root
+  }
+
+  def compactedRoot(d: String): String = java.nio.file.Paths
+    .get(sys.props("java.io.tmpdir"),
+      "graft_index_store_cp_" + graft.Scratch.dirTag(d)).toString
+
+  private val compactedCache = new graft.SessionCache[String]
+
+  /** Small-file compaction of an appended store (r18 — the third leg
+    * of the durable-index lifecycle: save → append → COMPACT → serve,
+    * the Iceberg/Delta `rewrite_data_files` maintenance analog). Every
+    * [[append]] adds delta-sized files; after enough batches the
+    * per-list/per-scan file count, not the data, dominates open-file
+    * and footer overhead. Compaction rewrites ONLY the four
+    * append-accumulating artifacts, consolidated:
+    *
+    *  - `ivf_assigned`: repartition by `cluster` then partitionBy —
+    *    each list lands wholly in one shuffle partition, so exactly
+    *    ONE file per `cluster=` partition (build + k appends → 1).
+    *  - `bm25_post` / `bm25_lens` / `pq_codes`: rehashed to the
+    *    session's shuffle parallelism — file count becomes O(cores),
+    *    independent of how many appends accumulated.
+    *
+    * Content is byte-for-byte preserved BY CONSTRUCTION, so the
+    * bounded artifacts and the MANIFEST are file-copied unchanged —
+    * the existing checksums must still verify over the rewritten
+    * files, which is exactly what IndexStoreSpec (and a production
+    * compactor's post-write gate) recomputes. q_index_compact serves
+    * from the compacted root and shares q_index_persist_upsert's
+    * full-rebuild oracle verbatim: compaction that changes ANY served
+    * answer or checksum flips the hash.
+    */
+  def compact(s: SparkSession, d: String): String = compactedCache.getOrElseUpdate(s, d) {
+    val src = append(s, d)
+    val root = compactedRoot(d)
+    val conf = s.sparkContext.hadoopConfiguration
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(conf)
+    fs.delete(rp, true)
+    fs.mkdirs(rp)
+    for (name <- Seq("ivf_centroids", "pq_codebooks", "bm25_g", "bm25_terms",
+        "manifest"))
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(sub(src, name)), fs,
+        new org.apache.hadoop.fs.Path(sub(root, name)), false, conf)
+    s.read.parquet(sub(src, "ivf_assigned"))
+      .repartition(col("cluster")).write.mode("overwrite")
+      .partitionBy("cluster").parquet(sub(root, "ivf_assigned"))
+    s.read.parquet(sub(src, "bm25_post")).repartition(col("doc_id"))
+      .write.mode("overwrite").parquet(sub(root, "bm25_post"))
+    s.read.parquet(sub(src, "bm25_lens")).repartition(col("doc_id"))
+      .write.mode("overwrite").parquet(sub(root, "bm25_lens"))
+    s.read.parquet(sub(src, "pq_codes")).repartition(col("vec_id"))
+      .write.mode("overwrite").parquet(sub(root, "pq_codes"))
     root
   }
 }

@@ -84,6 +84,18 @@ object PersistQueries {
     // append memoized; bench times it as build_index_append
     servedArms(s, d, IndexStore.load(s, IndexStore.append(s, d)))
 
+  /** q_index_compact (r18): the SAME five arms served from the
+    * COMPACTED store — small-file consolidation of the appended
+    * artifacts (one file per IVF list, O(cores) files for
+    * postings/lens/codes) that must be a content NO-OP. The twin is
+    * q_index_persist_upsert's full-rebuild oracle VERBATIM: compaction
+    * that loses, duplicates, or reorders-into-different-values any row
+    * flips the hash; file-count shrinkage and manifest-checksum
+    * preservation are pinned by IndexStoreSpec.
+    */
+  private val indexCompact: Q = (s, d) =>
+    servedArms(s, d, IndexStore.load(s, IndexStore.compact(s, d)))
+
   /** Bench artifact hook: forces the three index builds (via their
     * memos) and the store write; reps of q_index_persist then time
     * load + serve only.
@@ -99,6 +111,12 @@ object PersistQueries {
     */
   private[graft] val rebuildAppend: Q = (s, d) => {
     val root = IndexStore.append(s, d)
+    s.read.parquet(java.nio.file.Paths.get(root, "manifest").toString)
+  }
+
+  /** Bench artifact hook for the compaction rewrite (r18). */
+  private[graft] val rebuildCompact: Q = (s, d) => {
+    val root = IndexStore.compact(s, d)
     s.read.parquet(java.nio.file.Paths.get(root, "manifest").toString)
   }
 
@@ -202,9 +220,14 @@ object PersistQueries {
 
   val queries: Map[String, Q] = Map(
     "q_index_persist" -> indexPersist,
-    "q_index_persist_upsert" -> indexPersistUpsert)
+    "q_index_persist_upsert" -> indexPersistUpsert,
+    "q_index_compact" -> indexCompact)
 
   def oracle: Map[String, String] = Map(
     "q_index_persist" -> indexPersistSql,
-    "q_index_persist_upsert" -> indexPersistUpsertSql)
+    "q_index_persist_upsert" -> indexPersistUpsertSql,
+    // compaction is a content no-op over the appended store, so the
+    // full-rebuild oracle is SHARED verbatim — that identity IS the
+    // compaction correctness claim
+    "q_index_compact" -> indexPersistUpsertSql)
 }

@@ -114,6 +114,32 @@ class IndexStoreSpec extends SparkSpec {
         s"$name: append added no rows")
   }
 
+  test("compaction shrinks file counts while preserving every manifest checksum") {
+    val aroot = operators.IndexStore.append(spark, sf)
+    val croot = operators.IndexStore.compact(spark, sf)
+    // consolidated: strictly fewer (or equal) data files on every
+    // append-accumulating artifact, strictly fewer in total
+    val names = Seq("ivf_assigned", "bm25_post", "bm25_lens", "pq_codes")
+    val before = names.map(n => dataFiles(aroot + "/" + n).size)
+    val after = names.map(n => dataFiles(croot + "/" + n).size)
+    names.lazyZip(before).lazyZip(after).foreach { (n, b, a) =>
+      assert(a <= b, s"$n: compaction grew the file count ($b -> $a)")
+    }
+    assert(after.sum < before.sum,
+      s"compaction consolidated nothing (${before.sum} -> ${after.sum})")
+    // content no-op: the COPIED manifest still verifies over the
+    // rewritten files — the compactor's post-write gate
+    operators.IndexStore.ArtifactNames.foreach { name =>
+      val man = spark.read.parquet(croot + "/manifest")
+        .collect().map(r => r.getString(0) -> r).toMap.apply(name)
+      val rec = operators.IndexStore.recomputedRow(spark, croot, name).head()
+      assert(rec.getLong(1) == man.getAs[Long]("n_rows"),
+        s"$name: compaction changed the row count")
+      assert(rec.getLong(2) == man.getAs[Long]("checksum"),
+        s"$name: compaction changed the content checksum")
+    }
+  }
+
   test("fresh session serves from the APPENDED store with zero rebuilds") {
     val root = operators.IndexStore.append(spark, sf)
     val standing = SparkEntry.queries("q_index_persist_upsert")(spark, sf)
