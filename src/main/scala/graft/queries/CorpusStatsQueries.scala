@@ -226,13 +226,60 @@ object CorpusStatsQueries {
        |JOIN cnt cb ON cb.source = p.src_b""".stripMargin
   }
 
+  // ---- per-source vocabulary diversity (r18) ----
+  // The template-detection diagnostic a corpus curator runs per source:
+  // Simpson concentration of the token distribution (Σc² / N² — the
+  // repeat-probability; a boilerplate-heavy source concentrates mass on
+  // few types and its index jumps) and the type-token ratio. Both are
+  // EXACT integer surrogates — Simpson needs no logs (unlike entropy,
+  // which has no tabulable integer form over arbitrary counts), which
+  // is why it is the diversity statistic this engine publishes.
+  //
+  // Scale shape: one token explode → map-side-combined (source, tok)
+  // count → per-source rollup over the types table. Deliberately TWO
+  // exchanges, not the one-exchange repartition(source) form: source
+  // cardinality is tiny (~20), so pre-clustering by source would
+  // serialize the token count into |sources| tasks at 100 TB, while
+  // the (source, tok) shuffle stays fully parallel and the second
+  // exchange moves only the vocabulary-sized type table. Σc² widened
+  // through DECIMAL(38,0)/HUGEINT (Σc² < N² overflows BIGINT once a
+  // source holds ~3e9 tokens; the dsir precedent).
+  private val sourceDiversity: Q = (s, d) => {
+    val c = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    c.groupBy("source")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("ss"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        expr("CAST((ss * 1000000000) DIV (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens) AS BIGINT)")
+          .as("simpson_e9"),
+        expr("(n_types * 1000000) DIV n_tokens").as("ttr_e6"))
+      .orderBy("source")
+  }
+
+  private val sourceDiversitySql: String =
+    """WITH c AS (
+      |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY source, tok)
+      |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |       CAST(count(*) AS BIGINT) AS n_types,
+      |       CAST((sum(CAST(c AS HUGEINT) * c) * 1000000000)
+      |         // (CAST(sum(c) AS HUGEINT) * sum(c)) AS BIGINT) AS simpson_e9,
+      |       CAST((count(*) * 1000000) // sum(c) AS BIGINT) AS ttr_e6
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_collocations" -> collocations,
     "q_ngram_novelty" -> novelty,
-    "q_source_sim" -> sourceSim)
+    "q_source_sim" -> sourceSim,
+    "q_source_diversity" -> sourceDiversity)
 
   val oracle: Map[String, String] = Map(
     "q_collocations" -> collocationsSql,
     "q_ngram_novelty" -> noveltySql,
-    "q_source_sim" -> sourceSimSql)
+    "q_source_sim" -> sourceSimSql,
+    "q_source_diversity" -> sourceDiversitySql)
 }
