@@ -260,56 +260,62 @@ object IndexStore {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
       .toMap
 
-    // IVF + PQ share one delta-vector frame (bounded: |delta| rows)
+    // IVF + PQ share one delta-vector frame (bounded: |delta| rows).
+    // Persists released in the finally — a mid-append failure (e.g. a
+    // full disk during a delta write) must not leak cached lineages
+    // into the long-lived session (r18 review).
     val dVecs = graft.queries.VectorQueries.upsertAppended(s, d)
       .select(col("vec_id"),
         graft.functions.VectorOps.toDoubleArr(col("embedding")).as("e"))
       .persist()
     val centroids = s.read.parquet(sub(root, "ivf_centroids"))
     val dAssigned = AnnIvf.assignNearest(dVecs, "vec_id", centroids).persist()
-    dAssigned.write.mode("append").partitionBy("cluster")
-      .parquet(sub(root, "ivf_assigned"))
-    val dCodes = PqOps.encode(dVecs, "vec_id", "e", readCodebooks(s, root))
-      .persist()
-    dCodes.write.mode("append").parquet(sub(root, "pq_codes"))
+    try {
+      dAssigned.write.mode("append").partitionBy("cluster")
+        .parquet(sub(root, "ivf_assigned"))
+      val dCodes = PqOps.encode(dVecs, "vec_id", "e", readCodebooks(s, root))
+      dCodes.write.mode("append").parquet(sub(root, "pq_codes"))
 
-    // BM25: the memoized upsert-merge state (build_bm25_upsert) IS the
-    // delta + merged frames — postings/lens append, totals + terms
-    // (vocab-sized, written at parallelism) rewrite
-    val st = graft.queries.CorpusQueries.bm25UpsertState(s, d)
-    val dLens = st.dPost.groupBy("doc_id").agg(sum("tf").as("len")).persist()
-    st.dPost.write.mode("append").parquet(sub(root, "bm25_post"))
-    dLens.write.mode("append").parquet(sub(root, "bm25_lens"))
-    st.g2.coalesce(1).write.mode("overwrite").parquet(sub(root, "bm25_g"))
-    s.read.parquet(st.termsPath).repartition(col("tok")).write
-      .mode("overwrite").parquet(sub(root, "bm25_terms"))
+      // BM25: the memoized upsert-merge state (build_bm25_upsert) IS
+      // the delta + merged frames — postings/lens append (dLens comes
+      // FROM the state so the durable lens can never drift from the
+      // in-memory lens2), totals + terms (vocab-sized, written at
+      // parallelism) rewrite
+      val st = graft.queries.CorpusQueries.bm25UpsertState(s, d)
+      st.dPost.write.mode("append").parquet(sub(root, "bm25_post"))
+      st.dLens.write.mode("append").parquet(sub(root, "bm25_lens"))
+      st.g2.coalesce(1).write.mode("overwrite").parquet(sub(root, "bm25_g"))
+      s.read.parquet(st.termsPath).repartition(col("tok")).write
+        .mode("overwrite").parquet(sub(root, "bm25_terms"))
 
-    def deltaStats(name: String, df: DataFrame): (Long, Long) = {
-      val r = contentStats(df.select(renderColFor(name).as("_r"))).head()
-      (r.getLong(0), r.getLong(1))
-    }
-    val deltas = Map(
-      "ivf_assigned" -> deltaStats("ivf_assigned", dAssigned),
-      "bm25_post" -> deltaStats("bm25_post", st.dPost),
-      "bm25_lens" -> deltaStats("bm25_lens", dLens),
-      "pq_codes" -> deltaStats("pq_codes", dCodes))
-    val rewritten = Set("bm25_g", "bm25_terms")
-    val sp = s
-    import sp.implicits._
-    val rows = ArtifactNames.map { name =>
-      val (oldN, oldC, meta) = oldManifest(name)
-      deltas.get(name) match {
-        case Some((dn, dc)) => (name, oldN + dn, (oldC + dc) % ChecksumMod, meta)
-        case None if rewritten(name) =>
-          val r = recomputedRow(s, root, name)
-            .select("n_rows", "checksum").head()
-          (name, r.getLong(0), r.getLong(1), meta)
-        case None => (name, oldN, oldC, meta)
+      def deltaStats(name: String, df: DataFrame): (Long, Long) = {
+        val r = contentStats(df.select(renderColFor(name).as("_r"))).head()
+        (r.getLong(0), r.getLong(1))
       }
+      val deltas = Map(
+        "ivf_assigned" -> deltaStats("ivf_assigned", dAssigned),
+        "bm25_post" -> deltaStats("bm25_post", st.dPost),
+        "bm25_lens" -> deltaStats("bm25_lens", st.dLens),
+        "pq_codes" -> deltaStats("pq_codes", dCodes))
+      val rewritten = Set("bm25_g", "bm25_terms")
+      val sp = s
+      import sp.implicits._
+      val rows = ArtifactNames.map { name =>
+        val (oldN, oldC, meta) = oldManifest(name)
+        deltas.get(name) match {
+          case Some((dn, dc)) => (name, oldN + dn, (oldC + dc) % ChecksumMod, meta)
+          case None if rewritten(name) =>
+            val r = recomputedRow(s, root, name)
+              .select("n_rows", "checksum").head()
+            (name, r.getLong(0), r.getLong(1), meta)
+          case None => (name, oldN, oldC, meta)
+        }
+      }
+      rows.toDF("artifact", "n_rows", "checksum", "meta")
+        .coalesce(1).write.mode("overwrite").parquet(sub(root, "manifest"))
+    } finally {
+      dVecs.unpersist(); dAssigned.unpersist()
     }
-    rows.toDF("artifact", "n_rows", "checksum", "meta")
-      .coalesce(1).write.mode("overwrite").parquet(sub(root, "manifest"))
-    dVecs.unpersist(); dAssigned.unpersist(); dCodes.unpersist(); dLens.unpersist()
     root
   }
 

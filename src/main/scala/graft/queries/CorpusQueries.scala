@@ -550,8 +550,8 @@ object CorpusQueries {
     * upserted state.
     */
   private[graft] final case class Bm25UpsertState(delta: DataFrame,
-      dPost: DataFrame, post2: DataFrame, lens2: DataFrame, g2: DataFrame,
-      termsPath: String)
+      dPost: DataFrame, dLens: DataFrame, post2: DataFrame,
+      lens2: DataFrame, g2: DataFrame, termsPath: String)
 
   private val bm25UpsertCache = new graft.SessionCache[Bm25UpsertState]
 
@@ -598,7 +598,10 @@ object CorpusQueries {
       terms2.write.mode("overwrite").parquet(dirPath)
       s.read.parquet(dirPath).write.mode("overwrite")
         .parquet(bm25UpsertExportPath)
-      Bm25UpsertState(delta, dPost, post2, lens2, g2, dirPath)
+      // dLens rides the state (r18 review): IndexStore.append writes it
+      // to the durable store, and a second derivation there could drift
+      // from the lens2 the in-memory serve uses — one home only
+      Bm25UpsertState(delta, dPost, dLens, post2, lens2, g2, dirPath)
     }
 
   /** Bench artifact hook: the export write inside [[bm25UpsertState]]

@@ -806,11 +806,16 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("x")))
     // hour-range bounds from the Stats catalog (r18 — the
     // q_sketch_quantiles gate precedent): a data property of the dir,
-    // memoized once instead of a broadcast-subquery job per rep
-    val minh = graft.Stats.scalar(s, d, "events.hour:min")(
-      counts.agg(min(col("h"))).head().getLong(0))
-    val maxh = graft.Stats.scalar(s, d, "events.hour:max")(
-      counts.agg(max(col("h"))).head().getLong(0))
+    // memoized once instead of a broadcast-subquery job per rep. ONE
+    // aggregate action populates both keys (r18 review: two separate
+    // .head()s paid two serial waves on the cold path).
+    def bothBounds(): (Long, Long) = {
+      val r = counts.agg(min(col("h")), max(col("h"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    lazy val computed = bothBounds()
+    val minh = graft.Stats.scalar(s, d, "events.hour:min")(computed._1)
+    val maxh = graft.Stats.scalar(s, d, "events.hour:max")(computed._2)
     val grid = counts.select("event_type").distinct()
       .select(col("event_type"), explode(sequence(lit(minh), lit(maxh))).as("h"))
     val dense = grid.join(counts, Seq("event_type", "h"), "left")
@@ -838,12 +843,19 @@ object ExtendedQueries {
     val st = withLeads.groupBy("event_type").agg(aggCols.head, aggCols.tail: _*)
     // num/den widened through DECIMAL(38,0) and cast back to BIGINT for
     // output (ADVICE r17 #1 — raw BIGINT bigt²·sxy wraps silently past
-    // ~100× where DuckDB raises; bound: |num| < bigt²·Σx² ≲ 10¹⁹ at
-    // 1000×, inside DECIMAL(38,0) with 19 digits of headroom)
+    // ~100× where DuckDB raises; the INTERMEDIATES are safe to 10¹⁹
+    // inside DECIMAL(38,0), while the published BIGINT num/den columns
+    // carry a documented ~9.2e18 output bound — past ~1000× hourly
+    // volume the columns would need e-rescaling, a face change, not a
+    // silent wrap). The n > 0 filter reproduces the twin's pair-JOIN
+    // semantics exactly: a lag with no pairs (dense span ≤ lag) emits
+    // NO row in both engines (r18 review — the stack unpivot alone
+    // would emit n=0/NULL rows the join never produces).
     st.select(col("event_type"), col("bigt"), col("s"), col("sxx"),
         expr(s"stack($AcfMaxLag, " + (1 to AcfMaxLag).map(l =>
           s"CAST($l AS BIGINT), n$l, sxy$l, sxh$l, syt$l").mkString(", ") +
           ") AS (lag, n, sxy, sxh, syt)"))
+      .filter(col("n") > 0)
       .select(col("event_type"), col("lag"), col("n"),
         expr("CAST(CAST(bigt AS DECIMAL(38,0))*bigt*sxy " +
           "- CAST(bigt AS DECIMAL(38,0))*s*(sxh + syt) " +

@@ -203,6 +203,10 @@ object SelectionQueries {
     ranked.select(col("doc_id"), col("h"), col("pos"),
       expr(s"(pos - 1) DIV $shardSize").as("shard"),
       expr(s"(pos - 1) % $shardSize + 1").as("pos_in_shard"))
+      // unique-tie-break ordering, the engine-wide convention (r18
+      // review): the data-loader replay this operator describes reads
+      // by position, and unordered output would vary with parallelism
+      .orderBy("pos")
   }
 
   private val corpusShuffleSql: String = {

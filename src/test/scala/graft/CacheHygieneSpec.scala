@@ -16,12 +16,18 @@ class CacheHygieneSpec extends SparkSpec {
   // (q_tfidf_terms left this list in r16: its single-consumption
   // restructure removed the scratch persist entirely. q_bm25_upsert's
   // delta postings moved into the memoized upsert-state cache in r17
-  // (build_bm25_upsert) — the keyed build cache this suite
-  // deliberately excludes.)
+  // (build_bm25_upsert), but r18 gave it a NEW scratch frame — the
+  // shared probes⋈terms join — so it now lives in the build-memo
+  // roster below.)
   private val scratchUsers = Seq("q_dedup_minhash", "q_dedup_jaccard",
     "q_dedup_chunks", "q_decontaminate", "q_sketch_quantiles",
     "q_multimodal_phash", "q_langid_eval", "q_span_corrupt",
     "q_ann_recall_int8", "q_autocorr")
+
+  // queries that persist scratch AND read memoized build caches (r18):
+  // release hygiene asserted the same way, but the CacheManager is only
+  // empty after the keyed build memos are cleared too
+  private val buildScratchUsers = Seq("q_bm25_upsert", "q_bitext_mine")
 
   test("scratch persists are fully released after each query's action") {
     SparkEntry.clearCaches()
@@ -36,6 +42,23 @@ class CacheHygieneSpec extends SparkSpec {
         s"$name left InMemoryRelations cached after release")
     }
     assert(Scratch.activeCount(spark) === 0)
+  }
+
+  test("build-memo queries' scratch releases; clearCaches empties the rest") {
+    SparkEntry.clearCaches()
+    spark.sharedState.cacheManager.clearCache()
+    buildScratchUsers.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
+      assert(Scratch.activeCount(spark) > 0,
+        s"$name registered no scratch frames — did a persist bypass Scratch?")
+      Scratch.release(spark)
+      assert(Scratch.activeCount(spark) === 0,
+        s"$name left scratch registered after release")
+      SparkEntry.clearCaches()
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$name left InMemoryRelations cached after release + clearCaches")
+    }
   }
 
   test("releaseAll drops scratch from every session (bench cold-rep hook)") {
