@@ -270,10 +270,11 @@ object IndexStore {
       .persist()
     val centroids = s.read.parquet(sub(root, "ivf_centroids"))
     val dAssigned = AnnIvf.assignNearest(dVecs, "vec_id", centroids).persist()
+    val dCodes = PqOps.encode(dVecs, "vec_id", "e", readCodebooks(s, root))
+      .persist()
     try {
       dAssigned.write.mode("append").partitionBy("cluster")
         .parquet(sub(root, "ivf_assigned"))
-      val dCodes = PqOps.encode(dVecs, "vec_id", "e", readCodebooks(s, root))
       dCodes.write.mode("append").parquet(sub(root, "pq_codes"))
 
       // BM25: the memoized upsert-merge state (build_bm25_upsert) IS
@@ -288,33 +289,49 @@ object IndexStore {
       s.read.parquet(st.termsPath).repartition(col("tok")).write
         .mode("overwrite").parquet(sub(root, "bm25_terms"))
 
-      def deltaStats(name: String, df: DataFrame): (Long, Long) = {
-        val r = contentStats(df.select(renderColFor(name).as("_r"))).head()
-        (r.getLong(0), r.getLong(1))
-      }
-      val deltas = Map(
-        "ivf_assigned" -> deltaStats("ivf_assigned", dAssigned),
-        "bm25_post" -> deltaStats("bm25_post", st.dPost),
-        "bm25_lens" -> deltaStats("bm25_lens", st.dLens),
-        "pq_codes" -> deltaStats("pq_codes", dCodes))
+      // ONE stats job for all six changing manifest rows (r18 opt —
+      // guide §1.2 "don't pay a driver wave per scalar"): the four
+      // delta frames (append arithmetic) and the two rewritten bounded
+      // artifacts (full recompute over the new files) union into a
+      // single tagged aggregation instead of six sequential .head()
+      // actions. Renders go through renderColFor, the same column the
+      // standing manifest rows used — checksum merging stays sound.
+      val statSources: Seq[(String, DataFrame)] = Seq(
+        "ivf_assigned" -> dAssigned,
+        "bm25_post" -> st.dPost,
+        "bm25_lens" -> st.dLens,
+        "pq_codes" -> dCodes,
+        "bm25_g" -> s.read.parquet(sub(root, "bm25_g")),
+        "bm25_terms" -> s.read.parquet(sub(root, "bm25_terms")))
+      val statRows = statSources.map { case (name, df) =>
+          df.select(renderColFor(name).as("_r"))
+            .select(lit(name).as("artifact"),
+              expr("CAST(conv(substring(md5(_r), 1, 9), 16, 10) AS BIGINT)").as("h"))
+        }.reduce(_.unionAll(_))
+        .groupBy("artifact")
+        .agg(count(lit(1)).as("n_rows"),
+          expr(s"CAST(coalesce(sum(CAST(h AS DECIMAL(38,0))), 0) % $ChecksumMod AS BIGINT)")
+            .as("checksum"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val appended = Set("ivf_assigned", "bm25_post", "bm25_lens", "pq_codes")
       val rewritten = Set("bm25_g", "bm25_terms")
       val sp = s
       import sp.implicits._
       val rows = ArtifactNames.map { name =>
         val (oldN, oldC, meta) = oldManifest(name)
-        deltas.get(name) match {
-          case Some((dn, dc)) => (name, oldN + dn, (oldC + dc) % ChecksumMod, meta)
-          case None if rewritten(name) =>
-            val r = recomputedRow(s, root, name)
-              .select("n_rows", "checksum").head()
-            (name, r.getLong(0), r.getLong(1), meta)
-          case None => (name, oldN, oldC, meta)
-        }
+        if (appended(name)) {
+          val (dn, dc) = statRows(name)
+          (name, oldN + dn, (oldC + dc) % ChecksumMod, meta)
+        } else if (rewritten(name)) {
+          val (n, c) = statRows(name)
+          (name, n, c, meta)
+        } else (name, oldN, oldC, meta)
       }
       rows.toDF("artifact", "n_rows", "checksum", "meta")
         .coalesce(1).write.mode("overwrite").parquet(sub(root, "manifest"))
     } finally {
-      dVecs.unpersist(); dAssigned.unpersist()
+      dVecs.unpersist(); dAssigned.unpersist(); dCodes.unpersist()
     }
     root
   }

@@ -624,9 +624,9 @@ object CorpusQueries {
     // probes·terms) feeds BOTH the scoring chain and probe_df (r18,
     // VERDICT r17 #1 — the old shape derived the probe set twice (two
     // delta corpus scans) and read the terms parquet twice)
-    val pj = graft.Scratch.persist(probes.join(
+    val pj = probes.join(
       broadcast(s.read.parquet(dirPath).filter(col("idf_e6") >= Bm25IdfFloorE6)
-        .select("tok", "idf_e6", "df")), Seq("tok")))
+        .select("tok", "idf_e6", "df")), Seq("tok"))
     val scored = bm25ScoreOverJoined(pj, st.post2, st.lens2, st.g2)
     // probe_df: Σ merged df over the probe's floored terms — the twin
     // RECOUNTS df from the unioned corpus, so a df-merge drift flips

@@ -801,9 +801,16 @@ object ExtendedQueries {
     // (grid bounds, the type set, and the dense left join) — deriving
     // bounds/types from the raw stream again would re-scan events per
     // branch (r17 review finding).
-    val counts = graft.Scratch.persist(
+    // the ONLY corpus-sized pass: one map-side-combined (type, hour)
+    // count. NOT persisted (r18 opt): the persist's cache-population
+    // barrier cost ~0.17 s/rep locally, and the two downstream
+    // consumers (type set + sparse→dense join) are gone — the dense
+    // grid is rebuilt from a per-type bounded hour→count map instead
+    // (one consumption, no join), so the stream is still touched
+    // exactly once and nothing re-scans.
+    val counts =
       Tables.events(s, d).groupBy(col("event_type"), hourExpr.as("h"))
-        .agg(count(lit(1)).as("x")))
+        .agg(count(lit(1)).as("x"))
     // hour-range bounds from the Stats catalog (r18 — the
     // q_sketch_quantiles gate precedent): a data property of the dir,
     // memoized once instead of a broadcast-subquery job per rep. ONE
@@ -816,10 +823,23 @@ object ExtendedQueries {
     lazy val computed = bothBounds()
     val minh = graft.Stats.scalar(s, d, "events.hour:min")(computed._1)
     val maxh = graft.Stats.scalar(s, d, "events.hour:max")(computed._2)
-    val grid = counts.select("event_type").distinct()
-      .select(col("event_type"), explode(sequence(lit(minh), lit(maxh))).as("h"))
-    val dense = grid.join(counts, Seq("event_type", "h"), "left")
-      .select(col("event_type"), col("h"), coalesce(col("x"), lit(0L)).as("x"))
+    // Dense series per type WITHOUT a grid join (r18 opt — guide §2.4):
+    // the sparse counts collapse to ONE bounded hour→count map per type
+    // (map size = the hour span, a value-domain bound independent of
+    // corpus size — the same bound the old types × generate_series grid
+    // carried), then the dense grid explodes out of sequence() with
+    // element_at lookups. One consumption of the counts subtree — the
+    // old shape consumed it twice (type set + left join), which needed
+    // either a persist (a cache-population barrier per rep) or a second
+    // corpus scan. The explode is a narrow Generate, so the per-type
+    // partitioning flows through to the window and the final aggregate:
+    // two exchanges end to end.
+    val dense = counts.groupBy("event_type")
+      .agg(map_from_entries(collect_list(struct(col("h"), col("x")))).as("m"))
+      .select(col("event_type"), col("m"),
+        explode(sequence(lit(minh), lit(maxh))).as("h"))
+      .select(col("event_type"), col("h"),
+        coalesce(element_at(col("m"), col("h")), lit(0L)).as("x"))
     // Lag pairs as lead(x, l) columns over ONE per-type window (VERDICT
     // r17 #2 — the old broadcast-lags self-join + separate stats agg +
     // re-join spent ~5 serial waves on a 3,600-row series): on the

@@ -242,8 +242,14 @@ object GraphAnalyticsQueries {
       .withColumn("label", col("node"))
     for (i <- 1 to LpaIters) {
       // max(struct(c, -label)) = lexicographic argmax: highest count,
-      // then smallest label — one aggregate, no per-node sort
+      // then smallest label — one aggregate, no per-node sort.
+      // r18 opt (guide §2.4, the r15 one-exchange precedent): an
+      // explicit repartition(a) right after the broadcast join lets the
+      // (a,label) count AND the per-a argmax reuse ONE exchange —
+      // HashPartitioning on the subset {a} satisfies both groupings —
+      // instead of exchanging once per aggregation per round.
       labels = g.join(labels.withColumnRenamed("node", "b"), "b")
+        .repartition(col("a"))
         .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
         .groupBy(col("a"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
@@ -312,12 +318,20 @@ object GraphAnalyticsQueries {
     var alive: DataFrame = null
     var degs: DataFrame = null
     for (i <- 1 to KCoreRounds) {
-      val e =
-        if (alive == null) und
+      // r18 opt (guide §2.4/§3): one EDGE-sized semi-join per round
+      // (restrict neighbours to alive b), then intersect the NODE-sized
+      // degree table with alive a — output-identical to filtering both
+      // endpoints before the aggregation (a surviving a's alive-b count
+      // is unchanged; a dead a is dropped by the node-sized semi-join),
+      // but the second edge-scale join and its broadcast build are gone.
+      // A/B at sf0.1: 2.56 s (two edge semi-joins) → see
+      // OPTIMIZATION_r18.md for the measured number.
+      degs =
+        if (alive == null) und.groupBy("a").agg(count(lit(1)).as("degree"))
         else und
-          .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
           .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
-      degs = e.groupBy("a").agg(count(lit(1)).as("degree"))
+          .groupBy("a").agg(count(lit(1)).as("degree"))
+          .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
       alive = degs.filter(col("degree") >= KCoreK).select(col("a").as("node"))
       // same lineage-depth bound as pagerank/LPA
       if (i < KCoreRounds && i % 2 == 0) alive = alive.localCheckpoint()

@@ -14,20 +14,22 @@ class CacheHygieneSpec extends SparkSpec {
   // artifacts — graph build, IVF index, LSH bucket table — are a
   // different, deliberately keyed cache with clearCache hooks)
   // (q_tfidf_terms left this list in r16: its single-consumption
-  // restructure removed the scratch persist entirely. q_bm25_upsert's
-  // delta postings moved into the memoized upsert-state cache in r17
-  // (build_bm25_upsert), but r18 gave it a NEW scratch frame — the
-  // shared probes⋈terms join — so it now lives in the build-memo
-  // roster below.)
+  // restructure removed the scratch persist entirely. q_autocorr left
+  // it in the r18 optimization round: the dense grid now explodes out
+  // of a per-type bounded hour→count map, so the counts frame is
+  // consumed once and the persist is gone. q_bm25_upsert's probes⋈terms
+  // scratch frame also left in r18: the bounded join is recomputed by
+  // its two consumers (the probe scan is min/max-pruned to the probe
+  // window), which is cheaper than the cache-population barrier.)
   private val scratchUsers = Seq("q_dedup_minhash", "q_dedup_jaccard",
     "q_dedup_chunks", "q_decontaminate", "q_sketch_quantiles",
     "q_multimodal_phash", "q_langid_eval", "q_span_corrupt",
-    "q_ann_recall_int8", "q_autocorr")
+    "q_ann_recall_int8")
 
   // queries that persist scratch AND read memoized build caches (r18):
   // release hygiene asserted the same way, but the CacheManager is only
   // empty after the keyed build memos are cleared too
-  private val buildScratchUsers = Seq("q_bm25_upsert", "q_bitext_mine")
+  private val buildScratchUsers = Seq("q_bitext_mine")
 
   test("scratch persists are fully released after each query's action") {
     SparkEntry.clearCaches()
