@@ -54,6 +54,24 @@ object IndexStore {
   private def sub(root: String, name: String): String =
     java.nio.file.Paths.get(root, name).toString
 
+  /** Run independent write jobs concurrently from a small driver pool
+    * (r18 opt — optimization guide §2.6 "overlap independent jobs":
+    * actions are only sequential because the driver calls them
+    * sequentially; each artifact write's task tail + committer wait
+    * leaves most cores idle, so the next write back-fills them).
+    * 3 in flight is enough to fill the tail without the jobs fighting
+    * for executors. Exceptions propagate to the caller.
+    */
+  private def inParallel(works: Seq[() => Unit]): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      val futs = works.map(w => pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = w()
+      }))
+      futs.foreach(_.get())
+    } finally pool.shutdown()
+  }
+
   /** (n_rows, checksum) over a frame's `_r` string rendering — Σ 9-hex
     * md5 prefixes, exact via DECIMAL(38,0), published mod 2⁶¹−1 (the
     * q_shard_manifest machinery). Rendering of non-integer columns
@@ -134,29 +152,31 @@ object IndexStore {
     // partitionBy(cluster): the probe join broadcasts ~nProbe lists, so
     // dynamic partition pruning cuts the artifact scan to the probed
     // lists — the durable form of the in-memory equi-join's selectivity
-    ivf.assigned.write.mode("overwrite").partitionBy("cluster")
-      .parquet(sub(root, "ivf_assigned"))
-    ivf.centroids.coalesce(1).write.mode("overwrite")
-      .parquet(sub(root, "ivf_centroids"))
-    bm.post.write.mode("overwrite").parquet(sub(root, "bm25_post"))
-    bm.lens.write.mode("overwrite").parquet(sub(root, "bm25_lens"))
-    bm.g.coalesce(1).write.mode("overwrite").parquet(sub(root, "bm25_g"))
-    // terms written hash-partitioned by tok at session parallelism
-    // (r18, VERDICT r17 #3 — the old coalesce(1) funneled a
-    // vocabulary-sized frame (grows with corpus under Heap's law,
-    // unlike nList/m·k) through one task); the loader globs the dir
-    // and the manifest checksum is order-independent
-    s.read.parquet(bm.termsPath).repartition(col("tok")).write
-      .mode("overwrite").parquet(sub(root, "bm25_terms"))
-    pq.codes.write.mode("overwrite").parquet(sub(root, "pq_codes"))
     val sp = s
     import sp.implicits._
-    (0 until pq.m).flatMap(j => (0 until pq.k).map(c =>
-        (j, c, pq.codebooks(j)(c).toSeq)))
-      .toDF("j", "c", "centroid")
-      .select(col("j"), col("c"),
-        col("centroid").cast("array<double>").as("centroid"))
-      .coalesce(1).write.mode("overwrite").parquet(sub(root, "pq_codebooks"))
+    // the eight artifact writes are independent jobs — overlapped from
+    // a small pool (r18 opt, guide §2.6); terms stays hash-partitioned
+    // by tok at session parallelism (r18, VERDICT r17 #3 — the old
+    // coalesce(1) funneled a vocabulary-sized frame (grows with corpus
+    // under Heap's law, unlike nList/m·k) through one task); the loader
+    // globs the dir and the manifest checksum is order-independent
+    inParallel(Seq(
+      () => ivf.assigned.write.mode("overwrite").partitionBy("cluster")
+        .parquet(sub(root, "ivf_assigned")),
+      () => ivf.centroids.coalesce(1).write.mode("overwrite")
+        .parquet(sub(root, "ivf_centroids")),
+      () => bm.post.write.mode("overwrite").parquet(sub(root, "bm25_post")),
+      () => bm.lens.write.mode("overwrite").parquet(sub(root, "bm25_lens")),
+      () => bm.g.coalesce(1).write.mode("overwrite").parquet(sub(root, "bm25_g")),
+      () => s.read.parquet(bm.termsPath).repartition(col("tok")).write
+        .mode("overwrite").parquet(sub(root, "bm25_terms")),
+      () => pq.codes.write.mode("overwrite").parquet(sub(root, "pq_codes")),
+      () => (0 until pq.m).flatMap(j => (0 until pq.k).map(c =>
+          (j, c, pq.codebooks(j)(c).toSeq)))
+        .toDF("j", "c", "centroid")
+        .select(col("j"), col("c"),
+          col("centroid").cast("array<double>").as("centroid"))
+        .coalesce(1).write.mode("overwrite").parquet(sub(root, "pq_codebooks"))))
     // shape metadata rides the relevant artifact's manifest row
     val dim = ivf.centroids.select(size(col("centroid"))).head().getInt(0)
     val nList = ivf.centroids.count()
@@ -273,21 +293,23 @@ object IndexStore {
     val dCodes = PqOps.encode(dVecs, "vec_id", "e", readCodebooks(s, root))
       .persist()
     try {
-      dAssigned.write.mode("append").partitionBy("cluster")
-        .parquet(sub(root, "ivf_assigned"))
-      dCodes.write.mode("append").parquet(sub(root, "pq_codes"))
-
       // BM25: the memoized upsert-merge state (build_bm25_upsert) IS
       // the delta + merged frames — postings/lens append (dLens comes
       // FROM the state so the durable lens can never drift from the
       // in-memory lens2), totals + terms (vocab-sized, written at
-      // parallelism) rewrite
+      // parallelism) rewrite. The six writes target disjoint artifact
+      // dirs — overlapped (r18 opt, guide §2.6); the stats job below
+      // runs strictly after (it re-reads the rewritten bm25_g/terms).
       val st = graft.queries.CorpusQueries.bm25UpsertState(s, d)
-      st.dPost.write.mode("append").parquet(sub(root, "bm25_post"))
-      st.dLens.write.mode("append").parquet(sub(root, "bm25_lens"))
-      st.g2.coalesce(1).write.mode("overwrite").parquet(sub(root, "bm25_g"))
-      s.read.parquet(st.termsPath).repartition(col("tok")).write
-        .mode("overwrite").parquet(sub(root, "bm25_terms"))
+      inParallel(Seq(
+        () => dAssigned.write.mode("append").partitionBy("cluster")
+          .parquet(sub(root, "ivf_assigned")),
+        () => dCodes.write.mode("append").parquet(sub(root, "pq_codes")),
+        () => st.dPost.write.mode("append").parquet(sub(root, "bm25_post")),
+        () => st.dLens.write.mode("append").parquet(sub(root, "bm25_lens")),
+        () => st.g2.coalesce(1).write.mode("overwrite").parquet(sub(root, "bm25_g")),
+        () => s.read.parquet(st.termsPath).repartition(col("tok")).write
+          .mode("overwrite").parquet(sub(root, "bm25_terms"))))
 
       // ONE stats job for all six changing manifest rows (r18 opt —
       // guide §1.2 "don't pay a driver wave per scalar"): the four
@@ -379,15 +401,18 @@ object IndexStore {
       org.apache.hadoop.fs.FileUtil.copy(fs,
         new org.apache.hadoop.fs.Path(sub(src, name)), fs,
         new org.apache.hadoop.fs.Path(sub(root, name)), false, conf)
-    s.read.parquet(sub(src, "ivf_assigned"))
-      .repartition(col("cluster")).write.mode("overwrite")
-      .partitionBy("cluster").parquet(sub(root, "ivf_assigned"))
-    s.read.parquet(sub(src, "bm25_post")).repartition(col("doc_id"))
-      .write.mode("overwrite").parquet(sub(root, "bm25_post"))
-    s.read.parquet(sub(src, "bm25_lens")).repartition(col("doc_id"))
-      .write.mode("overwrite").parquet(sub(root, "bm25_lens"))
-    s.read.parquet(sub(src, "pq_codes")).repartition(col("vec_id"))
-      .write.mode("overwrite").parquet(sub(root, "pq_codes"))
+    // the four consolidation rewrites are independent jobs — overlapped
+    // (r18 opt, guide §2.6)
+    inParallel(Seq(
+      () => s.read.parquet(sub(src, "ivf_assigned"))
+        .repartition(col("cluster")).write.mode("overwrite")
+        .partitionBy("cluster").parquet(sub(root, "ivf_assigned")),
+      () => s.read.parquet(sub(src, "bm25_post")).repartition(col("doc_id"))
+        .write.mode("overwrite").parquet(sub(root, "bm25_post")),
+      () => s.read.parquet(sub(src, "bm25_lens")).repartition(col("doc_id"))
+        .write.mode("overwrite").parquet(sub(root, "bm25_lens")),
+      () => s.read.parquet(sub(src, "pq_codes")).repartition(col("vec_id"))
+        .write.mode("overwrite").parquet(sub(root, "pq_codes"))))
     root
   }
 }
