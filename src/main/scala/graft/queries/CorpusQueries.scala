@@ -560,9 +560,16 @@ object CorpusQueries {
       val ix = bm25Index(s, d)
       // delta shard: every 7th doc, first token dropped (the
       // q_dedup_delta mutation family), +700000 namespace
+      // `orig` (the unshifted id) rides the delta so downstream bounds
+      // like the probe window filter on a SCAN column and reach the
+      // parquet min/max stats — a predicate on the shifted alias
+      // ((doc_id+700000) < k) is not rewritten for pushdown by Catalyst
+      // and would full-scan documents per probe derivation (r18 opt,
+      // guide §6 "filters applied to derived columns do not push down")
       val delta = Tables.documents(s, d)
         .filter(pmod(col("doc_id"), lit(Bm25UpsertMod)) === 0)
-        .select((col("doc_id") + 700000L).as("doc_id"),
+        .select(col("doc_id").as("orig"),
+          (col("doc_id") + 700000L).as("doc_id"),
           expr("substring(text, instr(text, ' ')+1)").as("text"))
       // persisted: the delta postings feed the union, the delta
       // lengths, and the df merge
@@ -616,7 +623,7 @@ object CorpusQueries {
     // probes: the first delta docs' leading terms — every probe must
     // retrieve against the UPSERTED state (itself at rank 1 unless its
     // mutated text became a duplicate of a standing doc)
-    val probes = st.delta.filter(col("doc_id") < 700000L + Bm25Probes * Bm25UpsertMod)
+    val probes = st.delta.filter(col("orig") < Bm25Probes * Bm25UpsertMod)
       .select(col("doc_id").as("probe_id"),
         explode(slice(split(col("text"), " "), 1, Bm25QTerms)).as("tok"))
       .distinct()
