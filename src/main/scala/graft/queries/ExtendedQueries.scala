@@ -797,11 +797,6 @@ object ExtendedQueries {
   private val autocorrQ: Q = (s, d) => {
     val hourExpr = expr("(ts - pmod(ts, 3600000000000L)) DIV 3600000000000L")
     // the ONLY corpus-sized pass: one map-side-combined (type, hour)
-    // count. Persisted because the bounded result feeds three consumers
-    // (grid bounds, the type set, and the dense left join) — deriving
-    // bounds/types from the raw stream again would re-scan events per
-    // branch (r17 review finding).
-    // the ONLY corpus-sized pass: one map-side-combined (type, hour)
     // count. NOT persisted (r18 opt): the persist's cache-population
     // barrier cost ~0.17 s/rep locally, and the two downstream
     // consumers (type set + sparse→dense join) are gone — the dense

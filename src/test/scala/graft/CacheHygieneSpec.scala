@@ -63,6 +63,26 @@ class CacheHygieneSpec extends SparkSpec {
     }
   }
 
+  // queries whose persists live ONLY in keyed build-memo caches (no
+  // per-call scratch since r18): clearCaches alone must empty the
+  // CacheManager — covers e.g. bm25UpsertState's persisted dPost, whose
+  // unpersist hook would otherwise regress with every suite green
+  // (r18 review)
+  private val memoOnlyUsers = Seq("q_bm25_upsert")
+
+  test("memo-only queries: clearCaches alone empties the CacheManager") {
+    SparkEntry.clearCaches()
+    spark.sharedState.cacheManager.clearCache()
+    memoOnlyUsers.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
+      Scratch.release(spark)
+      SparkEntry.clearCaches()
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$name left InMemoryRelations cached after clearCaches")
+    }
+  }
+
   test("releaseAll drops scratch from every session (bench cold-rep hook)") {
     import org.apache.spark.sql.functions._
     Scratch.persist(spark.range(10).toDF("id").select(col("id") * 2))
