@@ -406,6 +406,48 @@ object Bench {
       System.err.println(s"[bench] rescue pass: ${rescue.size} " +
         s"under-sampled/split entries (${rescue.take(5).mkString(",")}…)")
     for (name <- rescue if spentS < rescueCapS) runRep(name)
+    // BUILD rescue (r19 — VERDICT r18 #2): builds are deliberately exempt
+    // from the guarantee/phase-2/rescue passes (a warm-memo rep would win
+    // the min and lie), so a build entry ends the sweep with at most two
+    // cold samples — and one blown-up window can become the graded number
+    // (BENCH_r18: build_graph_tree graded 12.23 s vs 1.6 s same-binary
+    // sweeps). A COLD rep doesn't lie: re-clear every memo and replay the
+    // artifact chain, timing only the under-sampled (1 rep) or wildly
+    // split (2 reps disagreeing > 3×) builds; earlier builds that feed a
+    // rescued build's memo chain are re-warmed UNTIMED. Runs dead-last so
+    // the re-clear cannot contaminate any later query rep, with its own
+    // 0.3×budget margin like the query rescue pass.
+    val buildRescue = artifacts.map(_._1).filter { n =>
+      val ts = timesByQuery(n)
+      ts.size == 1 || (ts.size == 2 && ratio(ts) > 3.0)
+    }.toSet
+    if (buildRescue.nonEmpty) {
+      System.err.println(s"[bench] build rescue pass: " +
+        buildRescue.toSeq.sorted.mkString(","))
+      val buildRescueCapS = spentS + 0.3 * budgetS
+      SparkEntry.clearCaches()
+      spark.catalog.clearCache()
+      // builds whose memo a rescued build reads (artifactDeps lists
+      // build_* names among dependents; benchArtifacts is in dependency
+      // order, so a feeder always precedes its dependent here)
+      val feeds = artifacts.map(_._1).filter { b =>
+        artifactDeps.getOrElse(b, Set.empty).exists(buildRescue)
+      }.toSet
+      for ((name, fn) <- artifacts if spentS < buildRescueCapS) {
+        if (buildRescue(name)) runOnce(name, fn)
+        else if (feeds(name)) {
+          // untimed warm: counted in spentS, never in samples
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).queryExecution.toRdd
+            .foreachPartition(it => it.foreach(_ => ()))
+          catch {
+            case e: Throwable => System.err.println(
+              s"[bench] build-rescue warm of $name FAILED: ${e.getMessage}")
+          }
+          spentS += (System.nanoTime() - t0) / 1e9
+        }
+      }
+    }
     val results = (artifacts ++ named).map { case (name, _) => name -> timesByQuery(name) }
     val mins = results.map { case (k, ts) => k -> (if (ts.nonEmpty) ts.min else -1.0) }
     val qs = mins.map { case (k, v) => "\"" + k + "\":" + v }

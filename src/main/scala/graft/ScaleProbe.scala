@@ -29,6 +29,13 @@ object ScaleProbe {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // dev A/B (r19 stream probe): file:// without the ChecksumFileSystem
+      // wrapper — skips the .crc sidecar write+read on every checkpoint
+      // metadata-log and state-store file
+      .config("spark.hadoop.fs.file.impl",
+        if (sys.env.get("SPARK_GRAFT_RAWFS").contains("1"))
+          "org.apache.hadoop.fs.RawLocalFileSystem"
+        else "org.apache.hadoop.fs.LocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "pii") println(piiProbe(spark, dir))
@@ -45,6 +52,8 @@ object ScaleProbe {
     else if (mode == "pack") println(packProbe(spark, dir))
     else if (mode == "sem") println(semProbe(spark, dir))
     else if (mode == "pr") println(prProbe(spark, dir))
+    else if (mode == "stream") println(streamProbe(spark, dir))
+    else if (mode == "mh") println(graft.queries.DedupQueries.mhProbe(spark, dir))
     else if (mode == "docsim") println(graft.queries.DedupQueries.docsimProbe(spark, dir))
     else if (mode == "lpa") println(graft.queries.GraphAnalyticsQueries.lpaProbe(spark, dir))
     else if (mode.startsWith("prx")) println(prxProbe(spark, dir, mode.drop(3).toInt))
@@ -613,5 +622,44 @@ object ScaleProbe {
     val rows = TreeOps.flatten(tree)._1
     val wardS = (System.nanoTime() - t0) / 1e9
     f"""{"n":${sizes.values.sum},"k":${centers.length},"nodes":${rows.size},"scale_sec":$scaleS%.3f,"kmeans_sec":$trainS%.3f,"assign_sec":$assignS%.3f,"ward_sec":$wardS%.3f}"""
+  }
+
+  /** Streaming micro-batch floor attribution (r19 — VERDICT r18 #4):
+    * runs each streaming twin once and dumps every micro-batch's
+    * `StreamingQueryProgress.durationMs` phases (queryPlanning,
+    * getBatch/latestOffset, addBatch, walCommit, commitOffsets,
+    * triggerExecution) via a listener, so "the state-store commit
+    * floor" stops being an assertion and becomes a number per phase.
+    */
+  private def streamProbe(spark: SparkSession, dir: String): String = {
+    import scala.jdk.CollectionConverters._
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        val d = p.durationMs.asScala.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""""$k":$v""" }.mkString(",")
+        lines.synchronized {
+          lines += s"""{"q":"${p.name}","batch":${p.batchId},"rows":${p.numInputRows},$d}"""
+        }
+      }
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val twins = graft.SparkEntry.queries.keys.filter(_.startsWith("q_stream_")).toSeq.sorted
+    val walls = twins.map { name =>
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    Thread.sleep(1000) // listener events are async
+    spark.streams.removeListener(listener)
+    val wallsJson = walls.map { case (n, s) => f""""$n":$s%.3f""" }.mkString(",")
+    s"""{"walls":{$wallsJson},"batches":[${lines.mkString(",")}]}"""
   }
 }

@@ -80,8 +80,18 @@ object IndexStore {
             // wait out the in-flight jobs, then propagate (r18 review)
             futs.foreach(_.cancel(false))
             pool.shutdown()
-            pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
-            throw Option(e.getCause).getOrElse(e)
+            val drained = pool.awaitTermination(
+              10, java.util.concurrent.TimeUnit.MINUTES)
+            val cause = Option(e.getCause).getOrElse(e)
+            // a sibling still running past the drain window means the
+            // store may be mutating while the caller handles the
+            // failure — surface that state with the original exception
+            // rather than silently propagating it alone (r19, ADVICE r18)
+            if (!drained) cause.addSuppressed(new IllegalStateException(
+              "inParallel: sibling write jobs still running after the " +
+                "10-minute post-failure drain window; the store may " +
+                "still be mutating"))
+            throw cause
         }
       }
     } finally pool.shutdown()
@@ -304,16 +314,22 @@ object IndexStore {
     // IVF + PQ share one delta-vector frame (bounded: |delta| rows).
     // Persists released in the finally — a mid-append failure (e.g. a
     // full disk during a delta write) must not leak cached lineages
-    // into the long-lived session (r18 review).
+    // into the long-lived session (r18 review). EVERY action after the
+    // first persist runs inside the try (r19, ADVICE r18: readCodebooks
+    // is a .collect() — a failure there previously leaked dVecs and
+    // dAssigned), so the vars start null and the finally unpersists
+    // whatever was reached.
     val dVecs = graft.queries.VectorQueries.upsertAppended(s, d)
       .select(col("vec_id"),
         graft.functions.VectorOps.toDoubleArr(col("embedding")).as("e"))
       .persist()
-    val centroids = s.read.parquet(sub(root, "ivf_centroids"))
-    val dAssigned = AnnIvf.assignNearest(dVecs, "vec_id", centroids).persist()
-    val dCodes = PqOps.encode(dVecs, "vec_id", "e", readCodebooks(s, root))
-      .persist()
+    var dAssigned: DataFrame = null
+    var dCodes: DataFrame = null
     try {
+      val centroids = s.read.parquet(sub(root, "ivf_centroids"))
+      dAssigned = AnnIvf.assignNearest(dVecs, "vec_id", centroids).persist()
+      dCodes = PqOps.encode(dVecs, "vec_id", "e", readCodebooks(s, root))
+        .persist()
       // BM25: the memoized upsert-merge state (build_bm25_upsert) IS
       // the delta + merged frames — postings/lens append (dLens comes
       // FROM the state so the durable lens can never drift from the
@@ -375,7 +391,9 @@ object IndexStore {
       rows.toDF("artifact", "n_rows", "checksum", "meta")
         .coalesce(1).write.mode("overwrite").parquet(sub(root, "manifest"))
     } finally {
-      dVecs.unpersist(); dAssigned.unpersist(); dCodes.unpersist()
+      dVecs.unpersist()
+      if (dAssigned != null) dAssigned.unpersist()
+      if (dCodes != null) dCodes.unpersist()
     }
     root
   }

@@ -92,6 +92,12 @@ object DedupQueries {
     * can persist the shingle generation once and feed both legs.
     */
   private[graft] def minhashBandsFromShingles(sh: DataFrame): DataFrame = {
+    // NOTE (r19 A/B): min(string) compiles to a SortAggregate (min over
+    // STRING has no fixed-width hash-agg buffer). Replacing the 8 mins
+    // with mins over conv(hex,16,10)-parsed longs (order-isomorphic for
+    // fixed-length hex) measured UNIFORMLY WORSE (+0.2–0.3 s on every
+    // consumer at sf0.1): the per-row radix parse ×8 costs more than
+    // the sort it removes at these row counts. Keep the string mins.
     val seedAggs = (0 to 7).map(k =>
       min(substring(col("h"), 3 * k + 1, 8)).as(s"mh$k"))
     val sig = sh.withColumn("h", md5(col("sh")))
@@ -117,8 +123,24 @@ object DedupQueries {
     // scratch-persisted: the band table feeds BOTH sides of the
     // self-join, and its lineage (shingle generation + 8-way min agg) is
     // the expensive part — without this Spark recomputes it per side.
+    // (r19 A/B: dropping the persist engine-wide measured +0.2 s net
+    // over the 10 LSH consumers — the broadcast side rebuilds the
+    // pipeline — EXCEPT where the pair table is consumed once inside a
+    // larger plan with independent legs to overlap; that single winner
+    // uses [[minhashUnpersisted]].)
     bandPairs(graft.Scratch.persist(minhashBands(corpus(s, d))))
   }
+
+  /** The same candidate pairs WITHOUT the band-table scratch persist —
+    * for a consumer that reads the pairs ONCE inside a larger plan
+    * (q_doc_sim_tfidf): the persist is a blocking materialization wave
+    * there, while unpersisted the band join overlaps the plan's
+    * independent term pipeline. A/B at sf0.1: doc_sim 1.87 → 1.35 s
+    * unpersisted, while every multi-consumption query is +0.1–0.2 s
+    * without the persist — hence two entry points, not a flag.
+    */
+  private[graft] def minhashUnpersisted(s: SparkSession, d: String): DataFrame =
+    bandPairs(minhashBands(corpus(s, d)))
 
   // ---- incremental delta-vs-corpus dedup ----
   // The 100 TB ingestion shape: a new shard arrives and is deduped
@@ -535,6 +557,11 @@ object DedupQueries {
   // Docs whose every token is covered come back via the corpus left
   // join with n_kept = 0 and md5('') — full removal, not absence.
   private[graft] def spanRemoval(c: DataFrame): DataFrame = {
+    // (r19 A/B: persisting the token table pre-partitioned on doc_id
+    // did NOT remove the downstream doc_id exchanges here — the
+    // InMemoryTableScan does not surface the cached repartition's
+    // partitioning to the window/agg consumers in this plan, so the
+    // extra shuffle was pure overhead. Reverted; plans/r19 has both.)
     val toks = graft.Scratch.persist(docTokens(c))
     val covered = dupSpanRanges(toks)
       .select(col("doc_id"),
@@ -770,7 +797,10 @@ object DedupQueries {
     val terms = tfidfTerms(s, d)
     val ssq = terms.groupBy("doc_id")
       .agg(sum(expr("CAST(w AS DECIMAL(38,0)) * w")).as("ssq"))
-    val cand = minhash(s, d)
+    // unpersisted candidate pairs (r19): consumed ONCE by the scoring
+    // join, and without the persist's blocking wave the band join
+    // overlaps the independent term pipeline — see minhashUnpersisted
+    val cand = minhashUnpersisted(s, d)
     val dot = cand
       .join(terms.select(col("doc_id").as("doc_a"), col("tok"), col("w").as("wa")),
         Seq("doc_a"))
@@ -784,6 +814,27 @@ object DedupQueries {
         "round(CAST(dot AS DOUBLE) / sqrt(CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)), 6) + 0.0"))
       .filter(col("cos") >= TfIdfCosMin)
       .select("doc_a", "doc_b", "cos")
+  }
+
+  /** Stage decomposition of the shared MinHash pipeline (ScaleProbe
+    * `mh`, r19): corpus scan+union, shingle explode, md5, the 8-min
+    * signature agg, band table, full band-join pairs — each timed
+    * standalone cold (toRdd.count materializes every column). Dev-only.
+    */
+  private[graft] def mhProbe(s: SparkSession, d: String): String = {
+    def full(df: DataFrame): Long = df.queryExecution.toRdd.count()
+    val stages = graft.ScaleProbe.coldStages(
+      () => { graft.Scratch.releaseAll(); clearCache() },
+      "corpus" -> (() => full(corpus(s, d))),
+      "shingles" -> (() => full(shingles(corpus(s, d)))),
+      "md5" -> (() => full(shingles(corpus(s, d)).withColumn("h", md5(col("sh"))))),
+      "sig" -> (() => full(shingles(corpus(s, d)).withColumn("h", md5(col("sh")))
+        .groupBy("doc_id")
+        .agg((0 to 7).map(k => min(substring(col("h"), 3 * k + 1, 8)).as(s"mh$k")).head,
+          (0 to 7).map(k => min(substring(col("h"), 3 * k + 1, 8)).as(s"mh$k")).tail: _*))),
+      "bands" -> (() => full(minhashBands(corpus(s, d)))),
+      "pairs" -> (() => full(minhash(s, d))))
+    stages.map { case (n, rows, sec) => f"$n=$sec%.2fs($rows)" }.mkString(" ")
   }
 
   /** Phase attribution for q_doc_sim_tfidf (ScaleProbe `docsim`): the

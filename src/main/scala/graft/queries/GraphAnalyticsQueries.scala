@@ -235,21 +235,29 @@ object GraphAnalyticsQueries {
     // the self-vote rides the edge list as one self-loop per node.
     // g itself is persisted too (r15): it is consumed once per round,
     // and unpersisted it re-ran the node-distinct 4× (probe: ~0.2 s of
-    // each round was rebuilding the same self-loop union)
+    // each round was rebuilding the same self-loop union).
+    // persisted HASH-PARTITIONED on a (r19): the cached partitioning is
+    // what every round's post-join aggregations reuse — see the loop.
     val g = graft.Scratch.persist(und.unionAll(
-      und.select(col("a")).distinct().select(col("a"), col("a").as("b"))))
+      und.select(col("a")).distinct().select(col("a"), col("a").as("b")))
+      .repartition(col("a")))
     var labels = und.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
     for (i <- 1 to LpaIters) {
       // max(struct(c, -label)) = lexicographic argmax: highest count,
       // then smallest label — one aggregate, no per-node sort.
-      // r18 opt (guide §2.4, the r15 one-exchange precedent): an
-      // explicit repartition(a) right after the broadcast join lets the
-      // (a,label) count AND the per-a argmax reuse ONE exchange —
-      // HashPartitioning on the subset {a} satisfies both groupings —
-      // instead of exchanging once per aggregation per round.
-      labels = g.join(labels.withColumnRenamed("node", "b"), "b")
-        .repartition(col("a"))
+      // r19 opt (guide §2.4, extending the r18 one-exchange shape): g is
+      // persisted hash-partitioned on a, the label join is a broadcast
+      // (stream side = g keeps that partitioning), so the (a,label)
+      // count AND the per-a argmax both satisfy their ClusteredDistribution
+      // from the CACHE's partitioning — ZERO exchanges per round where
+      // r18 paid one explicit repartition per round (and, unlike that
+      // shape, the count keeps its map-side partial aggregation).
+      // label table EXPLICITLY broadcast: it is node-scale but carries
+      // no stats after a checkpoint, so the planner otherwise broadcasts
+      // the (stats-bearing, cached) edge side and streams labels —
+      // losing the cache's a-partitioning the aggregations need
+      labels = g.join(broadcast(labels.withColumnRenamed("node", "b")), "b")
         .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
         .groupBy(col("a"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
@@ -314,7 +322,12 @@ object GraphAnalyticsQueries {
   private[graft] val KCoreRounds = 6
 
   private val kcore: Q = (s, d) => {
-    val und = graft.Scratch.persist(undirectedLsh(s, d))
+    // persisted HASH-PARTITIONED on a (r19): each round's degree
+    // aggregation groups by a over the (broadcast-semi-joined) cached
+    // edges — with the cache partitioned on a the per-round exchange
+    // disappears (the alive-b semi-join is a broadcast, so the stream
+    // side keeps the cache's partitioning into the aggregation).
+    val und = graft.Scratch.persist(undirectedLsh(s, d).repartition(col("a")))
     var alive: DataFrame = null
     var degs: DataFrame = null
     for (i <- 1 to KCoreRounds) {

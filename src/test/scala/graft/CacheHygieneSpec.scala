@@ -77,6 +77,12 @@ class CacheHygieneSpec extends SparkSpec {
       val df = SparkEntry.queries(name)(spark, sf)
       df.queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
       Scratch.release(spark)
+      // the memo's persist must EXIST while the query serves (r19,
+      // ADVICE r18: dropping the multi-consumer .persist() itself —
+      // not just its release hook — would otherwise regress silently
+      // with every suite green)
+      assert(!spark.sharedState.cacheManager.isEmpty,
+        s"$name registered no memo-backed persist — was the .persist() dropped?")
       SparkEntry.clearCaches()
       assert(spark.sharedState.cacheManager.isEmpty,
         s"$name left InMemoryRelations cached after clearCaches")
