@@ -54,6 +54,19 @@ object ScaleProbe {
     else if (mode == "pr") println(prProbe(spark, dir))
     else if (mode == "stream") println(streamProbe(spark, dir))
     else if (mode == "mh") println(graft.queries.DedupQueries.mhProbe(spark, dir))
+    else if (mode == "lpaskew") println(lpaSkewProbe(spark, dir))
+    else if (mode == "ccparts") {
+      // r19: what partition width does each CC consumer's Pregel run at,
+      // and what does Catalyst ESTIMATE the pair relation's size to be?
+      val ph = graft.queries.IoQueries.phashPairs(spark, dir)
+        .select(org.apache.spark.sql.functions.col("doc_a"),
+          org.apache.spark.sql.functions.col("doc_b"))
+      val mh = graft.queries.DedupQueries.minhash(spark, dir)
+      def stat(n: String, df: org.apache.spark.sql.DataFrame): String =
+        s"$n: estBytes=${df.queryExecution.optimizedPlan.stats.sizeInBytes} parts=${graft.operators.SizedRdd.parts(df)}"
+      println(stat("phash_pairs", ph))
+      println(stat("minhash_pairs", mh))
+    }
     else if (mode == "docsim") println(graft.queries.DedupQueries.docsimProbe(spark, dir))
     else if (mode == "lpa") println(graft.queries.GraphAnalyticsQueries.lpaProbe(spark, dir))
     else if (mode.startsWith("prx")) println(prxProbe(spark, dir, mode.drop(3).toInt))
@@ -622,6 +635,57 @@ object ScaleProbe {
     val rows = TreeOps.flatten(tree)._1
     val wardS = (System.nanoTime() - t0) / 1e9
     f"""{"n":${sizes.values.sum},"k":${centers.length},"nodes":${rows.size},"scale_sec":$scaleS%.3f,"kmeans_sec":$trainS%.3f,"assign_sec":$assignS%.3f,"ward_sec":$wardS%.3f}"""
+  }
+
+  /** Wall + total shuffle bytes (write/read) of `body`, via a stage
+    * listener (r19 — the LPA skew rehearsal's evidence unit).
+    */
+  private def withShuffleBytes[T](spark: SparkSession)(body: => T): (T, Double, Long, Long) = {
+    val wr = new java.util.concurrent.atomic.AtomicLong
+    val rd = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          wr.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          rd.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val t0 = System.nanoTime()
+    val r = body
+    val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(1500) // listener events are async
+    spark.sparkContext.removeSparkListener(l)
+    (r, wall, wr.get, rd.get)
+  }
+
+  /** LPA shape skew rehearsal (r19 — VERDICT r18 #6): runs
+    * q_graph_communities on `dir` under BOTH join shapes — the gated
+    * broadcast(labels) + cache-partitioned aggregation (per-round
+    * exchanged rows = partially-aggregated (a,label) counts) and the
+    * fallback shuffle-join + repartition(a) (exchanged rows = raw
+    * joined edges) — and prints wall + total shuffle bytes for each.
+    * Drive it at a hot-label corpus (scalegen --shared-vocab plants
+    * cross-replica near-dup clusters) to see what each shape would
+    * put on the wire under label skew.
+    */
+  private def lpaSkewProbe(spark: SparkSession, dir: String): String = {
+    // the env override is read inside the query per round; set it via
+    // the process env when invoking — here we just measure both runs
+    // as configured (caller sets SPARK_GRAFT_LPA_BCAST)
+    def run(): (Long, Double, Long, Long) = {
+      graft.Scratch.releaseAll(); graft.queries.DedupQueries.clearCache()
+      withShuffleBytes(spark) {
+        graft.SparkEntry.queries("q_graph_communities")(spark, dir)
+          .queryExecution.toRdd.count()
+      }
+    }
+    run() // warmup (JIT) — discard
+    val (n, wall, wr, rd) = run()
+    f"""{"mode":"${sys.env.getOrElse("SPARK_GRAFT_LPA_BCAST", "gate")}","rows":$n,"wall_s":$wall%.2f,"shuffle_write_mb":${wr / 1048576.0}%.1f,"shuffle_read_mb":${rd / 1048576.0}%.1f}"""
   }
 
   /** Streaming micro-batch floor attribution (r19 — VERDICT r18 #4):

@@ -19,6 +19,17 @@ import org.apache.spark.sql.DataFrame
   * floor of 2 (keeping every superstep genuinely distributed). If a
   * future caller ever uses this with `repartition` to grow, drop the
   * `min(cur, ...)` cap.
+  *
+  * CALLERS MUST PASS A SCAN-ANCHORED FRAME (r19): Catalyst's size
+  * estimate for a JOIN multiplies child sizes, so passing the derived
+  * pair/edge relation returns garbage (measured: the phash band
+  * self-join estimated 8.9e35 bytes, the minhash pairs 1.9e12 — both
+  * pinned every Pregel run at the 32-way cap, the exact empty-task
+  * storm this sizing exists to avoid; q_phash_groups spent ~1.9 s of
+  * its 2.36 s there). Every dup-group graph here has O(corpus) edges
+  * by construction (chain, bounded-degree LSH bands, tree), so the
+  * CORPUS scan — whose stats are parquet-accurate — is the honest
+  * anchor for the edge relation's size.
   */
 object SizedRdd {
 

@@ -630,8 +630,10 @@ object DedupQueries {
       .join(docs.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
       .select(col("src"), col("dst"))
     // data-sized Pregel width: the edge RDD otherwise inherits the
-    // 32-way join shuffle layout and every superstep pays empty tasks
-    val p = graft.operators.SizedRdd.parts(edges)
+    // 32-way join shuffle layout and every superstep pays empty tasks.
+    // Anchored on the SCAN (r19 — SizedRdd doc): the semi-join's own
+    // size estimate is inflated and pinned the width at the 32 cap.
+    val p = graft.operators.SizedRdd.parts(docs)
     val vRDD = docs.as[Long].rdd.coalesce(p).map(id => (id, ()))
     val eRDD = edges.as[(Long, Long)].rdd.coalesce(p)
       .map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
@@ -655,9 +657,11 @@ object DedupQueries {
     import s.implicits._
     val pairs = minhash(s, d)
     val docs = corpus(s, d).select(col("doc_id"))
-    // sized from Catalyst's estimate — NOT a count, which would re-run
-    // the whole band-join pair generation a second time
-    val p = graft.operators.SizedRdd.parts(pairs)
+    // sized from Catalyst's estimate of the CORPUS scan — NOT a count
+    // (which would re-run the whole band-join pair generation), and NOT
+    // the pair join itself (whose join-cardinality estimate is garbage
+    // and pinned the width at the 32 cap — r19, SizedRdd doc)
+    val p = graft.operators.SizedRdd.parts(docs)
     val vRDD = docs.as[Long].rdd.coalesce(p).map(id => (id, ()))
     // edge coalesce must SHUFFLE: a narrow coalesce would pull the
     // expensive band-join pair generation itself down to p tasks

@@ -228,6 +228,17 @@ object GraphAnalyticsQueries {
        |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
        |        UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs)""".stripMargin
 
+  // LPA nodes are drawn from the dedup corpus (docs + one mutant per
+  // doc), so 2 × |documents| bounds the label-table row count; 10M
+  // rows of (node, label) longs ≈ 160 MB broadcast — the documented
+  // upper end of comfortable (guide §3.1). The stat is catalog state
+  // (the Stats precedent), one count per (session, dir).
+  private[graft] val LpaBroadcastMaxNodes = 10000000L
+  private def lpaNodesUpperBound(s: SparkSession, d: String): Long =
+    2L * graft.Stats.scalar(s, d, "documents.count") {
+      Tables.documents(s, d).count()
+    }
+
   private val communities: Q = (s, d) => {
     // persisted pairs inside the helper: the symmetrized edge view is
     // consumed once per round
@@ -253,11 +264,27 @@ object GraphAnalyticsQueries {
       // from the CACHE's partitioning — ZERO exchanges per round where
       // r18 paid one explicit repartition per round (and, unlike that
       // shape, the count keeps its map-side partial aggregation).
-      // label table EXPLICITLY broadcast: it is node-scale but carries
-      // no stats after a checkpoint, so the planner otherwise broadcasts
-      // the (stats-bearing, cached) edge side and streams labels —
-      // losing the cache's a-partitioning the aggregations need
-      labels = g.join(broadcast(labels.withColumnRenamed("node", "b")), "b")
+      // label table EXPLICITLY broadcast below the gate: it is
+      // node-scale but carries no stats after a checkpoint, so the
+      // planner otherwise broadcasts the (stats-bearing, cached) edge
+      // side and streams labels — losing the cache's a-partitioning
+      // the aggregations need. The hint is GATED on the node-count
+      // upper bound (the prefixSum adaptive-branch precedent): forcing
+      // a broadcast of a billion-row label table would OOM, so past
+      // the bound the round falls back to the r18 shuffle-join +
+      // repartition(a) shape, which the planner sizes itself.
+      val lbl = labels.withColumnRenamed("node", "b")
+      // SPARK_GRAFT_LPA_BCAST=0/1 overrides the gate (dev-only — the
+      // skew rehearsal A/Bs the two shapes on the same corpus)
+      val useBcast = sys.env.get("SPARK_GRAFT_LPA_BCAST") match {
+        case Some("0") => false
+        case Some("1") => true
+        case _ => lpaNodesUpperBound(s, d) <= LpaBroadcastMaxNodes
+      }
+      val joined =
+        if (useBcast) g.join(broadcast(lbl), "b")
+        else g.join(lbl, "b").repartition(col("a"))
+      labels = joined
         .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
         .groupBy(col("a"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))

@@ -202,8 +202,10 @@ object IoQueries {
           expr("try_element_at(split(path, '\\\\.'), -2)").cast("long")).as("src"),
         col("id").as("dst"))
     // data-sized Pregel width (see SizedRdd) — the tree is thousands of
-    // rows; inheriting the 32-way layout pays empty tasks per superstep
-    val p = graft.operators.SizedRdd.parts(edges)
+    // rows; inheriting the 32-way layout pays empty tasks per superstep.
+    // Anchored on the nation SCAN (r19): the tree is |nations|+|regions|+1
+    // rows by construction, and o07's join/aggregate estimate inflates.
+    val p = graft.operators.SizedRdd.parts(Tables.nation(s, d))
     val vertexRDD = g.select("id").as[Long].rdd.coalesce(p)
       .map(id => (id, if (id == 1L) 0 else Int.MaxValue))
     val edgeRDD = edges.as[(Long, Long)].rdd.coalesce(p)
@@ -566,7 +568,7 @@ object IoQueries {
   /** The (doc_a, doc_b, hamming) near-dup pair frame q_multimodal_phash
     * declares — also the edge list of [[phashGroups]].
     */
-  private def phashPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def phashPairs(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val mut = base
       .filter(pmod(col("doc_id"), lit(5)) === 0 && length(col("text")) >= 337)
@@ -608,10 +610,12 @@ object IoQueries {
       .unionAll(Tables.documents(s, d)
         .filter(pmod(col("doc_id"), lit(5)) === 0 && length(col("text")) >= 337)
         .select((col("doc_id") + 600000L).as("doc_id")))
-    // sized from Catalyst's estimate — NOT a count (minhashGroups rule:
-    // a count would re-run the pair generation); edge coalesce must
-    // SHUFFLE so the band join stays at full width
-    val p = graft.operators.SizedRdd.parts(pairs)
+    // sized from Catalyst's estimate of the VERTEX scan — NOT a count
+    // (minhashGroups rule: a count would re-run the pair generation),
+    // and NOT the pair join (its inflated estimate pinned the width at
+    // the 32 cap — r19, SizedRdd doc); edge coalesce must SHUFFLE so
+    // the band join stays at full width
+    val p = graft.operators.SizedRdd.parts(ids)
     val vRDD = ids.as[Long].rdd.coalesce(p).map(id => (id, ()))
     val eRDD = pairs.as[(Long, Long)].rdd.coalesce(p, shuffle = true)
       .map { case (a, b) => Edge(a, b, ()) }
