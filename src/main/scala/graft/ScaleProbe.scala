@@ -66,6 +66,13 @@ object ScaleProbe {
         s"$n: estBytes=${df.queryExecution.optimizedPlan.stats.sizeInBytes} parts=${graft.operators.SizedRdd.parts(df)}"
       println(stat("phash_pairs", ph))
       println(stat("minhash_pairs", mh))
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val docs = graft.Tables.documents(spark, dir).select(col("doc_id"))
+      val ccEdges = docs.filter(pmod(col("doc_id"), lit(10)) =!= 9)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1L).as("dst"))
+        .join(docs.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      println(stat("cc_edges", ccEdges))
+      println(stat("cc_docs", docs))
     }
     else if (mode == "docsim") println(graft.queries.DedupQueries.docsimProbe(spark, dir))
     else if (mode == "lpa") println(graft.queries.GraphAnalyticsQueries.lpaProbe(spark, dir))
