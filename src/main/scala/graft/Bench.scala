@@ -427,25 +427,41 @@ object Bench {
       val buildRescueCapS = spentS + 0.3 * budgetS
       SparkEntry.clearCaches()
       spark.catalog.clearCache()
-      // builds whose memo a rescued build reads (artifactDeps lists
-      // build_* names among dependents; benchArtifacts is in dependency
-      // order, so a feeder always precedes its dependent here)
-      val feeds = artifacts.map(_._1).filter { b =>
-        artifactDeps.getOrElse(b, Set.empty).exists(buildRescue)
-      }.toSet
-      for ((name, fn) <- artifacts if spentS < buildRescueCapS) {
-        if (buildRescue(name)) runOnce(name, fn)
-        else if (feeds(name)) {
+      // Per rescued build: warm its still-cold FEEDER builds untimed
+      // (artifactDeps lists build_* names among dependents; feeders
+      // precede dependents in benchArtifacts order), then take the
+      // timed cold rep. Two r19-review rules: (a) the cap is checked
+      // per rescued CHAIN, not per element — the margin can't be
+      // burned on warms that never reach their timed rep; (b) if any
+      // feeder warm FAILED, the timed rep is SKIPPED: the rescued
+      // build's memoized fn would rebuild the cold feeder inline and
+      // the contaminated sample could WIN the min — the exact
+      // mis-attribution this pass exists to prevent.
+      val warmed = scala.collection.mutable.HashSet.empty[String]
+      for ((name, fn) <- artifacts
+           if buildRescue(name) && spentS < buildRescueCapS) {
+        var feedersOk = true
+        for ((b, _) <- artifacts
+             if b != name && !warmed(b) &&
+               artifactDeps.getOrElse(b, Set.empty)(name)) {
           // untimed warm: counted in spentS, never in samples
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).queryExecution.toRdd
-            .foreachPartition(it => it.foreach(_ => ()))
-          catch {
-            case e: Throwable => System.err.println(
-              s"[bench] build-rescue warm of $name FAILED: ${e.getMessage}")
+          try {
+            artifactFns(b)(spark, sfDir).queryExecution.toRdd
+              .foreachPartition(it => it.foreach(_ => ()))
+            warmed += b
+          } catch {
+            case e: Throwable =>
+              feedersOk = false
+              System.err.println(
+                s"[bench] build-rescue warm of $b FAILED: ${e.getMessage}")
           }
           spentS += (System.nanoTime() - t0) / 1e9
         }
+        if (feedersOk) { runOnce(name, fn); warmed += name }
+        else System.err.println(s"[bench] build-rescue rep of $name " +
+          "SKIPPED: a feeder warm failed; a timed rep would embed the " +
+          "cold feeder rebuild")
       }
     }
     val results = (artifacts ++ named).map { case (name, _) => name -> timesByQuery(name) }

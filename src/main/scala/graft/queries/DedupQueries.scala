@@ -87,22 +87,32 @@ object DedupQueries {
   private[graft] def minhashBands(c: DataFrame): DataFrame =
     minhashBandsFromShingles(shingles(c))
 
+  /** The (doc_id, mh0..mh7) signature frame — ONE home for the md5 +
+    * 8-min aggregation (r19 review: mhProbe carried an inline copy that
+    * would silently keep timing the OLD pipeline under a scheme
+    * change).
+    *
+    * NOTE (r19 A/B): min(string) compiles to a SortAggregate (min over
+    * STRING has no fixed-width hash-agg buffer). Replacing the 8 mins
+    * with mins over conv(hex,16,10)-parsed longs (order-isomorphic for
+    * fixed-length hex) measured UNIFORMLY WORSE (+0.2–0.3 s on every
+    * consumer at sf0.1): the per-row radix parse ×8 costs more than
+    * the sort it removes at these row counts. Keep the string mins.
+    */
+  private[graft] def minhashSig(sh: DataFrame): DataFrame = {
+    val seedAggs = (0 to 7).map(k =>
+      min(substring(col("h"), 3 * k + 1, 8)).as(s"mh$k"))
+    sh.withColumn("h", md5(col("sh")))
+      .groupBy("doc_id")
+      .agg(seedAggs.head, seedAggs.tail: _*)
+  }
+
   /** Band table from an existing (doc_id, sh) shingle frame — so a
     * caller that needs BOTH the bands and the raw shingles (q_lsh_eval)
     * can persist the shingle generation once and feed both legs.
     */
   private[graft] def minhashBandsFromShingles(sh: DataFrame): DataFrame = {
-    // NOTE (r19 A/B): min(string) compiles to a SortAggregate (min over
-    // STRING has no fixed-width hash-agg buffer). Replacing the 8 mins
-    // with mins over conv(hex,16,10)-parsed longs (order-isomorphic for
-    // fixed-length hex) measured UNIFORMLY WORSE (+0.2–0.3 s on every
-    // consumer at sf0.1): the per-row radix parse ×8 costs more than
-    // the sort it removes at these row counts. Keep the string mins.
-    val seedAggs = (0 to 7).map(k =>
-      min(substring(col("h"), 3 * k + 1, 8)).as(s"mh$k"))
-    val sig = sh.withColumn("h", md5(col("sh")))
-      .groupBy("doc_id")
-      .agg(seedAggs.head, seedAggs.tail: _*)
+    val sig = minhashSig(sh)
     val bandCols = (0 to 3).map(b =>
       struct(lit(b.toLong).as("band"),
         md5(concat_ws("|", array_sort(array(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))))
@@ -622,13 +632,23 @@ object DedupQueries {
   // (doc_id → doc_id+1 within runs of 10, ~10 Pregel supersteps) so the
   // DuckDB oracle can replay the closure with a recursive CTE; in
   // production the edge input is any pair generator above.
-  private val ccGroups: Q = (s, d) => {
-    import s.implicits._
+  /** The deterministic chain relation q_dedup_cc closes over — ONE home
+    * shared with the ScaleProbe `ccparts` sizing probe (r19 review: a
+    * probe-side copy would silently report estimates for a relation the
+    * shipped query no longer uses).
+    */
+  private[graft] def ccChainEdges(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"))
-    val edges = docs.filter(pmod(col("doc_id"), lit(10)) =!= 9)
+    docs.filter(pmod(col("doc_id"), lit(10)) =!= 9)
       .select(col("doc_id").as("src"), (col("doc_id") + 1L).as("dst"))
       .join(docs.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
       .select(col("src"), col("dst"))
+  }
+
+  private val ccGroups: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val edges = ccChainEdges(s, d)
     // data-sized Pregel width: the edge RDD otherwise inherits the
     // 32-way join shuffle layout and every superstep pays empty tasks.
     // Anchored on the SCAN (r19 — SizedRdd doc): the semi-join's own
@@ -832,10 +852,7 @@ object DedupQueries {
       "corpus" -> (() => full(corpus(s, d))),
       "shingles" -> (() => full(shingles(corpus(s, d)))),
       "md5" -> (() => full(shingles(corpus(s, d)).withColumn("h", md5(col("sh"))))),
-      "sig" -> (() => full(shingles(corpus(s, d)).withColumn("h", md5(col("sh")))
-        .groupBy("doc_id")
-        .agg((0 to 7).map(k => min(substring(col("h"), 3 * k + 1, 8)).as(s"mh$k")).head,
-          (0 to 7).map(k => min(substring(col("h"), 3 * k + 1, 8)).as(s"mh$k")).tail: _*))),
+      "sig" -> (() => full(minhashSig(shingles(corpus(s, d))))),
       "bands" -> (() => full(minhashBands(corpus(s, d)))),
       "pairs" -> (() => full(minhash(s, d))))
     stages.map { case (n, rows, sec) => f"$n=$sec%.2fs($rows)" }.mkString(" ")

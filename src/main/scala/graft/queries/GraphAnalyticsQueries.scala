@@ -254,6 +254,16 @@ object GraphAnalyticsQueries {
       .repartition(col("a")))
     var labels = und.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
+    // loop-INVARIANT shape choice, hoisted (r19 review): the gate's
+    // inputs (env override, memoized node bound) cannot change
+    // mid-query, and rounds must never pick different join shapes.
+    // SPARK_GRAFT_LPA_BCAST=0/1 overrides the gate (dev-only — the
+    // skew rehearsal A/Bs the two shapes on the same corpus).
+    val useBcast = sys.env.get("SPARK_GRAFT_LPA_BCAST") match {
+      case Some("0") => false
+      case Some("1") => true
+      case _ => lpaNodesUpperBound(s, d) <= LpaBroadcastMaxNodes
+    }
     for (i <- 1 to LpaIters) {
       // max(struct(c, -label)) = lexicographic argmax: highest count,
       // then smallest label — one aggregate, no per-node sort.
@@ -274,13 +284,6 @@ object GraphAnalyticsQueries {
       // the bound the round falls back to the r18 shuffle-join +
       // repartition(a) shape, which the planner sizes itself.
       val lbl = labels.withColumnRenamed("node", "b")
-      // SPARK_GRAFT_LPA_BCAST=0/1 overrides the gate (dev-only — the
-      // skew rehearsal A/Bs the two shapes on the same corpus)
-      val useBcast = sys.env.get("SPARK_GRAFT_LPA_BCAST") match {
-        case Some("0") => false
-        case Some("1") => true
-        case _ => lpaNodesUpperBound(s, d) <= LpaBroadcastMaxNodes
-      }
       val joined =
         if (useBcast) g.join(broadcast(lbl), "b")
         else g.join(lbl, "b").repartition(col("a"))
